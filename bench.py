@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every registry query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion via a count-style action that forces
+full materialization of the result (collect for small results) — wall-clock
+includes Catalyst planning + execution but excludes session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from weather_monitoring_spark.plans.registry import all_queries
+    from weather_monitoring_spark.session import get_spark
+
+    spark = get_spark(app_name="wms-bench")
+
+    specs = all_queries()
+    # Warm the JVM + parquet footers once with the cheapest query.
+    try:
+        specs["q12_topk_extremes"].spark(spark, sf_dir).collect()
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        t0 = time.perf_counter()
+        try:
+            df = spec.spark(spark, sf_dir)
+            # noop sink: full distributed execution of every result row,
+            # no driver-side transfer — measures the engine, not Arrow IPC.
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # pragma: no cover
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "query_suite_wall_clock",
+        "value": round(sum(t for t in timings.values() if t > 0), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,417 @@
+"""The 'absent but declared' analytic surface (SURVEY.md §2.3-§2.5).
+
+The reference's de-facto aggregation layer is Kibana over Elasticsearch —
+no SQL operators exist in its code, but the engine must expose a real query
+surface: multi-level aggregation (ROLLUP/CUBE), distinct counting, set
+operations, broadcast vs shuffle joins, as-of joins, and TPC-H-style
+multi-join analytics. All built-in Spark; all oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weather_monitoring_spark.functions.exact import (
+    MEASURE,
+    RATE,
+    davg,
+    dec_to_double,
+    dsum,
+    o_davg,
+    o_dsum,
+    o_measure,
+    o_one_minus,
+    o_one_plus,
+    one_minus,
+    one_plus,
+)
+from weather_monitoring_spark.plans.registry import query
+from weather_monitoring_spark.sources.tables import load_table
+
+
+@query(
+    "q13_rollup_aggregate",
+    "ROLLUP over (returnflag, linestatus): hierarchical subtotals + grand "
+    "total in one pass (Spark expands grouping sets map-side; still one "
+    "shuffle).",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS cnt,
+               {o_dsum('l_quantity')} AS sum_qty,
+               {o_dsum('l_extendedprice')} AS sum_price
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    tags=("analytics", "aggregate", "rollup"),
+)
+def q13_rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q14_distinct_counting",
+    "Exact distinct counts (count_distinct expands to a two-phase "
+    "aggregation). The approximate HLL variant is q15 (rows-only check — "
+    "sketch implementations differ across engines by design).",
+    oracle="""
+        SELECT count(DISTINCT o_custkey) AS n_cust,
+               count(DISTINCT o_orderpriority) AS n_prio,
+               count(*) AS n_orders
+        FROM orders
+    """,
+    tags=("analytics", "aggregate", "distinct"),
+)
+def q14_distinct_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "q15_approx_distinct",
+    "approx_count_distinct (HyperLogLog++): the 100 TB path for "
+    "cardinality — fixed-size sketch, single shuffle of sketches, no "
+    "distinct expansion. No oracle: HLL implementations differ across "
+    "engines; accuracy is asserted in tests/test_analytics.py instead.",
+    oracle=None,
+    tags=("analytics", "aggregate", "approx"),
+)
+def q15_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "q16_set_ops",
+    "Set operations: high-balance customers EXCEPT those with a finished "
+    "order (anti-join shape), via built-in EXCEPT.",
+    oracle="""
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("analytics", "setop"),
+)
+def q16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rich = customer.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return rich.exceptAll(finished).distinct()
+
+
+@query(
+    "q17_asof_join",
+    "As-of join — for each purchase, the most recent click at-or-before it "
+    "by the same user. Spark lacks a native ASOF JOIN; the scalable "
+    "formulation is union-merge + last(ignorenulls) over a per-key ordered "
+    "window: ONE shuffle on the key, no range-explosion equi-join. "
+    "(A naive t1.ts >= t2.ts join is O(n*m) per key and dies at scale.)",
+    oracle="""
+        SELECT user_id, event_id, ts, click_event_id FROM (
+            SELECT user_id, ts, event_id, side,
+                   last_value(click_id IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, side, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS click_event_id
+            FROM (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+                FROM events WHERE event_type IN ('click', 'purchase')
+            )
+        ) WHERE side = 1 AND click_event_id IS NOT NULL
+    """,
+    tags=("analytics", "join", "asof"),
+)
+def q17_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    merged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+        F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0)).alias("side"),
+    )
+    # side=0 (click) sorts before side=1 (purchase) at equal ts => a click at
+    # the exact purchase timestamp counts as "at or before" (ASOF >=).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("click_event_id", F.last("click_id", ignorenulls=True).over(w))
+        .filter((F.col("side") == 1) & F.col("click_event_id").isNotNull())
+        .select("user_id", "event_id", "ts", "click_event_id")
+    )
+
+
+@query(
+    "q18_pricing_summary",
+    "TPC-H Q1-shaped pricing summary over lineitem: the canonical "
+    "scan-heavy aggregation. Only 7 of 11 columns are read (column "
+    "pruning); the shipdate predicate pushes to parquet row-group stats.",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {o_dsum('l_quantity')} AS sum_qty,
+               {o_dsum('l_extendedprice')} AS sum_base_price,
+               CAST(CAST(SUM({o_measure('l_extendedprice')} * {o_one_minus('l_discount')}) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(SUM(CAST({o_measure('l_extendedprice')} * {o_one_minus('l_discount')} AS DECIMAL(29,8)) * {o_one_plus('l_tax')}) AS VARCHAR) AS DOUBLE) AS sum_charge,
+               {o_davg('l_quantity')} AS avg_qty,
+               {o_davg('l_extendedprice')} AS avg_price,
+               {o_davg('l_discount', 'DECIMAL(8,6)')} AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("analytics", "aggregate", "tpch"),
+)
+def q18_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(MEASURE)
+    disc_price = price * one_minus(F.col("l_discount"))
+    # Intermediate cast keeps the triple product exact and ≤38 digits under
+    # BOTH engines' decimal-width rules (Spark p1+p2+1=38; DuckDB p1+p2=37).
+    charge = disc_price.cast("decimal(29,8)") * one_plus(F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dec_to_double(F.sum(disc_price)).alias("sum_disc_price"),
+            dec_to_double(F.sum(charge)).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount"), RATE).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q19_shipping_priority",
+    "TPC-H Q3-shaped: 3-way join (customer ⨝ orders ⨝ lineitem) + "
+    "aggregation + top-k by revenue. Customer side filtered before the "
+    "join; top-k is TakeOrderedAndProject (no global sort).",
+    oracle=f"""
+        SELECT l_orderkey,
+               CAST(CAST(SUM({o_measure('l_extendedprice')} * {o_one_minus('l_discount')}) AS VARCHAR) AS DOUBLE) AS revenue,
+               o_orderdate
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    tags=("analytics", "join", "tpch", "topk"),
+)
+def q19_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    customer = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    lineitem = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            dec_to_double(
+                F.sum(F.col("l_extendedprice").cast(MEASURE) * one_minus(F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q20_local_supplier_volume",
+    "TPC-H Q5-shaped: 5-way join through region → per-nation revenue where "
+    "supplier and customer share a nation. nation/region broadcast; the "
+    "fact-side joins shuffle on their keys.",
+    oracle=f"""
+        SELECT n_name,
+               CAST(CAST(SUM({o_measure('l_extendedprice')} * {o_one_minus('l_discount')}) AS VARCHAR) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    tags=("analytics", "join", "tpch"),
+)
+def q20_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    asian_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(asian_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            dec_to_double(
+                F.sum(F.col("l_extendedprice").cast(MEASURE) * one_minus(F.col("l_discount")))
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q21_cube_aggregate",
+    "CUBE over (orderstatus, orderpriority): all 4 grouping-set "
+    "combinations in one pass.",
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS cnt,
+               {o_dsum('o_totalprice')} AS sum_price
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    tags=("analytics", "aggregate", "cube"),
+)
+def q21_cube_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q22_percentiles",
+    "Percentile aggregation: exact median + quartiles per event_type "
+    "(Spark `percentile`; DuckDB `quantile_cont` — both exact continuous "
+    "interpolation). The approximate 100 TB path (percentile_approx / "
+    "t-digest) is covered rows-only in q23.",
+    oracle="""
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.25), 4) AS p25,
+               ROUND(quantile_cont(value, 0.5), 4) AS p50,
+               ROUND(quantile_cont(value, 0.75), 4) AS p75,
+               ROUND(quantile_cont(value, 0.95), 4) AS p95
+        FROM events GROUP BY event_type
+    """,
+    tags=("analytics", "aggregate", "percentile"),
+)
+def q22_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    return df.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+
+
+@query(
+    "q23_approx_percentiles",
+    "approx_percentile — the sketch-based percentile for 100 TB (bounded "
+    "memory, mergeable partials). Rows-only check: sketch algorithms "
+    "differ across engines; accuracy asserted in tests.",
+    oracle=None,
+    tags=("analytics", "aggregate", "approx"),
+)
+def q23_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    return df.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
+    "q24_window_running_stats",
+    "Ordered analytic windows: running sum + moving average + rank per "
+    "key — the time-series serving surface over the archive.",
+    oracle="""
+        SELECT user_id, event_id, value,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / count(*) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS moving_avg_10,
+               rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank
+        FROM events
+    """,
+    tags=("analytics", "window"),
+)
+def q24_window_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    ordered = Window.partitionBy("user_id").orderBy("event_id")
+    running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = ordered.rowsBetween(-9, Window.currentRow)
+    by_value = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    dec_value = F.col("value").cast(MEASURE)
+    return df.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.sum(dec_value).over(running).cast("double").alias("running_sum"),
+        (
+            F.sum(dec_value).over(moving).cast("double")
+            / F.count(F.lit(1)).over(moving)
+        ).alias("moving_avg_10"),
+        F.rank().over(by_value).alias("value_rank"),
+    )
