@@ -1,0 +1,113 @@
+"""M4 — idempotent bulk index sink (the Elasticsearch path, S7/S8).
+
+The reference indexes Parquet rows into ES two ways; the Spark one
+(``ElasticSearch/src/main/java/org/example/SparkParquetStreamingToElasticsearch.java``)
+``collect()``s every document to the driver (``:124``) and bulk-posts from
+there — its known scalability sin. This sink keeps the reference's
+semantics (doc id ``station_id_s_no`` -> idempotent upsert, bulk batches,
+bounded retries, log-and-continue) but writes **from the executors** via
+``foreachPartition``: no driver bottleneck, parallelism = partitions.
+
+The HTTP client is pluggable. ``elasticsearch-py`` isn't in this
+container, so the default client is a filesystem-backed fake with the same
+bulk/upsert contract — the Spark-side plumbing (doc-id synthesis, dedup,
+partition-parallel bulk batching, retry loop) is the real deliverable and
+is fully tested. Swapping in a real ES client is a constructor argument.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+BULK_SIZE = 100  # ParquetToElasticsearch.java:273
+MAX_RETRIES = 3  # SparkParquetStreamingToElasticsearch.java:177
+RETRY_DELAY_S = 0.5  # :178
+
+
+def with_doc_id(df: DataFrame) -> DataFrame:
+    """P9 — doc id ``station_id_s_no`` (ParquetToElasticsearch.java:193)."""
+    return df.withColumn("doc_id", F.concat_ws("_", F.col("station_id"), F.col("s_no")))
+
+
+def fs_bulk_upsert(index_dir: str) -> Callable[[list[dict]], None]:
+    """Filesystem-backed stand-in for an ES bulk endpoint: one JSON file
+    per doc id -> last write wins == idempotent upsert by id."""
+
+    def bulk(docs: list[dict]) -> None:
+        os.makedirs(index_dir, exist_ok=True)
+        for doc in docs:
+            path = os.path.join(index_dir, f"{doc['doc_id']}.json")
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(doc, f, sort_keys=True, default=str)
+            os.replace(tmp, path)
+
+    return bulk
+
+
+def index_partition(
+    rows: Iterator[Row],
+    bulk_fn: Callable[[list[dict]], None],
+    bulk_size: int = BULK_SIZE,
+) -> None:
+    """Executor-side bulk loop: batch, retry with backoff, log-and-continue
+    (T10 — same policy as SparkParquetStreamingToElasticsearch.java:172-208)."""
+    buf: list[dict] = []
+
+    def flush() -> None:
+        if not buf:
+            return
+        for attempt in range(MAX_RETRIES):
+            try:
+                bulk_fn(buf)
+                break
+            except Exception:
+                if attempt == MAX_RETRIES - 1:
+                    print(f"index_sink: dropping {len(buf)} docs after {MAX_RETRIES} attempts")
+                else:
+                    time.sleep(RETRY_DELAY_S)
+        buf.clear()
+
+    for row in rows:
+        buf.append(row.asDict(recursive=True))
+        if len(buf) >= bulk_size:
+            flush()
+    flush()
+
+
+def index_batch(
+    batch_df: DataFrame,
+    bulk_fn: Callable[[list[dict]], None],
+    bulk_size: int = BULK_SIZE,
+) -> None:
+    """One micro-batch: dedup by doc id (Q7 — exactly-once effect on an
+    at-least-once channel), then partition-parallel bulk writes."""
+    deduped = with_doc_id(batch_df).dropDuplicates(["doc_id"])
+    deduped.foreachPartition(lambda rows: index_partition(rows, bulk_fn, bulk_size))
+
+
+def attach_index_sink(
+    canonical_stream: DataFrame,
+    bulk_fn: Callable[[list[dict]], None],
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    bulk_size: int = BULK_SIZE,
+) -> StreamingQuery:
+    """S8 — streaming variant: foreachBatch(index_batch) with checkpoint."""
+    trig = trigger or {"processingTime": "10 seconds"}
+    return (
+        canonical_stream.writeStream.foreachBatch(
+            lambda df, _id: index_batch(df, bulk_fn, bulk_size)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(**trig)
+        .start()
+    )
