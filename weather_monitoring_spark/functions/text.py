@@ -1,0 +1,96 @@
+"""Deterministic text primitives shared by the dedup / text-analysis
+operators AND their DuckDB oracles.
+
+Both engines compute the identical definition:
+
+- tokens: ``lower(text)`` split on ``[^a-z0-9]+``, empties dropped;
+- shingles: word 3-grams joined by single spaces;
+- h32: the first 8 hex chars of ``md5(seed ':' s)`` as a bigint — md5 is
+  byte-identical across engines, giving a portable deterministic 32-bit
+  hash family (seeded by prefix) with no RNG and no engine-specific
+  hash function. This is what makes MinHash/SimHash oracle-checkable.
+
+Spark-side expressions are built as SQL strings (F.expr) and the oracle
+fragments are generated from the same constants, so the two sides cannot
+drift apart silently. Note the indexing difference: Spark arrays are
+0-based, DuckDB lists are 1-based — each fragment accounts for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+SHINGLE_N = 3
+
+# ---------------- Spark side (0-based arrays) ----------------------------
+
+
+def tokens_expr(col: str) -> Column:
+    return F.expr(f"filter(split(lower({col}), '{TOKEN_SPLIT_RE}'), t -> t != '')")
+
+
+def shingles_expr(tokens_col: str) -> Column:
+    """Distinct word 3-grams (sets, for Jaccard/MinHash)."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({tokens_col}) - 2, 0)),"
+        f" i -> concat_ws(' ', {tokens_col}[i-1], {tokens_col}[i], {tokens_col}[i+1])))"
+    )
+
+
+def h32_sql(seed: str, s: str) -> str:
+    """Spark SQL fragment: deterministic 32-bit hash of expression ``s``."""
+    return f"CAST(conv(substring(md5(concat('{seed}', ':', {s})), 1, 8), 16, 10) AS BIGINT)"
+
+
+#: Universal-hash family for MinHash: h_k(x) = (A_k * x + B_k) mod P over
+#: the md5-derived 32-bit base hash. One md5 per shingle total (the
+#: expensive string hash), K cheap integer remixes — ~K x faster than
+#: hashing K times, and still exact integer arithmetic in both engines
+#: (products < 2^63). Constants are fixed odd multipliers (Knuth-style).
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime)
+
+
+def minhash_params(k: int) -> tuple[int, int]:
+    a = (2_654_435_761 * (k + 1)) % MINHASH_P
+    b = (40_503 * (k + 7) + 1) % MINHASH_P
+    return (a or 1), b
+
+
+def shingle_hashes_sql(shingles_col: str) -> str:
+    """Spark SQL: one 32-bit md5-derived hash per shingle (computed once)."""
+    return f"transform({shingles_col}, s -> {h32_sql('mh', 's')})"
+
+
+def minhash_sql(hashes_col: str, k: int) -> str:
+    """Spark SQL: k-th MinHash as an affine remix of the base hashes."""
+    a, b = minhash_params(k)
+    return f"array_min(transform({hashes_col}, h -> (h * {a} + {b}) % {MINHASH_P}))"
+
+
+# ---------------- DuckDB oracle side (1-based lists) ----------------------
+
+
+def o_tokens(col: str) -> str:
+    return f"list_filter(regexp_split_to_array(lower({col}), '{TOKEN_SPLIT_RE}'), t -> t <> '')"
+
+
+def o_shingles(tokens_col: str) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({tokens_col}) - 2, 0) + 1),"
+        f" i -> {tokens_col}[i] || ' ' || {tokens_col}[i+1] || ' ' || {tokens_col}[i+2]))"
+    )
+
+
+def o_h32(seed: str, s: str) -> str:
+    return f"CAST(('0x' || substr(md5('{seed}' || ':' || {s}), 1, 8)) AS BIGINT)"
+
+
+def o_shingle_hashes(shingles_col: str) -> str:
+    return f"list_transform({shingles_col}, s -> {o_h32('mh', 's')})"
+
+
+def o_minhash(hashes_col: str, k: int) -> str:
+    a, b = minhash_params(k)
+    return f"list_min(list_transform({hashes_col}, h -> (h * {a} + {b}) % {MINHASH_P}))"

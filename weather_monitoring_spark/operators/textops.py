@@ -1,0 +1,128 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting.
+
+All pure column algebra over the shared deterministic tokenization
+(functions/text.py) — each operator is one projection (no shuffle at all),
+so at 100 TB these run at parquet-scan speed and stack into a single
+whole-stage-codegen pass when composed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from weather_monitoring_spark.functions.text import h32_sql, tokens_expr
+
+#: Tiny per-language stopword lexicons for the n-gram-free heuristic
+#: language identifier. Order = deterministic tie-break priority.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a"),
+    "es": ("el", "la", "de", "que", "y", "los", "es"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr": ("le", "les", "des", "et", "une", "est", "que"),
+}
+
+#: Simplified byte-pair-ish token pattern: letter runs, digit runs, or
+#: single non-space symbols — a deterministic proxy for BPE token counts.
+#: (Single-backslash form — what the regex engine must see. Spark SQL
+#: string literals consume one level of backslash escaping, DuckDB's do
+#: not, so Spark-side embeddings double the backslashes first.)
+BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+BPE_TOKEN_RE_SPARK_SQL = BPE_TOKEN_RE.replace("\\", "\\\\")
+
+#: CJK detection (zh heuristic): any Han-block codepoint.
+HAN_RE_SPARK_SQL = "[\\\\x{4e00}-\\\\x{9fff}]"
+
+
+def _lex_hits(tokens_col: str, lang: str) -> str:
+    lex = ", ".join(f"'{w}'" for w in LANG_LEXICONS[lang])
+    return f"size(filter({tokens_col}, t -> t IN ({lex})))"
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: Han characters -> zh, else the language with
+    the most stopword hits (priority order breaks ties), 'und' if none.
+
+    (id, pred_lang, plus the per-language hit counts for debuggability.)"""
+    df = docs.withColumn("_tk", tokens_expr(text_col))
+    hit_cols = {
+        lang: F.expr(_lex_hits("_tk", lang)).cast("bigint").alias(f"hits_{lang}")
+        for lang in LANG_LEXICONS
+    }
+    df = df.select(F.col(id_col), F.col(text_col).alias("_text"), *hit_cols.values())
+    cond = F.when(F.expr(f"_text RLIKE '{HAN_RE_SPARK_SQL}'"), F.lit("zh"))
+    langs = list(LANG_LEXICONS)
+    zero_all = None
+    for lang in langs:
+        c = F.col(f"hits_{lang}") == 0
+        zero_all = c if zero_all is None else (zero_all & c)
+    cond = cond.when(zero_all, F.lit("und"))
+    for i, lang in enumerate(langs):
+        geq = None
+        for other in langs[i + 1 :]:
+            c = F.col(f"hits_{lang}") >= F.col(f"hits_{other}")
+            geq = c if geq is None else (geq & c)
+        cond = cond.when(geq if geq is not None else F.lit(True), F.lit(lang))
+    return df.select(
+        F.col(id_col),
+        cond.alias("pred_lang"),
+        *[F.col(f"hits_{lang}") for lang in langs],
+    )
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: lengths, token counts, char-class ratios,
+    stopword ratio. One projection, no shuffle."""
+    df = docs.withColumn("_tk", tokens_expr(text_col))
+    n_chars = F.length(text_col).cast("bigint")
+    n_tokens = F.size("_tk").cast("bigint")
+    alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", "")).cast("bigint")
+    digits = F.length(F.regexp_replace(F.col(text_col), "[^0-9]", "")).cast("bigint")
+    spaces = F.length(F.regexp_replace(F.col(text_col), "[^ ]", "")).cast("bigint")
+    en_hits = F.expr(_lex_hits("_tk", "en")).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        alpha.alias("n_alpha"),
+        digits.alias("n_digit"),
+        (n_chars - alpha - digits - spaces).alias("n_symbol"),
+        (alpha * F.lit(1.0) / n_chars).alias("alpha_ratio"),
+        (F.length(F.array_join(F.col("_tk"), "")) * F.lit(1.0) / n_tokens).alias(
+            "avg_token_len"
+        ),
+        (en_hits * F.lit(1.0) / n_tokens).alias("stopword_ratio"),
+    )
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword count (the budget metric
+    for LLM training pipelines)."""
+    return docs.select(
+        F.col(id_col),
+        F.size(F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t != '')"))
+        .cast("bigint")
+        .alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{BPE_TOKEN_RE_SPARK_SQL}', 0)"))
+        .cast("bigint")
+        .alias("bpe_tokens"),
+    )
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 of raw text (exact identity), md5 of the
+    normalized token stream (whitespace/punct-insensitive identity), and a
+    31-polynomial rolling hash of the token hash stream (order-sensitive,
+    cheap to update incrementally)."""
+    df = docs.withColumn("_tk", tokens_expr(text_col))
+    rolling = F.expr(
+        f"aggregate({'_tk'}, CAST(0 AS BIGINT),"
+        f" (acc, t) -> pmod(acc * 31 + {h32_sql('fp', 't')}, 2147483647))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("fp_exact"),
+        F.md5(F.array_join(F.col("_tk"), " ")).alias("fp_normalized"),
+        rolling.alias("fp_rolling"),
+    )

@@ -1,0 +1,367 @@
+"""Training-data-pipeline queries over ``documents`` / ``embeddings``:
+dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity search,
+text analysis. The scale-path rationale lives with the operators
+(operators/dedup.py, operators/similarity.py, operators/textops.py); this
+module binds them into the oracle-checked registry.
+
+The DuckDB oracle SQL for the hash-based operators is *generated from the
+same constants* as the Spark expressions (functions/text.py) — md5 is the
+shared deterministic hash family, so even MinHash/SimHash signatures are
+bit-identical across engines and fully oracle-checkable (rare for LSH
+implementations, and exactly what makes this surface trustworthy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_monitoring_spark.functions.text import (
+    o_h32,
+    o_minhash,
+    o_shingle_hashes,
+    o_shingles,
+    o_tokens,
+)
+from weather_monitoring_spark.operators.dedup import (
+    HAMMING_THRESHOLD,
+    JACCARD_THRESHOLD,
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_K,
+    SIMHASH_BITS,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+    simhash_signatures,
+)
+from weather_monitoring_spark.operators.similarity import (
+    ANN_TOP_K,
+    COSINE_NEARDUP_THRESHOLD,
+    ann_lsh_topk,
+    cosine_neardup_pairs,
+    cosine_topk,
+)
+from weather_monitoring_spark.operators.textops import (
+    BPE_TOKEN_RE,
+    LANG_LEXICONS,
+    lang_id,
+    text_stats,
+    token_counts,
+)
+from weather_monitoring_spark.plans.registry import query
+from weather_monitoring_spark.sources.tables import load_table
+
+QUERY_VEC_IDS = [0, 1, 2, 3, 4]
+
+# Shared oracle CTE: tokens + shingles per document.
+O_DOC_TOKENS = f"SELECT doc_id, {o_tokens('text')} AS tk FROM documents"
+O_DOC_SHINGLES = f"SELECT doc_id, {o_shingles('tk')} AS sh FROM ({O_DOC_TOKENS})"
+
+
+@query(
+    "q25_exact_dedup",
+    "Exact dedup by content hash over a doubled corpus: one keeper id per "
+    "distinct text. The shuffle moves (16-byte digest, id) pairs, never "
+    "documents — the 100 TB-safe formulation.",
+    oracle="""
+        SELECT md5(text) AS fp, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+        FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        GROUP BY 1
+    """,
+    tags=("llm", "dedup"),
+)
+def q25_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs.unionByName(docs))
+
+
+@query(
+    "q26_text_stats",
+    "Quality-scoring features per document: char/token counts, char-class "
+    "ratios, stopword ratio. Pure projection — no shuffle, runs at scan "
+    "speed.",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+               CAST(length(text) AS BIGINT)
+                 - CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+                 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+                 - CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_symbol,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) AS alpha_ratio,
+               length(array_to_string(tk, '')) * 1.0 / len(tk) AS avg_token_len,
+               len(list_filter(tk, t -> list_contains({list(LANG_LEXICONS['en'])}, t))) * 1.0
+                 / len(tk) AS stopword_ratio
+        FROM (SELECT doc_id, text, tk FROM (SELECT *, {o_tokens('text')} AS tk FROM documents))
+    """,
+    tags=("llm", "text"),
+)
+def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _o_lang_case() -> str:
+    langs = list(LANG_LEXICONS)
+    hits = {
+        lang: f"len(list_filter(tk, t -> list_contains({list(LANG_LEXICONS[lang])}, t)))"
+        for lang in langs
+    }
+    zero = " AND ".join(f"{hits[lang]} = 0" for lang in langs)
+    case = [f"WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'"]
+    case.append(f"WHEN {zero} THEN 'und'")
+    for i, lang in enumerate(langs):
+        conds = [f"{hits[lang]} >= {hits[o]}" for o in langs[i + 1 :]]
+        case.append(
+            f"WHEN {' AND '.join(conds)} THEN '{lang}'" if conds else f"ELSE '{lang}'"
+        )
+    return "CASE " + " ".join(case) + " END"
+
+
+@query(
+    "q27_lang_id",
+    "Heuristic language ID (Han-block detection + stopword-lexicon voting "
+    "with deterministic tie-break). Projection only; the lexicons are "
+    "compile-time constants shared with the oracle.",
+    oracle=f"""
+        SELECT doc_id,
+               {_o_lang_case()} AS pred_lang,
+               {", ".join(
+                   f"CAST(len(list_filter(tk, t -> list_contains({list(LANG_LEXICONS[lang])}, t))) AS BIGINT) AS hits_{lang}"
+                   for lang in LANG_LEXICONS
+               )}
+        FROM (SELECT doc_id, text, {o_tokens('text')} AS tk FROM documents)
+    """,
+    tags=("llm", "text"),
+)
+def q27_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q28_token_counts",
+    "Token budgeting: whitespace tokens + BPE-ish subword tokens per "
+    "document (regex token model shared with the oracle).",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}', 0)) AS BIGINT) AS bpe_tokens
+        FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def q28_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q29_fingerprints",
+    "Document fingerprints: exact md5, normalized-token md5, and an "
+    "order-sensitive 31-polynomial rolling hash over the md5-derived "
+    "token hash stream.",
+    oracle=f"""
+        SELECT doc_id,
+               md5(text) AS fp_exact,
+               md5(array_to_string(tk, ' ')) AS fp_normalized,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(tk, t -> {o_h32('fp', 't')})),
+                   (acc, h) -> (acc * 31 + h) % 2147483647) AS fp_rolling
+        FROM (SELECT doc_id, text, {o_tokens('text')} AS tk FROM documents)
+    """,
+    tags=("llm", "text", "fingerprint"),
+)
+def q29_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_monitoring_spark.operators.textops import fingerprints
+
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+O_DOC_SHINGLE_HASHES = (
+    f"SELECT doc_id, {o_shingle_hashes('sh')} AS hh FROM ({O_DOC_SHINGLES})"
+)
+
+
+def _o_minhash_sig() -> str:
+    mh = ", ".join(f"{o_minhash('hh', i)} AS mh_{i}" for i in range(MINHASH_K))
+    sig = "concat_ws('-', " + ", ".join(
+        f"CAST(mh_{i} AS VARCHAR)" for i in range(MINHASH_K)
+    ) + ")"
+    bands = ", ".join(
+        "md5(concat_ws('-', "
+        + ", ".join(f"CAST(mh_{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS))
+        + f")) AS band_{b}"
+        for b in range(LSH_BANDS)
+    )
+    return f"SELECT doc_id, {sig} AS sig, {bands} FROM (SELECT doc_id, {mh} FROM ({O_DOC_SHINGLE_HASHES}))"
+
+
+@query(
+    "q30_minhash_signatures",
+    f"MinHash signatures (K={MINHASH_K}, md5-derived hash family) + "
+    f"{LSH_BANDS} LSH band hashes per document. Bit-identical across "
+    "engines — the signature itself is oracle-checked.",
+    oracle=f"SELECT doc_id, sig FROM ({_o_minhash_sig()})",
+    tags=("llm", "dedup", "minhash"),
+)
+def q30_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "sig"
+    )
+
+
+@query(
+    "q31_minhash_lsh_pairs",
+    f"MinHash-LSH candidate pairs: documents sharing >=1 of {LSH_BANDS} "
+    f"band buckets (r={LSH_ROWS}). Catches Jaccard>=0.9 pairs with "
+    "p>0.999; the join shuffles only (band_hash, id) pairs.",
+    oracle=f"""
+        WITH sigs AS ({_o_minhash_sig()}),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band_{b} AS bh FROM sigs" for b in range(LSH_BANDS))}
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """,
+    tags=("llm", "dedup", "minhash", "join"),
+)
+def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q32_ngram_jaccard_pairs",
+    f"Exact 3-gram Jaccard near-dup pairs (>= {JACCARD_THRESHOLD}) via the "
+    "inverted-index join — cost scales with shingle co-occurrence, not "
+    "n^2 documents.",
+    oracle=f"""
+        WITH sh AS (SELECT doc_id AS id, unnest(sh) AS s FROM ({O_DOC_SHINGLES})),
+        sz AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+        shared AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+            FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, shared,
+               shared * 1.0 / (x.n + y.n - shared) AS jaccard
+        FROM shared JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
+        WHERE shared * 1.0 / (x.n + y.n - shared) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("llm", "dedup", "join"),
+)
+def q32_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _o_simhash() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"CASE WHEN v_{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+        SELECT doc_id, {sim} AS simhash FROM (
+            SELECT doc_id, {votes} FROM (
+                SELECT doc_id, {o_h32('sh', 't')} AS h
+                FROM (SELECT doc_id, unnest(tk) AS t FROM ({O_DOC_TOKENS}))
+            ) GROUP BY doc_id
+        )
+    """
+
+
+@query(
+    "q33_simhash_signatures",
+    f"{SIMHASH_BITS}-bit SimHash per document (term-frequency-weighted "
+    "bit votes over the md5 hash family). One explode + one aggregation "
+    "with map-side partials; signature oracle-checked bit-for-bit.",
+    oracle=f"SELECT doc_id, simhash FROM ({_o_simhash()})",
+    tags=("llm", "dedup", "simhash"),
+)
+def q33_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q34_simhash_neardup_pairs",
+    f"SimHash near-dup pairs (Hamming <= {HAMMING_THRESHOLD}). All-pairs "
+    "at oracle scale; prefix-blocked (pigeonhole) at 100 TB.",
+    oracle=f"""
+        WITH s AS ({_o_simhash()})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
+    """,
+    tags=("llm", "dedup", "simhash", "join"),
+)
+def q34_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_neardup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _o_cosine(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+        f" / (sqrt(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
+        f" * sqrt(list_sum(list_transform(range(1, len({b}) + 1), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))"
+    )
+
+
+@query(
+    "q35_cosine_topk",
+    f"Brute-force cosine top-{ANN_TOP_K} for {len(QUERY_VEC_IDS)} query "
+    "vectors: broadcast queries, one corpus scan, per-query window top-k. "
+    "The double fold is sequential in both engines -> bit-identical "
+    "cosines, no rounding needed.",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+                   WHERE vec_id IN ({", ".join(map(str, QUERY_VEC_IDS))})),
+        scored AS (
+            SELECT qid, vec_id, {_o_cosine('embedding', 'qvec')} AS cosine
+            FROM embeddings, q WHERE vec_id <> qid
+        )
+        SELECT qid, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= {ANN_TOP_K}
+    """,
+    tags=("llm", "similarity", "topk"),
+)
+def q35_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS)
+
+
+@query(
+    "q36_cosine_neardup_pairs",
+    f"Embedding near-dup pairs (cosine >= {COSINE_NEARDUP_THRESHOLD}), "
+    "exact all-pairs at oracle scale; ann_lsh buckets + exact re-score "
+    "replace the cross join at 100 TB.",
+    oracle=f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_o_cosine('a.embedding', 'b.embedding')} AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_o_cosine('a.embedding', 'b.embedding')} >= {COSINE_NEARDUP_THRESHOLD}
+    """,
+    tags=("llm", "similarity", "join"),
+)
+def q36_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "q37_ann_lsh_topk",
+    "Approximate top-k via 16 deterministic random-hyperplane LSH buckets "
+    "+ exact cosine within bucket — the physically-partitionable ANN path "
+    "for 100 TB. Rows-only check (recall is probabilistic by design; "
+    "asserted >= threshold in tests instead of a SQL oracle).",
+    oracle=None,
+    tags=("llm", "similarity", "approx"),
+)
+def q37_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_lsh_topk(load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS)

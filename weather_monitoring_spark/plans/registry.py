@@ -52,10 +52,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from weather_monitoring_spark.plans import (  # noqa: F401
         analytics_queries,
         core_queries,
+        llm_queries,
     )
 
-    try:
-        from weather_monitoring_spark.plans import llm_queries  # noqa: F401
-    except ImportError:
-        pass
     return REGISTRY
