@@ -1,0 +1,326 @@
+"""Extended declared surface: event-time windows, sessionization, pivot,
+semi/anti joins, skew-safe aggregation, conditional aggregation, the raw
+SQL API, and the scalar string/date function library — rounding out the
+"absent but declared" operators of SURVEY.md §2.3-§2.5 with oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weather_monitoring_spark.functions.exact import o_davg
+from weather_monitoring_spark.plans.registry import query
+from weather_monitoring_spark.sources.tables import load_table, register_views
+
+SESSION_GAP_MIN = 30
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "q38_tumbling_window",
+    "Tumbling 6-hour event-time windows per event_type — the batch shape "
+    "of the streaming rollup (streaming/windows.py). Spark `window()` and "
+    "DuckDB `time_bucket` agree because both align buckets to midnight "
+    "for divisor-of-day widths.",
+    oracle=f"""
+        SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+               event_type,
+               count(*) AS cnt,
+               {o_davg('value')} AS avg_value
+        FROM events GROUP BY 1, 2
+    """,
+    tags=("extended", "window", "time"),
+)
+def q38_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_monitoring_spark.functions.exact import davg
+
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), davg(F.col("value")).alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "avg_value")
+    )
+
+
+@query(
+    "q39_sliding_window",
+    "Sliding windows (12h width, 6h slide): each row lands in exactly two "
+    "windows. The oracle expands the two bucket starts explicitly — same "
+    "epoch-aligned semantics as Spark's window(width, slide).",
+    oracle="""
+        SELECT window_start, count(*) AS cnt
+        FROM (
+            SELECT unnest([time_bucket(INTERVAL '6 hours', ts),
+                           time_bucket(INTERVAL '6 hours', ts) - INTERVAL '6 hours']) AS window_start
+            FROM events
+        )
+        GROUP BY 1
+    """,
+    tags=("extended", "window", "time"),
+)
+def q39_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "12 hours", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cnt")
+    )
+
+
+@query(
+    "q40_sessionization",
+    f"Gap-based sessionization ({SESSION_GAP_MIN} min): session boundary "
+    "where the per-user gap exceeds the threshold, session id by running "
+    "sum of boundaries, then per-session rollup. One shuffle on the key; "
+    "the streaming-native variant is streaming/windows.session_rollup.",
+    oracle=f"""
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts - lag(ts) OVER w > INTERVAL '{SESSION_GAP_MIN} minutes'
+                         OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts, event_id,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked
+        )
+        SELECT user_id, session_id, min(ts) AS session_start,
+               max(ts) AS session_end, count(*) AS n_events
+        FROM sessions GROUP BY 1, 2
+    """,
+    tags=("extended", "window", "session"),
+)
+def q40_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+            > SESSION_GAP_MIN * 60,
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "q41_pivot",
+    "Pivoted per-user event counts (explicit pivot values keep the plan "
+    "one-pass; the oracle is the equivalent conditional aggregation).",
+    oracle=f"""
+        SELECT user_id,
+               {", ".join(f"count(*) FILTER (event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+        FROM events GROUP BY user_id
+    """,
+    tags=("extended", "pivot"),
+)
+def q41_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+@query(
+    "q42_semi_anti_join",
+    "EXISTS / NOT EXISTS as left-semi + left-anti joins: customers with "
+    "at least one open order and no finished order. Semi/anti joins ship "
+    "only the key column of the probe side.",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    tags=("extended", "join", "semi"),
+)
+def q42_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    open_keys = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        customer.join(open_keys, customer.c_custkey == open_keys.o_custkey, "left_semi")
+        .join(fin_keys, customer.c_custkey == fin_keys.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "q43_salted_aggregate",
+    "Skew-safe two-stage aggregation: salt the hot key space (8 shards), "
+    "partially aggregate per (key, salt), then combine per key. Result is "
+    "identical to the direct groupBy (the oracle), but the first shuffle "
+    "spreads a hot key over 8 reducers — the manual fallback when AQE "
+    "skew handling can't apply (e.g. high-cardinality aggs).",
+    oracle="""
+        SELECT event_type, count(*) AS cnt, CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+    tags=("extended", "aggregate", "skew"),
+)
+def q43_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stage1 = (
+        ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(8)))
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_sum"),
+        )
+    )
+    return stage1.groupBy("event_type").agg(
+        F.sum("_cnt").alias("cnt"),
+        F.sum("_sum").cast("string").cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "q44_conditional_aggregate",
+    "Conditional aggregation: per-nation order stats with CASE-filtered "
+    "counts and sums (the idiom behind every dashboard metric).",
+    oracle="""
+        SELECT n_name,
+               count(*) AS n_orders,
+               sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+               max(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS max_open_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    tags=("extended", "aggregate"),
+)
+def q44_conditional_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias(
+                "n_urgent"
+            ),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+                "n_finished"
+            ),
+            F.max(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))).alias(
+                "max_open_price"
+            ),
+        )
+    )
+
+
+@query(
+    "q45_sql_surface",
+    "The raw SQL API over registered views (same Catalyst plan as the "
+    "DataFrame form): revenue of urgent orders per region via spark.sql.",
+    oracle="""
+        SELECT r_name,
+               count(*) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
+        FROM orders, customer, nation, region
+        WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey AND o_orderpriority = '1-URGENT'
+        GROUP BY r_name
+    """,
+    tags=("extended", "sql"),
+)
+def q45_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name,
+               count(*) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS revenue
+        FROM orders, customer, nation, region
+        WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey AND o_orderpriority = '1-URGENT'
+        GROUP BY r_name
+        """
+    )
+
+
+@query(
+    "q46_string_functions",
+    "Scalar string-function surface: case, substring, replace, padding, "
+    "trim, concat, length, position — projection-only.",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_name) AS name_uc,
+               lower(p_brand) AS brand_lc,
+               substr(p_name, 1, 10) AS name_prefix,
+               replace(p_type, ' ', '_') AS type_snake,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+               trim(concat('  ', p_brand, '  ')) AS brand_trim,
+               CAST(length(p_name) AS BIGINT) AS name_len,
+               CAST(strpos(p_type, 'BRUSHED') AS INTEGER) AS brushed_pos
+        FROM part
+    """,
+    tags=("extended", "scalar"),
+)
+def q46_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("name_uc"),
+        F.lower("p_brand").alias("brand_lc"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("brand_trim"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.instr(F.col("p_type"), "BRUSHED").alias("brushed_pos"),
+    )
+
+
+@query(
+    "q47_date_functions",
+    "Scalar date/time surface: truncation, extraction, arithmetic, "
+    "boundaries — pinned to UTC (session.py) so both engines agree.",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+               CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+               CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month_num,
+               CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS order_day,
+               CAST(o_orderdate AS DATE) + INTERVAL '30 days' AS due_ts,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end
+        FROM orders
+    """,
+    tags=("extended", "scalar", "time"),
+)
+def q47_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month_num"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        (F.to_date("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .cast("timestamp")
+        .alias("due_ts"),
+        F.last_day("o_orderdate").alias("month_end"),
+    )

@@ -52,6 +52,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from weather_monitoring_spark.plans import (  # noqa: F401
         analytics_queries,
         core_queries,
+        extended_queries,
         llm_queries,
     )
 
