@@ -1,0 +1,144 @@
+"""End-to-end coverage of the remaining SURVEY §2 inventory: the
+archive->index streaming path (S4->S8), the Open-Meteo parser (S9/P13),
+CSV export (S12), and the custom stateful live gap detector (T5)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from weather_monitoring_spark.sources.filestream import read_parquet_stream
+from weather_monitoring_spark.sources.generator import synthetic_wire_json_batch
+from weather_monitoring_spark.sources.openmeteo import parse_current_weather, wire_message
+from weather_monitoring_spark.streaming.archive import run_archive_stream, wire_to_canonical
+from weather_monitoring_spark.streaming.index_sink import attach_index_sink, fs_bulk_upsert
+from weather_monitoring_spark.streaming.latest_view import LatestView
+from weather_monitoring_spark.streaming.stateful import live_gap_detector
+
+
+def test_archive_to_index_streaming_path(spark, tmp_path):
+    """The reference's §3.3 analytics path: wire -> parquet archive, then
+    the archive directory consumed as a *streaming parquet source* feeding
+    the executor-side index sink — two chained checkpointed streams."""
+    src = tmp_path / "wire"
+    src.mkdir()
+    rows = [r.value for r in synthetic_wire_json_batch(spark, 400, seed=11).collect()]
+    (src / "a.json").write_text("\n".join(rows))
+
+    archive = str(tmp_path / "archive")
+    for q in run_archive_stream(
+        spark.readStream.text(str(src)), archive, str(tmp_path / "ck1"),
+        trigger={"availableNow": True},
+    ):
+        q.awaitTermination(120)
+    archived = spark.read.parquet(archive)
+    n = archived.count()
+
+    stream = read_parquet_stream(spark, archive, archived.schema)
+    index_dir = str(tmp_path / "index")
+    q = attach_index_sink(
+        stream.drop("date", "hour"),
+        fs_bulk_upsert(index_dir),
+        str(tmp_path / "ck2"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    docs = [f for f in os.listdir(index_dir) if f.endswith(".json")]
+    assert len(docs) == n
+    doc = json.load(open(os.path.join(index_dir, docs[0])))
+    # P9 doc id + P11 ISO rendering present
+    assert doc["doc_id"] == f"{doc['station_id']}_{doc['s_no']}"
+    assert doc["status_timestamp_iso"].endswith("Z") and "T" in doc["status_timestamp_iso"]
+
+    # restart the index stream with no new files -> no growth (checkpoint)
+    q = attach_index_sink(
+        read_parquet_stream(spark, archive, archived.schema).drop("date", "hour"),
+        fs_bulk_upsert(index_dir),
+        str(tmp_path / "ck2"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    assert len([f for f in os.listdir(index_dir) if f.endswith(".json")]) == n
+
+
+def test_openmeteo_parser_and_wire_shape(spark):
+    canned = {
+        "current": {
+            "relative_humidity_2m": 64.4,
+            "temperature_2m": 30.6,
+            "wind_speed_10m": 12.5,
+        }
+    }
+    w = parse_current_weather(canned)
+    assert w == {"humidity": 64, "temperature": 31, "wind_speed": 13}  # P13 rounding
+    msg = json.loads(wire_message(w, s_no=5))
+    assert msg["stationId"] == 11 and msg["sequenceNumber"] == 5
+    assert msg["statusTimestamp"] % 1000 == 0  # P12 epoch-second precision
+    # the adapter's output parses through the same ingest path
+    df = spark.createDataFrame([(json.dumps(msg),)], ["value"])
+    canonical, rejects = wire_to_canonical(df)
+    assert canonical.count() == 1 and rejects.count() == 0
+    row = canonical.first()
+    assert row.weather.humidity == 64 and row.station_id == 11
+
+
+def test_latest_view_csv_export(spark, tmp_path):
+    view = LatestView(spark, str(tmp_path / "view"))
+    canonical, _ = wire_to_canonical(synthetic_wire_json_batch(spark, 200, seed=13))
+    view.merge_batch(canonical)
+    out = str(tmp_path / "csv")
+    view.export_csv(out)
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == view.get_all().count()
+    assert "weather_humidity" in back.columns  # struct flattened for CSV
+
+
+def test_live_gap_detector_stateful_across_batches(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def msg(station, s_no):
+        return json.dumps(
+            {
+                "stationId": station,
+                "sequenceNumber": s_no,
+                "batteryStatus": "low",
+                "statusTimestamp": 1700000000000 + s_no * 1000,
+                "weather": {"humidity": 50, "temperature": 70, "wind_speed": 5},
+            }
+        )
+
+    def run():
+        stream = spark.readStream.text(str(src))
+        canonical, _ = wire_to_canonical(stream)
+        q = (
+            live_gap_detector(canonical)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "gaps"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: station 1 sequence 1,2,3,6 (gap of 2); station 2 clean
+    (src / "b1.json").write_text("\n".join(
+        [msg(1, 1), msg(1, 2), msg(1, 3), msg(1, 6), msg(2, 1), msg(2, 2)]
+    ))
+    run()
+    gaps = spark.read.parquet(str(tmp_path / "gaps"))
+    assert gaps.count() == 1
+    g = gaps.first()
+    assert (g.station_id, g.prev_s_no, g.s_no, g.missing) == (1, 3, 6, 2)
+
+    # batch 2: station 2 jumps 2 -> 5: the gap spans the batch boundary,
+    # so detecting it proves state survived the restart via checkpoint.
+    (src / "b2.json").write_text(msg(2, 5))
+    run()
+    gaps = spark.read.parquet(str(tmp_path / "gaps"))
+    assert gaps.count() == 2
+    g2 = gaps.filter(F.col("station_id") == 2).first()
+    assert (g2.prev_s_no, g2.s_no, g2.missing) == (2, 5, 2)

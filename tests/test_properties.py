@@ -1,0 +1,107 @@
+"""Property-based tests (SURVEY §5.2 item 5, via hypothesis):
+
+- latest_per_key == max-by-sequence under ARBITRARY arrival permutations
+  (formalizing the §1.4 determinism tightening of BitCask's
+  arrival-order last-write-wins);
+- archive write->read roundtrip preserves every row exactly once;
+- MinHash signature similarity approximates exact Jaccard.
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from weather_monitoring_spark.operators.core import latest_per_key
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from weather_monitoring_spark.session import get_spark
+
+        _spark = get_spark(app_name="wms-prop", master="local[4]", shuffle_partitions=4)
+    return _spark
+
+
+records = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),   # station_id
+        st.integers(min_value=1, max_value=50),  # s_no
+        st.integers(min_value=0, max_value=100), # payload
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=records, seed=st.integers(min_value=0, max_value=2**16))
+def test_latest_per_key_is_permutation_invariant(rows, seed):
+    spark = _get_spark()
+    # dedup identities: keep one payload per (station, s_no) so the
+    # expected answer is well-defined
+    uniq = {}
+    for sid, s_no, payload in rows:
+        uniq.setdefault((sid, s_no), payload)
+    base = [(sid, s_no, p) for (sid, s_no), p in uniq.items()]
+    shuffled = base[:]
+    random.Random(seed).shuffle(shuffled)
+
+    df = spark.createDataFrame(shuffled, ["station_id", "s_no", "payload"])
+    got = {
+        (r.station_id, r.s_no, r.payload)
+        for r in latest_per_key(df, ["station_id"], "s_no").collect()
+    }
+    expected = {}
+    for sid, s_no, p in base:
+        if sid not in expected or s_no > expected[sid][0]:
+            expected[sid] = (s_no, p)
+    assert got == {(sid, s, p) for sid, (s, p) in expected.items()}
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=records)
+def test_archive_roundtrip_exactly_once(rows):
+    import tempfile
+
+    spark = _get_spark()
+    df = spark.createDataFrame(rows, ["station_id", "s_no", "payload"])
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(d)
+        back = spark.read.parquet(d)
+        assert back.count() == len(rows)
+        assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    base=st.lists(st.sampled_from("abcdefghij"), min_size=20, max_size=40),
+    n_edits=st.integers(min_value=0, max_value=3),
+)
+def test_minhash_similarity_tracks_jaccard(base, n_edits):
+    """Two documents differing by a few word edits should agree on most
+    minhashes; unrelated documents on almost none."""
+    spark = _get_spark()
+    words_a = [f"w{c}{i % 7}" for i, c in enumerate(base)]
+    words_b = words_a[:]
+    for i in range(n_edits):
+        words_b[(i * 5) % len(words_b)] = f"edit{i}"
+    docs = spark.createDataFrame(
+        [(0, " ".join(words_a)), (1, " ".join(words_b)), (2, " ".join(f"z{i}" for i in range(30)))],
+        ["doc_id", "text"],
+    )
+    from weather_monitoring_spark.operators.dedup import MINHASH_K, minhash_signatures
+
+    sigs = {r.doc_id: r.sig.split("-") for r in minhash_signatures(docs).collect()}
+    agree_ab = sum(x == y for x, y in zip(sigs[0], sigs[1])) / MINHASH_K
+    agree_ac = sum(x == y for x, y in zip(sigs[0], sigs[2])) / MINHASH_K
+    if n_edits == 0:
+        assert agree_ab == 1.0
+    assert agree_ac < 0.5
+    assert agree_ab >= agree_ac

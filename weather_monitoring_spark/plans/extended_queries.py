@@ -324,3 +324,32 @@ def q47_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("due_ts"),
         F.last_day("o_orderdate").alias("month_end"),
     )
+
+
+@query(
+    "q48_union_intersect",
+    "Remaining set operations (W5): UNION (distinct) of two customer "
+    "segments INTERSECTed with active buyers — completes the "
+    "union/intersect/except trio (except is q16).",
+    oracle="""
+        SELECT custkey FROM (
+            SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            UNION
+            SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 8000
+        )
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders
+    """,
+    tags=("extended", "setop"),
+)
+def q48_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    rich = customer.filter(F.col("c_acctbal") > 8000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    buyers = orders.select(F.col("o_custkey").alias("custkey"))
+    return building.union(rich).distinct().intersect(buyers)

@@ -32,8 +32,17 @@ RETRY_DELAY_S = 0.5  # :178
 
 
 def with_doc_id(df: DataFrame) -> DataFrame:
-    """P9 — doc id ``station_id_s_no`` (ParquetToElasticsearch.java:193)."""
-    return df.withColumn("doc_id", F.concat_ws("_", F.col("station_id"), F.col("s_no")))
+    """P9 — doc id ``station_id_s_no`` (ParquetToElasticsearch.java:193),
+    plus P11 — the ISO-8601 rendering of the event time that the reference
+    writes into every ES document (``Instant.ofEpochMilli(ts).toString()``,
+    ParquetToElasticsearch.java:229-235). Session TZ is pinned to UTC, so
+    the rendering is reproducible."""
+    return df.withColumn(
+        "doc_id", F.concat_ws("_", F.col("station_id"), F.col("s_no"))
+    ).withColumn(
+        "status_timestamp_iso",
+        F.date_format(F.col("status_timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+    )
 
 
 def fs_bulk_upsert(index_dir: str) -> Callable[[list[dict]], None]:

@@ -60,6 +60,25 @@ class LatestView:
             df = df.filter(F.col(col) == F.lit(val))
         return df
 
+    def export_csv(self, out_dir: str) -> None:
+        """S12 — the Weather-Client's CSV dump of the serving view
+        (``Weather-Client/bitcask_client.py:11-29`` writes key,value rows;
+        we export the full typed view with a header, nested struct
+        flattened since CSV has no struct type)."""
+        df = self.get_all()
+        cols = []
+        for f in df.schema.fields:
+            if f.dataType.typeName() == "struct":
+                cols.extend(
+                    F.col(f"{f.name}.{sub.name}").alias(f"{f.name}_{sub.name}")
+                    for sub in f.dataType.fields
+                )
+            else:
+                cols.append(F.col(f.name))
+        df.select(*cols).coalesce(1).write.mode("overwrite").option(
+            "header", "true"
+        ).csv(out_dir)
+
     # -- writes -----------------------------------------------------------
 
     def merge_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
