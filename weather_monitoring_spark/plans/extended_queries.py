@@ -353,3 +353,43 @@ def q48_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     buyers = orders.select(F.col("o_custkey").alias("custkey"))
     return building.union(rich).distinct().intersect(buyers)
+
+
+@query(
+    "q49_pandas_per_group",
+    "applyInPandas per-group operator (the grouped-map UDF surface): per "
+    "user, ordinal position and inter-event gap in microseconds. Outputs "
+    "are exact integers, so even the Python path is oracle-checked — the "
+    "pattern for custom per-entity logic that built-ins can't express. "
+    "Arrow moves each group as one columnar batch; one shuffle on the key.",
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(row_number() OVER w AS INTEGER) AS ordinal,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("extended", "pandas-udf"),
+)
+def q49_pandas_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def per_user(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        # int64 microseconds stay < 2^53 -> the diff is exact
+        us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ordinal": pd.Series(range(1, len(pdf) + 1), dtype="int32"),
+                "gap_us": us.diff().astype("Int64"),
+            }
+        )
+
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandas(per_user, "user_id long, event_id long, ordinal int, gap_us long")
+    )

@@ -41,6 +41,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond-aligned, so ``ns div 1000`` is lossless and matches what
     DuckDB presents for the same file.
     """
+    # Defensive: the caller's session may not come from session.get_spark
+    # (the driver harness builds its own). Timestamp-derived results
+    # (to_date/hour/window/date_trunc) must render at UTC to match the
+    # TZ-naive DuckDB oracle, so pin it at the loader boundary too.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         return spark.read.parquet(path)
