@@ -35,18 +35,29 @@ COSINE_NEARDUP_THRESHOLD = 0.4
 ANN_TOP_K = 10
 
 
-def dot_expr(a: str, b: str) -> Column:
+def dot_expr(a: str, b: str, dim: int | None = None) -> Column:
     """Sequential double-precision fold of the element products — the
     summation order is the list order in BOTH engines, so results are
-    bit-identical cross-engine (verified against DuckDB list_sum)."""
+    bit-identical cross-engine (verified against DuckDB list_sum).
+
+    ``dim`` expands the fold to an explicit left-associated sum chain —
+    numerically identical (same association order). Measured SLOWER here
+    (64-dim chains blow past JIT method limits and fall back to
+    interpreted eval: q36 15s -> 34s), so the default stays the lambda
+    fold; kept for narrow-vector cases where expansion does win."""
+    if dim is not None:
+        terms = " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(dim)
+        )
+        return F.expr(f"CAST(0.0 AS DOUBLE) + {terms}")
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
         f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
 
-def norm_expr(a: str) -> Column:
-    return F.sqrt(dot_expr(a, a))
+def norm_expr(a: str, dim: int | None = None) -> Column:
+    return F.sqrt(dot_expr(a, a, dim))
 
 
 def cosine_topk(
