@@ -365,3 +365,109 @@ def q36_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q37_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS)
+
+
+@query(
+    "q50_dedup_survivors",
+    "The composed dedup pipeline: MinHash-LSH candidates -> exact Jaccard "
+    "verification -> greedy survivor selection (a doc is dropped iff it "
+    "has a verified near-dup with a smaller id). This is the end-to-end "
+    "shape of corpus dedup at scale: cheap candidate generation bounds "
+    "the expensive verification to near-certain pairs.",
+    oracle=f"""
+        WITH sh AS (SELECT doc_id AS id, unnest(sh) AS s FROM ({O_DOC_SHINGLES})),
+        sz AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+        shared AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+            FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+            GROUP BY 1, 2
+        ),
+        dup_pairs AS (
+            SELECT id_a, id_b
+            FROM shared JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
+            WHERE shared * 1.0 / (x.n + y.n - shared) >= {JACCARD_THRESHOLD}
+        )
+        SELECT doc_id, doc_id NOT IN (SELECT id_b FROM dup_pairs) AS survives
+        FROM documents
+    """,
+    tags=("llm", "dedup", "pipeline"),
+)
+def q50_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # LSH candidates first (cheap), exact Jaccard only on candidates.
+    candidates = minhash_lsh_pairs(docs)
+    verified = ngram_jaccard_pairs(docs).join(
+        candidates, ["id_a", "id_b"], "left_semi"
+    )
+    dropped = verified.select(F.col("id_b").alias("doc_id")).distinct()
+    return docs.select("doc_id").join(
+        dropped.withColumn("_d", F.lit(True)), "doc_id", "left"
+    ).select("doc_id", F.coalesce(~F.col("_d"), F.lit(True)).alias("survives"))
+
+
+@query(
+    "q51_corpus_curation",
+    "End-to-end training-corpus curation: quality-gate each document "
+    "(length, alpha ratio, stopword floor), attach token budgets, report "
+    "the kept set — the canonical filter step of an LLM data pipeline.",
+    oracle=f"""
+        WITH feat AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) AS alpha_ratio,
+                   CAST(len(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}', 0)) AS BIGINT) AS bpe_tokens,
+                   len(list_filter({o_tokens('text')}, t -> list_contains({list(LANG_LEXICONS['en'])}, t))) * 1.0
+                     / greatest(len({o_tokens('text')}), 1) AS stopword_ratio
+            FROM documents
+        )
+        SELECT doc_id, n_chars, bpe_tokens,
+               n_chars >= 100 AND alpha_ratio >= 0.6 AND stopword_ratio >= 0.01 AS keep
+        FROM feat
+    """,
+    tags=("llm", "text", "pipeline"),
+)
+def q51_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_monitoring_spark.operators.textops import text_stats, token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text_stats(docs).select("doc_id", "n_chars", "alpha_ratio", "stopword_ratio")
+    tokens = token_counts(docs).select("doc_id", "bpe_tokens")
+    return (
+        stats.join(tokens, "doc_id")
+        .select(
+            "doc_id",
+            "n_chars",
+            "bpe_tokens",
+            (
+                (F.col("n_chars") >= 100)
+                & (F.col("alpha_ratio") >= 0.6)
+                & (F.col("stopword_ratio") >= 0.01)
+            ).alias("keep"),
+        )
+    )
+
+
+@query(
+    "q52_json_extraction",
+    "Semi-structured column handling: extract typed fields from the "
+    "events.props JSON string (get_json_object / ->> are both "
+    "pushdown-friendly projections; at scale you'd hoist hot JSON fields "
+    "into materialized columns exactly like this).",
+    oracle="""
+        SELECT event_id,
+               CAST(props->>'$.k' AS INTEGER) AS k_value,
+               CAST(props->>'$.k' AS INTEGER) % 10 AS k_bucket,
+               props->>'$.missing' IS NULL AS missing_is_null
+        FROM events
+    """,
+    tags=("llm", "json"),
+)
+def q52_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        k.alias("k_value"),
+        (k % 10).alias("k_bucket"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+    )
