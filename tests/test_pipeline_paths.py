@@ -142,3 +142,18 @@ def test_live_gap_detector_stateful_across_batches(spark, tmp_path):
     assert gaps.count() == 2
     g2 = gaps.filter(F.col("station_id") == 2).first()
     assert (g2.prev_s_no, g2.s_no, g2.missing) == (2, 5, 2)
+
+
+def test_kafka_wrapper_capability_detection(spark):
+    """No broker/connector in this container: the capability probe must
+    say so honestly rather than exploding at plan time."""
+    from weather_monitoring_spark.sources.kafka import kafka_available
+
+    assert kafka_available(spark) in (True, False)
+    if not kafka_available(spark):
+        import pytest
+
+        from weather_monitoring_spark.sources.kafka import read_kafka_stream
+
+        with pytest.raises(Exception, match="kafka"):
+            read_kafka_stream(spark, "localhost:9092")

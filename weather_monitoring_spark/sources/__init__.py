@@ -1,3 +1,26 @@
+from weather_monitoring_spark.sources.filestream import read_parquet_stream
+from weather_monitoring_spark.sources.generator import (
+    synthetic_wire_batch,
+    synthetic_wire_json_batch,
+    synthetic_wire_stream,
+)
+from weather_monitoring_spark.sources.kafka import (
+    kafka_available,
+    read_kafka_stream,
+    write_kafka_stream,
+)
 from weather_monitoring_spark.sources.tables import TABLES, load_table, load_tables, register_views
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_views"]
+__all__ = [
+    "TABLES",
+    "kafka_available",
+    "load_table",
+    "load_tables",
+    "read_kafka_stream",
+    "read_parquet_stream",
+    "register_views",
+    "synthetic_wire_batch",
+    "synthetic_wire_json_batch",
+    "synthetic_wire_stream",
+    "write_kafka_stream",
+]

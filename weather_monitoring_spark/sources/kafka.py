@@ -23,6 +23,20 @@ WEATHER_TOPIC = "weather-data"  # CentralStation.java:30
 ALERTS_TOPIC = "raining-alerts"  # Rain-Detector/.../Main.java:28
 
 
+def kafka_available(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka connector is on the classpath.
+
+    The engine's transforms are source-agnostic, so callers fall back to
+    the file/rate sources (tests do exactly that) when this is False —
+    deployment adds ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>``.
+    """
+    try:
+        spark._jvm.org.apache.spark.sql.kafka010.KafkaSourceProvider  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
