@@ -13,11 +13,16 @@ the driver's interface.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from weather_monitoring_spark.plans.registry import all_queries
+# Defensive: make the package importable regardless of the caller's cwd.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from weather_monitoring_spark.plans.registry import all_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

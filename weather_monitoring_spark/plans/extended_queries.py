@@ -393,3 +393,76 @@ def q49_pandas_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(per_user, "user_id long, event_id long, ordinal int, gap_us long")
     )
+
+
+@query(
+    "q53_correlated_subquery",
+    "Correlated scalar subquery — customers above their nation's average "
+    "balance. Catalyst decorrelates this into an aggregate + join "
+    "(no per-row re-execution); written via spark.sql to exercise the "
+    "SQL-path decorrelation the DataFrame API can't express directly.",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer i
+            WHERE i.c_nationkey = c.c_nationkey
+        )
+    """,
+    tags=("extended", "subquery"),
+)
+def q53_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer i
+            WHERE i.c_nationkey = c.c_nationkey
+        )
+        """
+    )
+
+
+@query(
+    "q54_lateral_explode",
+    "Table-generating projection: explode part-name words with their "
+    "positions (generator functions / LATERAL shape). Spark posexplode; "
+    "the oracle expands via generate-series indexing.",
+    oracle="""
+        SELECT p_partkey, CAST(i - 1 AS INTEGER) AS pos, words[i] AS word
+        FROM (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part),
+             unnest(range(1, len(words) + 1)) AS u(i)
+    """,
+    tags=("extended", "generator"),
+)
+def q54_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", F.split("p_name", " ").alias("words"))
+        .select("p_partkey", F.posexplode("words").alias("pos", "word"))
+    )
+
+
+@query(
+    "q55_ordered_array_agg",
+    "Ordered collection aggregation: per-user sorted distinct event types "
+    "as one joined string (deterministic rendering of collect_set).",
+    oracle="""
+        SELECT user_id,
+               array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
+               count(*) AS cnt
+        FROM events GROUP BY user_id
+    """,
+    tags=("extended", "aggregate", "array"),
+)
+def q55_ordered_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
