@@ -105,3 +105,17 @@ def test_multimodal_real_codec_is_explicitly_stubbed(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_cosine_prefilter_equals_naive_plan(spark):
+    """The vectorized-prefilter plan must produce EXACTLY the naive
+    all-pairs result (same pairs, bit-identical cosines)."""
+    from weather_monitoring_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    fast = {(r.id_a, r.id_b): r.cosine for r in cosine_neardup_pairs(emb).collect()}
+    naive = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_neardup_pairs(emb, prefilter=False).collect()
+    }
+    assert fast == naive
