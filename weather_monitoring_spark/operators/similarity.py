@@ -225,8 +225,14 @@ def ann_lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates must share >=1 of L p-bit table
     buckets with the query (union via posexplode, like MinHash banding),
-    then exact cosine over the deduped candidate set."""
-    with_b = with_lsh_buckets(emb, dim, vec_col)
+    then exact cosine over the deduped candidate set.
+
+    Buckets are pinned via localCheckpoint: both join branches (queries
+    and candidates) derive from them, and the 1024-term hyperplane
+    expressions are expensive enough that evaluating them once matters
+    (at 100 TB they'd be a persisted column anyway — see
+    with_lsh_buckets)."""
+    with_b = with_lsh_buckets(emb, dim, vec_col).localCheckpoint(eager=False)
     bucket_arr = F.array(*[F.col(f"bucket_{t}") for t in range(LSH_TABLES)])
     exploded = with_b.select(
         F.col(id_col), F.col(vec_col), F.posexplode(bucket_arr).alias("tbl", "bucket")
