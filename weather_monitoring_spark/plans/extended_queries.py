@@ -466,3 +466,46 @@ def q55_ordered_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
         )
     )
+
+
+@query(
+    "q56_outer_join_zerofill",
+    "Left outer join + null handling: every customer with their order "
+    "stats, zero-filled for customers who never ordered (the join family's "
+    "remaining member; inner/semi/anti/broadcast/as-of are q11/q42/q17).",
+    oracle="""
+        SELECT c_custkey,
+               coalesce(o.n_orders, 0) AS n_orders,
+               coalesce(o.total_spent, 0.0) AS total_spent,
+               o.n_orders IS NULL AS never_ordered
+        FROM customer c
+        LEFT JOIN (
+            SELECT o_custkey,
+                   count(*) AS n_orders,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_spent
+            FROM orders GROUP BY o_custkey
+        ) o ON c.c_custkey = o.o_custkey
+    """,
+    tags=("extended", "join", "outer"),
+)
+def q56_outer_join_zerofill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("string")
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+    return customer.join(
+        per_cust, customer.c_custkey == per_cust.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
+        F.col("n_orders").isNull().alias("never_ordered"),
+    )
