@@ -509,3 +509,76 @@ def q56_outer_join_zerofill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
         F.col("n_orders").isNull().alias("never_ordered"),
     )
+
+
+@query(
+    "q57_window_zoo",
+    "Window-function coverage: dense_rank, ntile, percent_rank, cume_dist, "
+    "first/nth value, and a numeric RANGE frame — the full analytic-window "
+    "surface in one per-key pass (all integer/ratio-of-integer outputs, so "
+    "cross-engine exact).",
+    oracle="""
+        SELECT user_id, event_id, value,
+               dense_rank()  OVER wv AS dr,
+               ntile(4)      OVER wv AS quartile,
+               percent_rank() OVER wv AS pr,
+               cume_dist()   OVER wv AS cd,
+               first_value(event_id) OVER wv AS top_event,
+               nth_value(event_id, 2) OVER (PARTITION BY user_id ORDER BY value DESC, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_event,
+               count(*) OVER (PARTITION BY user_id ORDER BY value
+                              RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW) AS near_below
+        FROM events
+        WINDOW wv AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+    """,
+    tags=("extended", "window"),
+)
+def q57_window_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wv = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    wv_rows = wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # fractional RANGE frames aren't expressible through the python
+    # Window API (int offsets only) — SQL text handles them
+    near_below = F.expr(
+        "count(*) OVER (PARTITION BY user_id ORDER BY value"
+        " RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW)"
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.dense_rank().over(wv).alias("dr"),
+        F.ntile(4).over(wv).alias("quartile"),
+        F.percent_rank().over(wv).alias("pr"),
+        F.cume_dist().over(wv).alias("cd"),
+        F.first("event_id").over(wv).alias("top_event"),
+        F.nth_value("event_id", 2).over(wv_rows).alias("second_event"),
+        near_below.alias("near_below"),
+    )
+
+
+@query(
+    "q58_edit_distance",
+    "Edit-distance fuzzy matching (the string cousin of the embedding "
+    "near-dup family): close pairs of distinct part types by Levenshtein "
+    "distance. Classic DP implementation in both engines -> identical "
+    "integer distances.",
+    oracle="""
+        WITH t AS (SELECT DISTINCT p_type FROM part)
+        SELECT a.p_type AS type_a, b.p_type AS type_b,
+               CAST(levenshtein(a.p_type, b.p_type) AS INTEGER) AS dist
+        FROM t a JOIN t b ON a.p_type < b.p_type
+        WHERE levenshtein(a.p_type, b.p_type) <= 6
+    """,
+    tags=("extended", "string", "fuzzy"),
+)
+def q58_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_table(spark, sf_dir, "part").select("p_type").distinct()
+    a = t.select(F.col("p_type").alias("type_a"))
+    b = t.select(F.col("p_type").alias("type_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("type_a") < F.col("type_b"))
+        .withColumn("dist", F.levenshtein("type_a", "type_b"))
+        .filter(F.col("dist") <= 6)
+    )
