@@ -119,3 +119,31 @@ def test_cosine_prefilter_equals_naive_plan(spark):
         for r in cosine_neardup_pairs(emb, prefilter=False).collect()
     }
     assert fast == naive
+
+
+def test_stratified_sample_proportions_and_determinism(spark):
+    from weather_monitoring_spark.plans.registry import all_queries
+
+    spec = all_queries()["q60_stratified_sample"]
+    s1 = spec.spark(spark, SF_SMALL)
+    counts = {r.event_type: r["count"] for r in s1.groupBy("event_type").count().collect()}
+    full = {
+        r.event_type: r["count"]
+        for r in load_table(spark, SF_SMALL, "events").groupBy("event_type").count().collect()
+    }
+    assert counts["purchase"] == full["purchase"]  # fraction 1.0 keeps all
+    assert counts["click"] < full["click"] * 0.3   # downsampled hard
+    # seeded -> identical across runs
+    s2 = spec.spark(spark, SF_SMALL)
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+
+
+def test_deterministic_split_proportions(spark):
+    from weather_monitoring_spark.plans.registry import all_queries
+
+    df = all_queries()["q59_deterministic_split"].spark(spark, SF_SMALL)
+    n = df.count()
+    frac = {r.split: r["count"] / n for r in df.groupBy("split").count().collect()}
+    assert abs(frac["train"] - 0.8) < 0.1
+    assert abs(frac.get("val", 0) - 0.1) < 0.08
+    assert abs(frac.get("test", 0) - 0.1) < 0.08

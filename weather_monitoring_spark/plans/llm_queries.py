@@ -471,3 +471,51 @@ def q52_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k % 10).alias("k_bucket"),
         F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
     )
+
+
+@query(
+    "q59_deterministic_split",
+    "Reproducible train/val/test split by content hash (md5 of the stable "
+    "id, mod 100): the split survives reshuffles, re-partitioning, and "
+    "re-runs on any engine — the correct pattern for dataset versioning "
+    "(never rand(), never row position).",
+    oracle="""
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT) % 100 AS bucket,
+               CASE
+                 WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                 WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM documents
+    """,
+    tags=("llm", "split"),
+)
+def q59_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':split')), 1, 8), 16, 10) AS BIGINT) % 100"
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+@query(
+    "q60_stratified_sample",
+    "Seeded stratified sampling (per-class fractions via sampleBy) — "
+    "downsampling the majority class is a daily training-data operation. "
+    "Rows-only check: Bernoulli sampling algorithms differ across engines "
+    "by design; proportions are asserted in tests.",
+    oracle=None,
+    tags=("llm", "sample"),
+)
+def q60_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.sampleBy(
+        "event_type",
+        {"click": 0.1, "view": 0.1, "error": 1.0, "purchase": 1.0, "signup": 1.0},
+        seed=42,
+    )
