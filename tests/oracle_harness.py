@@ -2,8 +2,20 @@
 
 Runs a registry query through Spark AND its oracle SQL through DuckDB on
 the same parquet tables, then compares row count, column names, and an
-order-insensitive value comparison (columns sorted by name, rows sorted by
-all columns, floats rounded).
+order-insensitive TYPED value comparison.
+
+Fidelity notes (learned from round 1, where the local gate was weaker than
+the driver's and let two type artifacts through):
+
+- The oracle side is fetched **as pandas** (``rel.df()``), the same
+  conversion the driver applies — so a DuckDB HUGEINT (e.g. ``sum(int)``)
+  becomes float64 and *fails* against a Spark BIGINT even when the values
+  are numerically equal. That is the driver's observed behavior for
+  q40/q44 in round 1, now reproduced locally.
+- Floats are compared EXACTLY (bit-for-bit via ``hex()``), never rounded:
+  the exact-decimal aggregation rules (functions/exact.py) are supposed to
+  make both engines produce identical doubles, and this gate now proves it.
+- Every cell carries a kind tag (int/float/bool/str/...), so 123 != 123.0.
 """
 
 from __future__ import annotations
@@ -14,13 +26,9 @@ from datetime import date, datetime
 from decimal import Decimal
 
 import duckdb
+import pandas as pd
 
 from weather_monitoring_spark.sources.tables import TABLES
-
-# Strict: with exact-decimal aggregation (functions/exact.py) both engines
-# produce bit-identical doubles, so only genuinely-approximate paths (e.g.
-# percentile interpolation) rely on this tolerance at all.
-FLOAT_DECIMALS = 8
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -33,30 +41,57 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    """Typed, unrounded normalization of one cell."""
     if v is None:
         return None
     if isinstance(v, bool):
-        return v
-    if isinstance(v, Decimal):
-        v = float(v)
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, FLOAT_DECIMALS)
+            return ("f", "nan")
+        return ("f", v.hex())
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, Decimal):
+        return ("d", str(v.normalize()))
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return ("t", v.replace(tzinfo=None).isoformat())
     if isinstance(v, date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
+        # DATE columns surface as python dates from Spark but as midnight
+        # datetime64 from DuckDB's pandas conversion; the driver equates
+        # them (q06 was green in round 1), so canonicalize to midnight.
+        return ("t", datetime(v.year, v.month, v.day).isoformat())
+    if isinstance(v, str):
+        return ("s", v)
+    if isinstance(v, bytes):
+        return ("y", v)
     if isinstance(v, dict):
-        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
-    return v
+        return ("m", tuple(sorted((k, _norm_cell(x)) for k, x in v.items())))
+    if hasattr(v, "__len__") or hasattr(v, "__iter__"):  # list/tuple/ndarray
+        return ("a", tuple(_norm_cell(x) for x in v))
+    return ("?", str(v))
 
 
-def _norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+def _norm_pdf(pdf: pd.DataFrame) -> list[tuple]:
+    """Sorted-column, sorted-row, typed normalization of a pandas frame."""
+    pdf = pdf[sorted(pdf.columns)]
+    out = []
+    for row in pdf.itertuples(index=False, name=None):
+        cells = []
+        for v in row:
+            # pandas nulls: None, NaN (float cols), NaT (datetime cols).
+            if v is None or v is pd.NaT:
+                cells.append(None)
+            elif isinstance(v, float) and math.isnan(v):
+                # NaN in a float64 column is either a true NaN or a null
+                # from int->float promotion; both sides promote the same
+                # way, so normalizing to None is symmetric.
+                cells.append(None)
+            elif isinstance(v, pd.Timestamp):
+                cells.append(("t", v.to_pydatetime().replace(tzinfo=None).isoformat()))
+            else:
+                cells.append(_norm_cell(v))
+        out.append(tuple(cells))
     out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
     return out
 
@@ -64,24 +99,22 @@ def _norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
 def compare_query(spark, spec, sf_dir: str) -> None:
     """Assert Spark result == DuckDB oracle result for one QuerySpec."""
     sdf = spec.spark(spark, sf_dir)
-    s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
+    s_pdf = sdf.toPandas()
 
     con = duck_connection(sf_dir)
     try:
-        res = con.execute(spec.oracle)
-        d_cols = [d[0] for d in res.description]
-        d_rows = res.fetchall()
+        d_pdf = con.sql(spec.oracle).df()
     finally:
         con.close()
 
-    assert sorted(s_cols) == sorted(d_cols), (
-        f"{spec.name}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    assert sorted(s_pdf.columns) == sorted(d_pdf.columns), (
+        f"{spec.name}: column mismatch spark={sorted(s_pdf.columns)} "
+        f"duck={sorted(d_pdf.columns)}"
     )
-    assert len(s_rows) == len(d_rows), (
-        f"{spec.name}: row count mismatch spark={len(s_rows)} duck={len(d_rows)}"
+    assert len(s_pdf) == len(d_pdf), (
+        f"{spec.name}: row count mismatch spark={len(s_pdf)} duck={len(d_pdf)}"
     )
-    ns, nd = _norm_rows(s_cols, s_rows), _norm_rows(d_cols, d_rows)
+    ns, nd = _norm_pdf(s_pdf), _norm_pdf(d_pdf)
     if ns != nd:
         diffs = [(a, b) for a, b in zip(ns, nd) if a != b][:5]
         raise AssertionError(f"{spec.name}: value mismatch; first diffs: {diffs}")

@@ -75,6 +75,46 @@ def one_plus(col: Column) -> Column:
     return (F.lit(1) + col.cast(RATE)).cast(RATE)
 
 
+#: Exact carrier for percentile interpolation (6 decimals of the measure).
+PCTL_DEC = "decimal(18,6)"
+
+
+def pctl_sql(vals: str, q100: int) -> str:
+    """Spark SQL: exact linearly-interpolated percentile ``q100``/100 over a
+    *sorted* array of DECIMAL(18,6) values.
+
+    Rationale: ``percentile()``/``quantile_cont`` interpolate in double
+    arithmetic with engine-specific expression orderings, and ``round()``
+    of the result flips on representational halves (the pattern this module
+    forbids). Here position and fraction are integers (``(n-1)*q100`` is
+    exact), the interpolation ``lo*100 + (hi-lo)*frac100`` stays in exact
+    decimal, and the single final ``/100`` is one IEEE division of
+    identical doubles — bit-identical cross-engine, no rounding anywhere.
+    """
+    n = f"size({vals})"
+    pos = f"((CAST({n} AS BIGINT) - 1) * {q100})"
+    ilo = f"(CAST({pos} DIV 100 AS INT) + 1)"
+    ihi = f"LEAST({ilo} + 1, {n})"
+    frac = f"CAST({pos} % 100 AS DECIMAL(3,0))"
+    lo = f"element_at({vals}, {ilo})"
+    hi = f"element_at({vals}, {ihi})"
+    x100 = f"({lo} * CAST(100 AS DECIMAL(3,0)) + ({hi} - {lo}) * {frac})"
+    return f"CAST(CAST({x100} AS STRING) AS DOUBLE) / 100"
+
+
+def o_pctl_sql(vals: str, q100: int) -> str:
+    """DuckDB mirror of :func:`pctl_sql` (1-based list indexing)."""
+    n = f"len({vals})"
+    pos = f"((CAST({n} AS BIGINT) - 1) * {q100})"
+    ilo = f"(CAST({pos} // 100 AS INT) + 1)"
+    ihi = f"LEAST({ilo} + 1, {n})"
+    frac = f"CAST({pos} % 100 AS DECIMAL(3,0))"
+    lo = f"{vals}[{ilo}]"
+    hi = f"{vals}[{ihi}]"
+    x100 = f"({lo} * CAST(100 AS DECIMAL(3,0)) + ({hi} - {lo}) * {frac})"
+    return f"CAST(CAST({x100} AS VARCHAR) AS DOUBLE) / 100"
+
+
 # --- oracle-side (DuckDB SQL) mirrors -----------------------------------
 
 def o_dsum(expr: str, dectype: str = "DECIMAL(18,2)") -> str:

@@ -23,8 +23,11 @@ from weather_monitoring_spark.functions.exact import (
     o_measure,
     o_one_minus,
     o_one_plus,
+    o_pctl_sql,
     one_minus,
     one_plus,
+    PCTL_DEC,
+    pctl_sql,
 )
 from weather_monitoring_spark.plans.registry import query
 from weather_monitoring_spark.sources.tables import load_table
@@ -337,27 +340,35 @@ def q21_cube_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q22_percentiles",
-    "Percentile aggregation: exact median + quartiles per event_type "
-    "(Spark `percentile`; DuckDB `quantile_cont` — both exact continuous "
-    "interpolation). The approximate 100 TB path (percentile_approx / "
-    "t-digest) is covered rows-only in q23.",
-    oracle="""
+    "Percentile aggregation: exact median + quartiles per event_type, with "
+    "exact-decimal linear interpolation (functions/exact.pctl_sql) — the "
+    "built-in percentile()/quantile_cont interpolate in doubles with "
+    "engine-specific orderings, so the exact formulation is what makes the "
+    "result cross-engine bit-identical without round(). The approximate "
+    "100 TB path (percentile_approx / t-digest) is covered rows-only in q15.",
+    oracle=f"""
         SELECT event_type,
-               ROUND(quantile_cont(value, 0.25), 4) AS p25,
-               ROUND(quantile_cont(value, 0.5), 4) AS p50,
-               ROUND(quantile_cont(value, 0.75), 4) AS p75,
-               ROUND(quantile_cont(value, 0.95), 4) AS p95
-        FROM events GROUP BY event_type
+               {", ".join(
+                   f"{o_pctl_sql('vals', q)} AS p{q}" for q in (25, 50, 75, 95)
+               )}
+        FROM (
+            SELECT event_type,
+                   list_sort(list(CAST(value AS DECIMAL(18,6)))) AS vals
+            FROM events GROUP BY event_type
+        )
     """,
     tags=("analytics", "aggregate", "percentile"),
 )
 def q22_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "events")
-    return df.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
-        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    sorted_vals = F.sort_array(F.collect_list(F.col("value").cast(PCTL_DEC)))
+    return (
+        df.groupBy("event_type")
+        .agg(sorted_vals.alias("vals"))
+        .select(
+            "event_type",
+            *[F.expr(pctl_sql("vals", q)).alias(f"p{q}") for q in (25, 50, 75, 95)],
+        )
     )
 
 

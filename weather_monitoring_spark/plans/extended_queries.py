@@ -85,8 +85,10 @@ def q39_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sessions AS (
             SELECT user_id, ts, event_id,
-                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                          ROWS UNBOUNDED PRECEDING) AS session_id
+                   -- DuckDB's sum(int) is HUGEINT; Spark's window sum is
+                   -- BIGINT — CAST so the typed value-hash agrees.
+                   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM marked
         )
         SELECT user_id, session_id, min(ts) AS session_start,
@@ -100,9 +102,11 @@ def q40_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = ev.withColumn(
         "new_session",
+        # Compare at microsecond precision: casting ts to long truncates to
+        # seconds and misclassifies sub-second boundary gaps.
         F.when(
-            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
-            > SESSION_GAP_MIN * 60,
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            > SESSION_GAP_MIN * 60 * 1_000_000,
             1,
         )
         .when(F.lag("ts").over(w).isNull(), 1)
@@ -202,8 +206,9 @@ def q43_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT n_name,
                count(*) AS n_orders,
-               sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
-               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+               -- CASTs: DuckDB sum(int) yields HUGEINT, Spark BIGINT.
+               CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
                max(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS max_open_price
         FROM orders JOIN customer ON o_custkey = c_custkey
                     JOIN nation ON c_nationkey = n_nationkey

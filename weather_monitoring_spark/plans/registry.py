@@ -6,9 +6,14 @@ tables. The driver's correctness gate runs both sides at sf0.01 and compares
 row-count + schema + order-insensitive value-hash, with columns sorted by
 name — so both sides MUST alias computed columns identically.
 
-Determinism rules every entry follows:
-- aggregates over doubles are ``round(..., k)``-ed on BOTH sides so
-  floating-point summation-order differences between engines vanish;
+Determinism rules every entry follows (see functions/exact.py):
+- double aggregates go through exact DECIMAL arithmetic (decimal sum →
+  string → double), so both engines produce bit-identical doubles with NO
+  round() anywhere — round() of a computed double flips on
+  representational halves and is forbidden;
+- integer sums are CAST to BIGINT in the oracle (DuckDB sum(int) widens
+  to HUGEINT, which the driver's typed hash distinguishes);
+- percentiles interpolate in exact decimal (functions/exact.pctl_sql);
 - every top-k / limit query orders by a unique tiebreaker;
 - no wall-clock, no RNG without a fixed seed.
 """
