@@ -107,18 +107,82 @@ def test_multimodal_real_codec_is_explicitly_stubbed(spark):
     )
 
 
-def test_cosine_prefilter_equals_naive_plan(spark):
-    """The vectorized-prefilter plan must produce EXACTLY the naive
-    all-pairs result (same pairs, bit-identical cosines)."""
+def test_cosine_blocked_gemm_equals_naive_plan(spark):
+    """The distributed blocked-GEMM prefilter plan must produce EXACTLY
+    the naive all-pairs result (same pairs, bit-identical cosines) — the
+    guaranteed-recall margin made concrete, with no driver-side corpus
+    staging anywhere in the plan."""
     from weather_monitoring_spark.operators.similarity import cosine_neardup_pairs
 
     emb = load_table(spark, SF_SMALL, "embeddings")
     fast = {(r.id_a, r.id_b): r.cosine for r in cosine_neardup_pairs(emb).collect()}
     naive = {
         (r.id_a, r.id_b): r.cosine
-        for r in cosine_neardup_pairs(emb, prefilter=False).collect()
+        for r in cosine_neardup_pairs(emb, method="naive").collect()
     }
     assert fast == naive
+    # also exercise an uneven block count (empty/imbalanced blocks)
+    odd = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_neardup_pairs(emb, n_blocks=5).collect()
+    }
+    assert odd == naive
+
+
+def test_cosine_lsh_neardup_recall_and_exactness(spark):
+    """The bucket-bounded near-dup path (the past-n^2 regime): every pair
+    it returns must carry the exact fold cosine, and recall on the exact
+    pair set must be substantial (probabilistic by design, not 100%)."""
+    from weather_monitoring_spark.operators.similarity import (
+        cosine_neardup_lsh,
+        cosine_neardup_pairs,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    exact = {(r.id_a, r.id_b): r.cosine for r in cosine_neardup_pairs(emb).collect()}
+    approx = {(r.id_a, r.id_b): r.cosine for r in cosine_neardup_lsh(emb).collect()}
+    assert set(approx) <= set(exact)
+    for k_, v in approx.items():
+        assert v == exact[k_]
+    assert exact and len(approx) / len(exact) >= 0.5
+
+
+def test_simhash_blocked_equals_allpairs(spark):
+    """Pigeonhole blocking is lossless for Hamming <= d: the blocked plan
+    must return exactly the all-pairs result."""
+    from weather_monitoring_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    blocked = {
+        (r.id_a, r.id_b): r.hamming for r in simhash_neardup_pairs(docs).collect()
+    }
+    allpairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_neardup_pairs(docs, method="allpairs").collect()
+    }
+    assert blocked == allpairs
+    assert allpairs, "expected planted simhash near-dups in the fixture corpus"
+
+
+def test_jaccard_verify_matches_unrestricted_on_candidates(spark):
+    """ngram_jaccard_verify over LSH candidates must agree with the full
+    inverted-index join wherever they overlap, and never exceed it."""
+    from weather_monitoring_spark.operators.dedup import ngram_jaccard_verify
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    cand = minhash_lsh_pairs(docs)
+    verified = {
+        (r.id_a, r.id_b): (r.shared, r.jaccard)
+        for r in ngram_jaccard_verify(docs, cand).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): (r.shared, r.jaccard)
+        for r in ngram_jaccard_pairs(docs).collect()
+    }
+    assert set(verified) <= set(full)
+    for k_, v in verified.items():
+        assert v == full[k_]
+    assert verified
 
 
 def test_stratified_sample_proportions_and_determinism(spark):

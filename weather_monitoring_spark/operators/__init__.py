@@ -13,6 +13,8 @@ from weather_monitoring_spark.operators.dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    ngram_jaccard_verify,
+    shingle_df_cutoff,
     simhash_neardup_pairs,
     simhash_signatures,
 )
@@ -23,6 +25,7 @@ from weather_monitoring_spark.operators.multimodal import (
 )
 from weather_monitoring_spark.operators.similarity import (
     ann_lsh_topk,
+    cosine_neardup_lsh,
     cosine_neardup_pairs,
     cosine_topk,
     with_lsh_buckets,
@@ -36,6 +39,7 @@ from weather_monitoring_spark.operators.textops import (
 
 __all__ = [
     "ann_lsh_topk",
+    "cosine_neardup_lsh",
     "cosine_neardup_pairs",
     "cosine_topk",
     "decode_images",
@@ -47,10 +51,12 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_verify",
     "normalize_wire",
     "point_lookup",
     "sample_frames",
     "sequence_gaps",
+    "shingle_df_cutoff",
     "simhash_neardup_pairs",
     "simhash_signatures",
     "split_valid_rejects",

@@ -27,6 +27,8 @@ All thresholds/constants are module-level so the DuckDB oracles
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -44,6 +46,20 @@ LSH_ROWS = MINHASH_K // LSH_BANDS  # 3
 SIMHASH_BITS = 32
 JACCARD_THRESHOLD = 0.5
 HAMMING_THRESHOLD = 3
+
+#: Hot-shingle (document-frequency) cutoff for the inverted-index join:
+#: a shingle present in more than max(MIN, ceil(FRAC * n_docs)) documents
+#: is boilerplate, contributes ~nothing to near-dup evidence, and alone
+#: generates df^2 join rows — dropped like a stopword BEFORE the join.
+#: Jaccard is then computed over the filtered shingle universe on both
+#: sides (sizes from the filtered sets), the standard formulation.
+SHINGLE_DF_FRAC = 0.1
+SHINGLE_DF_MIN = 20
+
+
+def shingle_df_cutoff(n_docs: int) -> int:
+    """Corpus-size-derived document-frequency cutoff for hot shingles."""
+    return max(SHINGLE_DF_MIN, math.ceil(SHINGLE_DF_FRAC * n_docs))
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -69,35 +85,32 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
-def ngram_jaccard_pairs(
+def _filtered_shingles(
     docs: DataFrame,
-    threshold: float = JACCARD_THRESHOLD,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_shingle_df: int | None = None,
+    id_col: str,
+    text_col: str,
+    max_shingle_df: int | str | None,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs by exact 3-gram Jaccard, via the
-    inverted-index join. Returns (id_a, id_b, shared, jaccard), id_a < id_b.
+    """Exploded (id, shingle) rows with the hot-shingle df cutoff applied.
 
-    ``max_shingle_df`` drops shingles appearing in more than that many
-    docs before the self-join — the skew guard at scale (a shingle in 1M
-    docs would alone generate 10^12 join rows)."""
+    ``max_shingle_df``: ``"auto"`` derives the cutoff from the corpus size
+    (shingle_df_cutoff), an int pins it, ``None`` disables the guard
+    (oracle cross-checks only — never at scale)."""
     sh = (
         docs.withColumn("_tk", tokens_expr(text_col))
         .select(F.col(id_col).alias("id"), F.explode(shingles_expr("_tk")).alias("s"))
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    if max_shingle_df == "auto":
+        max_shingle_df = shingle_df_cutoff(docs.count())
     if max_shingle_df is not None:
         hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
             F.col("df") > max_shingle_df
         )
         sh = sh.join(F.broadcast(hot.select("s")), "s", "left_anti")
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    return sh
+
+
+def _jaccard_from_shared(shared: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
     return (
@@ -110,6 +123,72 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "shared", "jaccard")
     )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | str | None = "auto",
+) -> DataFrame:
+    """Candidate near-duplicate pairs by exact 3-gram Jaccard, via the
+    inverted-index join. Returns (id_a, id_b, shared, jaccard), id_a < id_b.
+
+    The hot-shingle df cutoff (default corpus-derived, see
+    shingle_df_cutoff) is the skew guard at scale — a shingle in 1M docs
+    would alone generate 10^12 join rows. Per-doc set sizes are computed
+    from the FILTERED shingle universe, so the Jaccard numerator and
+    denominator agree (filtered-universe Jaccard; computing sizes before
+    the filter would systematically underestimate)."""
+    sh = _filtered_shingles(docs, id_col, text_col, max_shingle_df)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return _jaccard_from_shared(shared, sizes, threshold)
+
+
+def ngram_jaccard_verify(
+    docs: DataFrame,
+    candidates: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | str | None = "auto",
+) -> DataFrame:
+    """Exact 3-gram Jaccard restricted to a candidate pair set — the
+    verification stage of the composed dedup pipeline.
+
+    ``candidates`` is (id_a, id_b), id_a < id_b (e.g. minhash_lsh_pairs
+    output). The shingle work is bounded by the candidate set: shingle
+    rows are first semi-joined to candidate doc ids, then joined
+    pair-first (candidates ⨝ shingles(a) ⨝ shingles(b)), so the expensive
+    stage costs O(|candidates| * avg_shingles), NOT the full
+    inverted-index co-occurrence — the property that makes LSH worth
+    running at 100 TB."""
+    cand = candidates.select("id_a", "id_b")
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = _filtered_shingles(docs, id_col, text_col, max_shingle_df).join(
+        cand_ids, "id", "left_semi"
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col("id").alias("id_a"), F.col("s").alias("s"))
+    shb = sh.select(F.col("id").alias("id_b"), F.col("s").alias("s"))
+    shared = (
+        cand.join(sha, "id_a")
+        .join(shb, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return _jaccard_from_shared(shared, sizes, threshold)
 
 
 def minhash_signatures(
@@ -196,18 +275,67 @@ def simhash_neardup_pairs(
     max_hamming: int = HAMMING_THRESHOLD,
     id_col: str = "doc_id",
     text_col: str = "text",
+    method: str = "blocked",
 ) -> DataFrame:
-    """Pairs within ``max_hamming`` bits. At oracle scale this is an
-    all-pairs check; at 100 TB block on signature bytes first (two
-    signatures within d bits share at least one of d+1 disjoint prefix
-    blocks — the standard pigeonhole blocking)."""
+    """Pairs within ``max_hamming`` bits of SimHash. (id_a, id_b, hamming).
+
+    ``method="blocked"`` (default, the 100 TB path) applies pigeonhole
+    blocking: split the 32-bit signature into ``max_hamming + 1`` disjoint
+    bit blocks — two signatures differing in <= d bits must agree on at
+    least one of the d+1 blocks — so candidates come from an equi-join on
+    (block_idx, block_value) instead of an all-pairs cross join. Exact
+    Hamming then verifies candidates; the result is IDENTICAL to the
+    all-pairs plan (the blocking is lossless for the <= d predicate), at
+    the cost of a (d+1)-way explode instead of an n^2 join.
+
+    ``method="allpairs"`` keeps the naive cross join for small-corpus
+    cross-checks of the blocked plan."""
     sigs = simhash_signatures(docs, id_col, text_col)
-    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    if method == "allpairs":
+        a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+        b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+        return (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
+    if method != "blocked":
+        raise ValueError(f"unknown method {method!r}")
+    n_blocks = max_hamming + 1
+    # Block bit-widths: split SIMHASH_BITS as evenly as possible (e.g.
+    # 32 bits, d=3 -> 4 blocks of 8). Uneven splits stay correct.
+    widths = [
+        SIMHASH_BITS // n_blocks + (1 if i < SIMHASH_BITS % n_blocks else 0)
+        for i in range(n_blocks)
+    ]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    block_vals = F.array(
+        *[
+            F.expr(f"(simhash >> {offsets[i]}) & {(1 << widths[i]) - 1}")
+            for i in range(n_blocks)
+        ]
+    )
+    blocks = sigs.select(
+        F.col("doc_id").alias("id"),
+        F.col("simhash").alias("sig"),
+        F.posexplode(block_vals).alias("blk_idx", "blk_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        a.join(
+            b,
+            (F.col("a.blk_idx") == F.col("b.blk_idx"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        # A close pair can agree on several blocks -> dedup the pair keys.
+        .distinct()
     )

@@ -95,78 +95,16 @@ def cosine_topk(
 #: safety factor, so no true pair can be lost to the prefilter.
 PREFILTER_MARGIN = 1e-6
 
+#: Block count for the distributed blocked-GEMM prefilter. B(B+1)/2 block
+#: pairs are scored; shuffle volume is N*(B+1)/2 rows. Sized so the 36
+#: groups saturate local[32] while each group holds 2 blocks in memory.
+GEMM_BLOCKS = 8
 
-def cosine_neardup_pairs(
-    emb: DataFrame,
-    threshold: float = COSINE_NEARDUP_THRESHOLD,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    prefilter: bool = True,
-) -> DataFrame:
-    """All pairs with cosine >= threshold (id_a < id_b). Exact.
 
-    Plan: **vectorized prefilter + exact re-score.** A NumPy block-matmul
-    inside ``mapInPandas`` (each partition's block x the broadcast
-    normalized matrix) emits candidate pairs at ``threshold - margin``;
-    the exact sequential-fold cosine (bit-identical to the oracle) then
-    re-scores only those candidates and applies the real threshold. The
-    margin exceeds BLAS-vs-fold disagreement by >10^5, so the candidate
-    set is a guaranteed superset and the final result is identical to the
-    naive all-pairs plan — at a fraction of the cost (the quadratic part
-    runs as dense linear algebra, ~20 GFLOP/s/core, instead of per-pair
-    expression evaluation). ``prefilter=False`` keeps the naive plan for
-    cross-checks.
-
-    The corpus matrix is collected + broadcast — valid precisely in the
-    regime where exact all-pairs is feasible at all (corpus fits in
-    executor memory; 1M x 64 floats = 256 MB). Past that regime the
-    correct tool is ann_lsh buckets + this same exact re-score per
-    bucket, which is how the LSH variant composes.
-    """
-    if not prefilter:
-        base = emb.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm_expr(vec_col).alias("n")
-        )
-        a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
-        b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
-        return (
-            a.crossJoin(b)
-            .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("cosine", dot_expr("va", "vb") / (F.col("na") * F.col("nb")))
-            .filter(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", "cosine")
-        )
-
-    import numpy as np
-
-    spark = emb.sparkSession
-    rows = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    cutoff = threshold - PREFILTER_MARGIN
-
-    def candidates(batches):
-        import pandas as pd
-
-        all_ids, all_mat = b_ids.value, b_mat.value
-        order = {int(i): k for k, i in enumerate(all_ids)}
-        for pdf in batches:
-            idx = np.array([order[int(i)] for i in pdf[id_col]])
-            sims = all_mat[idx] @ all_mat.T  # block x full matmul
-            loc, glob = np.nonzero(sims >= cutoff)
-            ia = all_ids[idx[loc]]
-            ib = all_ids[glob]
-            keep = ia < ib
-            yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
-
-    cand = (
-        emb.select(id_col, vec_col)
-        .mapInPandas(candidates, "id_a long, id_b long")
-        .distinct()
-    )
+def _exact_rescore(cand: DataFrame, emb: DataFrame, threshold: float,
+                   id_col: str, vec_col: str) -> DataFrame:
+    """Exact sequential-fold cosine over a candidate pair set, applying the
+    real threshold — bit-identical to the DuckDB oracle's list_sum fold."""
     a = emb.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), norm_expr(vec_col).alias("na")
     )
@@ -180,6 +118,135 @@ def cosine_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = COSINE_NEARDUP_THRESHOLD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "blocked",
+    n_blocks: int = GEMM_BLOCKS,
+) -> DataFrame:
+    """All pairs with cosine >= threshold (id_a < id_b). Exact.
+
+    ``method="blocked"`` (default): **distributed blocked-GEMM prefilter +
+    exact re-score**, with no driver-side staging at all. Each vector is
+    assigned a block by id; the B(B+1)/2 block pairs are formed by joining
+    a tiny block-pair grid against the corpus twice (shuffle = N*(B+1)/2
+    rows), and each block pair is scored as one NumPy float64 matmul
+    inside ``applyInPandas`` — the quadratic part runs as dense linear
+    algebra on executors, never on the driver. Candidates at
+    ``threshold - PREFILTER_MARGIN`` are then re-scored by the exact
+    sequential fold (bit-identical to the oracle); the margin exceeds
+    BLAS-vs-fold disagreement by >10^5, so the candidate set is a
+    guaranteed superset and the result is identical to the naive plan.
+    Every unordered pair lands in exactly one block-pair group, so no
+    distinct over pair keys is needed.
+
+    ``method="naive"`` keeps the fold-per-pair cross join for small-corpus
+    cross-checks. For corpora where even distributed n^2 is infeasible,
+    use cosine_neardup_lsh (approximate recall, bucket-bounded cost).
+    """
+    if method == "naive":
+        base = emb.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm_expr(vec_col).alias("n")
+        )
+        a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+        b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+        return (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", dot_expr("va", "vb") / (F.col("na") * F.col("nb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+    if method != "blocked":
+        raise ValueError(f"unknown method {method!r}")
+
+    spark = emb.sparkSession
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
+    )
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("bid"),
+    )
+    lhs = grid.join(e, e.bid == grid.bi).select("bi", "bj", "id", "v", F.lit(0).alias("role"))
+    rhs = (
+        grid.filter(F.col("bi") != F.col("bj"))
+        .join(e, e.bid == grid.bj)
+        .select("bi", "bj", "id", "v", F.lit(1).alias("role"))
+    )
+    cutoff = threshold - PREFILTER_MARGIN
+
+    def score_block_pair(pdf):
+        import numpy as np
+        import pandas as pd
+
+        left = pdf[pdf["role"] == 0]
+        if len(left) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []}, dtype="int64")
+        ids_l = left["id"].to_numpy(dtype="int64")
+        mat_l = np.array(list(left["v"]), dtype=np.float64)
+        mat_l /= np.linalg.norm(mat_l, axis=1, keepdims=True)
+        if pdf["bi"].iloc[0] == pdf["bj"].iloc[0]:
+            ids_r, mat_r = ids_l, mat_l
+        else:
+            right = pdf[pdf["role"] == 1]
+            if len(right) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": []}, dtype="int64")
+            ids_r = right["id"].to_numpy(dtype="int64")
+            mat_r = np.array(list(right["v"]), dtype=np.float64)
+            mat_r /= np.linalg.norm(mat_r, axis=1, keepdims=True)
+        sims = mat_l @ mat_r.T
+        li, ri = np.nonzero(sims >= cutoff)
+        ia, ib = ids_l[li], ids_r[ri]
+        keep = ia != ib
+        ia, ib = ia[keep], ib[keep]
+        return pd.DataFrame(
+            {"id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib)}
+        ).drop_duplicates()
+
+    cand = (
+        lhs.unionByName(rhs)
+        .groupBy("bi", "bj")
+        .applyInPandas(score_block_pair, "id_a long, id_b long")
+    )
+    return _exact_rescore(cand, emb, threshold, id_col, vec_col)
+
+
+def cosine_neardup_lsh(
+    emb: DataFrame,
+    threshold: float = COSINE_NEARDUP_THRESHOLD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Bucket-bounded near-dup pairs: candidates share >=1 of the L p-bit
+    random-hyperplane table buckets (with_lsh_buckets), exact fold cosine
+    re-scores them. Cost ~ sum over buckets of bucket_size^2 — the regime
+    past distributed n^2 (blocked GEMM). Recall is probabilistic by
+    design (1 - (1 - (1 - theta/pi)^p)^L per pair); asserted against the
+    exact plan in tests, not a SQL oracle."""
+    with_b = with_lsh_buckets(emb, dim, vec_col).localCheckpoint(eager=False)
+    bucket_arr = F.array(*[F.col(f"bucket_{t}") for t in range(LSH_TABLES)])
+    exploded = with_b.select(
+        F.col(id_col).alias("id"), F.posexplode(bucket_arr).alias("tbl", "bucket")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return _exact_rescore(cand, emb, threshold, id_col, vec_col)
 
 
 def hyperplane_sign_expr(plane: int, vec_col: str, dim: int) -> Column:

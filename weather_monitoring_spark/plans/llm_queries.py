@@ -29,11 +29,14 @@ from weather_monitoring_spark.operators.dedup import (
     LSH_BANDS,
     LSH_ROWS,
     MINHASH_K,
+    SHINGLE_DF_FRAC,
+    SHINGLE_DF_MIN,
     SIMHASH_BITS,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    ngram_jaccard_verify,
     simhash_neardup_pairs,
     simhash_signatures,
 )
@@ -233,14 +236,29 @@ def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
+# Shared oracle CTE chain: exploded shingles with the hot-shingle df
+# cutoff applied — generated from the SAME constants as the Spark-side
+# guard (operators/dedup.shingle_df_cutoff), so the two sides can't drift.
+O_FILTERED_SH = f"""
+        sh0 AS (SELECT doc_id AS id, unnest(sh) AS s FROM ({O_DOC_SHINGLES})),
+        cut AS (SELECT greatest({SHINGLE_DF_MIN},
+                                CAST(ceil({SHINGLE_DF_FRAC} * count(*)) AS BIGINT)) AS c
+                FROM documents),
+        hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > (SELECT c FROM cut)),
+        sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+        sz AS (SELECT id, count(*) AS n FROM sh GROUP BY 1)
+"""
+
+
 @query(
     "q32_ngram_jaccard_pairs",
     f"Exact 3-gram Jaccard near-dup pairs (>= {JACCARD_THRESHOLD}) via the "
     "inverted-index join — cost scales with shingle co-occurrence, not "
-    "n^2 documents.",
+    "n^2 documents. The corpus-derived hot-shingle df cutoff (the skew "
+    "guard: one boilerplate shingle in 1M docs alone would be 10^12 join "
+    "rows) is ON, with filtered-universe Jaccard on both engines.",
     oracle=f"""
-        WITH sh AS (SELECT doc_id AS id, unnest(sh) AS s FROM ({O_DOC_SHINGLES})),
-        sz AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+        WITH {O_FILTERED_SH},
         shared AS (
             SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
             FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
@@ -290,8 +308,12 @@ def q33_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q34_simhash_neardup_pairs",
-    f"SimHash near-dup pairs (Hamming <= {HAMMING_THRESHOLD}). All-pairs "
-    "at oracle scale; prefix-blocked (pigeonhole) at 100 TB.",
+    f"SimHash near-dup pairs (Hamming <= {HAMMING_THRESHOLD}) via "
+    f"pigeonhole blocking: {HAMMING_THRESHOLD + 1} disjoint signature "
+    "blocks, equi-join on (block_idx, block_value), exact Hamming verify "
+    "— lossless for the <= d predicate and linear in collisions instead "
+    "of n^2. The oracle is the all-pairs formulation, so the check "
+    "proves blocked == all-pairs.",
     oracle=f"""
         WITH s AS ({_o_simhash()})
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -370,16 +392,29 @@ def q37_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q50_dedup_survivors",
     "The composed dedup pipeline: MinHash-LSH candidates -> exact Jaccard "
-    "verification -> greedy survivor selection (a doc is dropped iff it "
-    "has a verified near-dup with a smaller id). This is the end-to-end "
-    "shape of corpus dedup at scale: cheap candidate generation bounds "
-    "the expensive verification to near-certain pairs.",
+    "verification restricted to candidates (ngram_jaccard_verify) -> "
+    "greedy survivor selection (a doc is dropped iff it has a verified "
+    "near-dup with a smaller id). The expensive stage is bounded by the "
+    "cheap one — exact Jaccard touches only candidate pairs, which is the "
+    "whole point of running LSH first at 100 TB. The oracle composes the "
+    "same pipeline (band CTEs + candidate-bounded verification), so the "
+    "check covers the composition semantics, not just the end state.",
     oracle=f"""
-        WITH sh AS (SELECT doc_id AS id, unnest(sh) AS s FROM ({O_DOC_SHINGLES})),
-        sz AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+        WITH sigs AS ({_o_minhash_sig()}),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band_{b} AS bh FROM sigs" for b in range(LSH_BANDS))}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ),
+        {O_FILTERED_SH},
         shared AS (
-            SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
-            FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+            SELECT c.id_a, c.id_b, count(*) AS shared
+            FROM cand c
+            JOIN sh a ON a.id = c.id_a
+            JOIN sh b ON b.id = c.id_b AND b.s = a.s
             GROUP BY 1, 2
         ),
         dup_pairs AS (
@@ -394,11 +429,9 @@ def q37_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q50_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # LSH candidates first (cheap), exact Jaccard only on candidates.
+    # LSH candidates first (cheap); exact Jaccard ONLY on candidates.
     candidates = minhash_lsh_pairs(docs)
-    verified = ngram_jaccard_pairs(docs).join(
-        candidates, ["id_a", "id_b"], "left_semi"
-    )
+    verified = ngram_jaccard_verify(docs, candidates)
     dropped = verified.select(F.col("id_b").alias("doc_id")).distinct()
     return docs.select("doc_id").join(
         dropped.withColumn("_d", F.lit(True)), "doc_id", "left"
