@@ -107,7 +107,12 @@ def _filtered_shingles(
             F.col("df") > max_shingle_df
         )
         sh = sh.join(F.broadcast(hot.select("s")), "s", "left_anti")
-    return sh
+    # Pin the exploded+filtered shingle table: every consumer joins it
+    # against itself (or uses it twice — sizes + pairs), and recomputing
+    # tokenize/shingle/explode per branch costs more than materializing
+    # once. At 100 TB this is the persisted shingle-index table of a
+    # production dedup pipeline.
+    return sh.localCheckpoint(eager=False)
 
 
 def _jaccard_from_shared(shared: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
@@ -229,7 +234,9 @@ def minhash_lsh_pairs(
         F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(LSH_BANDS)])).alias(
             "band_idx", "bh"
         ),
-    )
+    # Pin: both sides of the self-join derive from bands, and the MinHash
+    # signature expressions are the expensive part — evaluate them once.
+    ).localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -321,7 +328,8 @@ def simhash_neardup_pairs(
         F.col("doc_id").alias("id"),
         F.col("simhash").alias("sig"),
         F.posexplode(block_vals).alias("blk_idx", "blk_val"),
-    )
+    # Pin: the signature aggregation feeds both self-join sides.
+    ).localCheckpoint(eager=False)
     a, b = blocks.alias("a"), blocks.alias("b")
     return (
         a.join(

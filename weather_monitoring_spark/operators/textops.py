@@ -40,18 +40,10 @@ def _lex_hits(tokens_col: str, lang: str) -> str:
     return f"size(filter({tokens_col}, t -> t IN ({lex})))"
 
 
-def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic language ID: Han characters -> zh, else the language with
-    the most stopword hits (priority order breaks ties), 'und' if none.
-
-    (id, pred_lang, plus the per-language hit counts for debuggability.)"""
-    df = docs.withColumn("_tk", tokens_expr(text_col))
-    hit_cols = {
-        lang: F.expr(_lex_hits("_tk", lang)).cast("bigint").alias(f"hits_{lang}")
-        for lang in LANG_LEXICONS
-    }
-    df = df.select(F.col(id_col), F.col(text_col).alias("_text"), *hit_cols.values())
-    cond = F.when(F.expr(f"_text RLIKE '{HAN_RE_SPARK_SQL}'"), F.lit("zh"))
+def _lang_pred_cond(text_ref: str) -> Column:
+    """The language-vote CASE over hits_<lang> columns + Han detection on
+    ``text_ref`` — shared by lang_id and lang_fingerprints."""
+    cond = F.when(F.expr(f"{text_ref} RLIKE '{HAN_RE_SPARK_SQL}'"), F.lit("zh"))
     langs = list(LANG_LEXICONS)
     zero_all = None
     for lang in langs:
@@ -64,10 +56,24 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             c = F.col(f"hits_{lang}") >= F.col(f"hits_{other}")
             geq = c if geq is None else (geq & c)
         cond = cond.when(geq if geq is not None else F.lit(True), F.lit(lang))
+    return cond
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: Han characters -> zh, else the language with
+    the most stopword hits (priority order breaks ties), 'und' if none.
+
+    (id, pred_lang, plus the per-language hit counts for debuggability.)"""
+    df = docs.withColumn("_tk", tokens_expr(text_col))
+    hit_cols = {
+        lang: F.expr(_lex_hits("_tk", lang)).cast("bigint").alias(f"hits_{lang}")
+        for lang in LANG_LEXICONS
+    }
+    df = df.select(F.col(id_col), F.col(text_col).alias("_text"), *hit_cols.values())
     return df.select(
         F.col(id_col),
-        cond.alias("pred_lang"),
-        *[F.col(f"hits_{lang}") for lang in langs],
+        _lang_pred_cond("_text").alias("pred_lang"),
+        *[F.col(f"hits_{lang}") for lang in LANG_LEXICONS],
     )
 
 
@@ -107,6 +113,68 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{BPE_TOKEN_RE_SPARK_SQL}', 0)"))
         .cast("bigint")
         .alias("bpe_tokens"),
+    )
+
+
+def text_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Quality-scoring features + token budgets in ONE projection (the
+    composition of text_stats and token_counts without a join — at 100 TB
+    annotation passes should stack into a single whole-stage-codegen scan,
+    never self-join the corpus)."""
+    df = docs.withColumn("_tk", tokens_expr(text_col))
+    n_chars = F.length(text_col).cast("bigint")
+    n_tokens = F.size("_tk").cast("bigint")
+    alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", "")).cast("bigint")
+    digits = F.length(F.regexp_replace(F.col(text_col), "[^0-9]", "")).cast("bigint")
+    spaces = F.length(F.regexp_replace(F.col(text_col), "[^ ]", "")).cast("bigint")
+    en_hits = F.expr(_lex_hits("_tk", "en")).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        alpha.alias("n_alpha"),
+        digits.alias("n_digit"),
+        (n_chars - alpha - digits - spaces).alias("n_symbol"),
+        (alpha * F.lit(1.0) / n_chars).alias("alpha_ratio"),
+        (F.length(F.array_join(F.col("_tk"), "")) * F.lit(1.0) / n_tokens).alias(
+            "avg_token_len"
+        ),
+        (en_hits * F.lit(1.0) / n_tokens).alias("stopword_ratio"),
+        F.size(F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t != '')"))
+        .cast("bigint")
+        .alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{BPE_TOKEN_RE_SPARK_SQL}', 0)"))
+        .cast("bigint")
+        .alias("bpe_tokens"),
+    )
+
+
+def lang_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document metadata annotation: language ID votes + the three
+    fingerprints, again as one projection (no join between the two
+    annotation families)."""
+    df = docs.withColumn("_tk", tokens_expr(text_col))
+    hit_cols = {
+        lang: F.expr(_lex_hits("_tk", lang)).cast("bigint").alias(f"hits_{lang}")
+        for lang in LANG_LEXICONS
+    }
+    rolling = F.expr(
+        f"aggregate(_tk, CAST(0 AS BIGINT),"
+        f" (acc, t) -> pmod(acc * 31 + {h32_sql('fp', 't')}, 2147483647))"
+    )
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        F.col("_tk"),
+        *hit_cols.values(),
+    )
+    return staged.select(
+        F.col(id_col),
+        _lang_pred_cond("_text").alias("pred_lang"),
+        *[F.col(f"hits_{lang}") for lang in LANG_LEXICONS],
+        F.md5(F.col("_text")).alias("fp_exact"),
+        F.md5(F.array_join(F.col("_tk"), " ")).alias("fp_normalized"),
+        rolling.alias("fp_rolling"),
     )
 
 

@@ -34,24 +34,26 @@ from weather_monitoring_spark.sources.tables import load_table
 
 
 @query(
-    "q13_rollup_aggregate",
-    "ROLLUP over (returnflag, linestatus): hierarchical subtotals + grand "
-    "total in one pass (Spark expands grouping sets map-side; still one "
-    "shuffle).",
+    "q13_grouping_sets",
+    "Multi-level aggregation via CUBE over (returnflag, linestatus): all "
+    "4 grouping sets (detail, two marginals, grand total) in one pass — "
+    "Spark expands grouping sets map-side; still one shuffle. CUBE "
+    "subsumes ROLLUP's hierarchy; the rollup formulation is cross-checked "
+    "in plans/extra_checks.py.",
     oracle=f"""
         SELECT l_returnflag, l_linestatus,
                count(*) AS cnt,
                {o_dsum('l_quantity')} AS sum_qty,
                {o_dsum('l_extendedprice')} AS sum_price
         FROM lineitem
-        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        GROUP BY CUBE(l_returnflag, l_linestatus)
     """,
-    tags=("analytics", "aggregate", "rollup"),
+    tags=("analytics", "aggregate", "rollup", "cube"),
 )
-def q13_rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
+        .cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             dsum(F.col("l_quantity")).alias("sum_qty"),
@@ -82,27 +84,44 @@ def q14_distinct_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q15_approx_distinct",
-    "approx_count_distinct (HyperLogLog++): the 100 TB path for "
-    "cardinality — fixed-size sketch, single shuffle of sketches, no "
-    "distinct expansion. No oracle: HLL implementations differ across "
-    "engines; accuracy is asserted in tests/test_analytics.py instead.",
+    "q15_approx_sketches",
+    "The sketch-based 100 TB aggregation surface in one query: "
+    "approx_count_distinct (HyperLogLog++) and percentile_approx "
+    "(GK sketch) — fixed-size mergeable partials, single shuffle of "
+    "sketches, no distinct/sort expansion. No oracle: sketch "
+    "implementations differ across engines by design; accuracy vs the "
+    "exact aggregates is asserted in tests/test_llm_ops.py.",
     oracle=None,
     tags=("analytics", "aggregate", "approx"),
 )
-def q15_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "orders").agg(
-        F.approx_count_distinct("o_custkey", 0.01).alias("approx_cust"),
-        F.count(F.lit(1)).alias("n_orders"),
+def q15_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
     )
 
 
 @query(
     "q16_set_ops",
-    "Set operations: high-balance customers EXCEPT those with a finished "
-    "order (anti-join shape), via built-in EXCEPT.",
+    "The full set-operation trio in one pipeline: (BUILDING-segment "
+    "customers UNION high-balance customers) INTERSECT active buyers "
+    "EXCEPT customers with a finished order. Each set op ships only the "
+    "key column.",
     oracle="""
-        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        SELECT custkey FROM (
+            SELECT custkey FROM (
+                SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                UNION
+                SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 8000
+            )
+            INTERSECT
+            SELECT o_custkey AS custkey FROM orders
+        )
         EXCEPT
         SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
     """,
@@ -111,13 +130,19 @@ def q15_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    rich = customer.filter(F.col("c_acctbal") > 5000).select(
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
         F.col("c_custkey").alias("custkey")
     )
+    rich = customer.filter(F.col("c_acctbal") > 8000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    buyers = orders.select(F.col("o_custkey").alias("custkey"))
     finished = orders.filter(F.col("o_orderstatus") == "F").select(
         F.col("o_custkey").alias("custkey")
     )
-    return rich.exceptAll(finished).distinct()
+    return (
+        building.union(rich).distinct().intersect(buyers).exceptAll(finished).distinct()
+    )
 
 
 @query(
@@ -315,30 +340,6 @@ def q20_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q21_cube_aggregate",
-    "CUBE over (orderstatus, orderpriority): all 4 grouping-set "
-    "combinations in one pass.",
-    oracle=f"""
-        SELECT o_orderstatus, o_orderpriority,
-               count(*) AS cnt,
-               {o_dsum('o_totalprice')} AS sum_price
-        FROM orders
-        GROUP BY CUBE(o_orderstatus, o_orderpriority)
-    """,
-    tags=("analytics", "aggregate", "cube"),
-)
-def q21_cube_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            dsum(F.col("o_totalprice")).alias("sum_price"),
-        )
-    )
-
-
-@query(
     "q22_percentiles",
     "Percentile aggregation: exact median + quartiles per event_type, with "
     "exact-decimal linear interpolation (functions/exact.pctl_sql) — the "
@@ -372,57 +373,6 @@ def q22_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q23_approx_percentiles",
-    "approx_percentile — the sketch-based percentile for 100 TB (bounded "
-    "memory, mergeable partials). Rows-only check: sketch algorithms "
-    "differ across engines; accuracy asserted in tests.",
-    oracle=None,
-    tags=("analytics", "aggregate", "approx"),
-)
-def q23_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = load_table(spark, sf_dir, "events")
-    return df.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
-
-
-@query(
-    "q24_window_running_stats",
-    "Ordered analytic windows: running sum + moving average + rank per "
-    "key — the time-series serving surface over the archive.",
-    oracle="""
-        SELECT user_id, event_id, value,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
-                   PARTITION BY user_id ORDER BY event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
-                   PARTITION BY user_id ORDER BY event_id
-                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE)
-               / count(*) OVER (
-                   PARTITION BY user_id ORDER BY event_id
-                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS moving_avg_10,
-               rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank
-        FROM events
-    """,
-    tags=("analytics", "window"),
-)
-def q24_window_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = load_table(spark, sf_dir, "events")
-    ordered = Window.partitionBy("user_id").orderBy("event_id")
-    running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    moving = ordered.rowsBetween(-9, Window.currentRow)
-    by_value = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
-    dec_value = F.col("value").cast(MEASURE)
-    return df.select(
-        "user_id",
-        "event_id",
-        "value",
-        F.sum(dec_value).over(running).cast("double").alias("running_sum"),
-        (
-            F.sum(dec_value).over(moving).cast("double")
-            / F.count(F.lit(1)).over(moving)
-        ).alias("moving_avg_10"),
-        F.rank().over(by_value).alias("value_rank"),
-    )
+# q21 (cube), q23 (approx percentile), q24 (running-stat windows) were
+# merged into q13/q15/q57 to fit the driver's 50-query correctness window;
+# their standalone formulations remain oracle-checked in extra_checks.py.

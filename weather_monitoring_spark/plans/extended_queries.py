@@ -18,54 +18,62 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
 @query(
-    "q38_tumbling_window",
-    "Tumbling 6-hour event-time windows per event_type — the batch shape "
-    "of the streaming rollup (streaming/windows.py). Spark `window()` and "
-    "DuckDB `time_bucket` agree because both align buckets to midnight "
-    "for divisor-of-day widths.",
+    "q38_time_windows",
+    "Event-time windows, tumbling AND sliding in one result: 6-hour "
+    "tumbling buckets per event_type (the batch shape of the streaming "
+    "rollup, streaming/windows.py) unioned with 12h-wide/6h-slide "
+    "sliding counts (each row lands in exactly two windows). Spark "
+    "`window()` and DuckDB `time_bucket` agree because both align "
+    "buckets to midnight for divisor-of-day widths.",
     oracle=f"""
-        SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+        SELECT 'tumbling_6h' AS window_kind,
+               time_bucket(INTERVAL '6 hours', ts) AS window_start,
                event_type,
                count(*) AS cnt,
                {o_davg('value')} AS avg_value
-        FROM events GROUP BY 1, 2
-    """,
-    tags=("extended", "window", "time"),
-)
-def q38_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weather_monitoring_spark.functions.exact import davg
-
-    return (
-        load_table(spark, sf_dir, "events")
-        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"), davg(F.col("value")).alias("avg_value"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "avg_value")
-    )
-
-
-@query(
-    "q39_sliding_window",
-    "Sliding windows (12h width, 6h slide): each row lands in exactly two "
-    "windows. The oracle expands the two bucket starts explicitly — same "
-    "epoch-aligned semantics as Spark's window(width, slide).",
-    oracle="""
-        SELECT window_start, count(*) AS cnt
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'sliding_12h_6h' AS window_kind,
+               window_start,
+               CAST(NULL AS VARCHAR) AS event_type,
+               count(*) AS cnt,
+               CAST(NULL AS DOUBLE) AS avg_value
         FROM (
             SELECT unnest([time_bucket(INTERVAL '6 hours', ts),
                            time_bucket(INTERVAL '6 hours', ts) - INTERVAL '6 hours']) AS window_start
             FROM events
         )
-        GROUP BY 1
+        GROUP BY 2
     """,
     tags=("extended", "window", "time"),
 )
-def q39_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "events")
-        .groupBy(F.window("ts", "12 hours", "6 hours").alias("w"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.col("w.start").alias("window_start"), "cnt")
+def q38_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_monitoring_spark.functions.exact import davg
+
+    ev = load_table(spark, sf_dir, "events")
+    tumbling = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), davg(F.col("value")).alias("avg_value"))
+        .select(
+            F.lit("tumbling_6h").alias("window_kind"),
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "avg_value",
+        )
     )
+    sliding = (
+        ev.groupBy(F.window("ts", "12 hours", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.lit("sliding_12h_6h").alias("window_kind"),
+            F.col("w.start").alias("window_start"),
+            F.lit(None).cast("string").alias("event_type"),
+            "cnt",
+            F.lit(None).cast("double").alias("avg_value"),
+        )
+    )
+    return tumbling.unionByName(sliding)
 
 
 @query(
@@ -239,74 +247,26 @@ def q44_conditional_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q45_sql_surface",
-    "The raw SQL API over registered views (same Catalyst plan as the "
-    "DataFrame form): revenue of urgent orders per region via spark.sql.",
-    oracle="""
-        SELECT r_name,
-               count(*) AS n_orders,
-               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
-        FROM orders, customer, nation, region
-        WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
-          AND n_regionkey = r_regionkey AND o_orderpriority = '1-URGENT'
-        GROUP BY r_name
-    """,
-    tags=("extended", "sql"),
-)
-def q45_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT r_name,
-               count(*) AS n_orders,
-               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS revenue
-        FROM orders, customer, nation, region
-        WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
-          AND n_regionkey = r_regionkey AND o_orderpriority = '1-URGENT'
-        GROUP BY r_name
-        """
-    )
+# q45 (spark.sql surface) merged into q53 (also spark.sql, and the harder
+# SQL-path case: decorrelation); standalone formulation in extra_checks.py.
 
 
 @query(
-    "q46_string_functions",
-    "Scalar string-function surface: case, substring, replace, padding, "
-    "trim, concat, length, position — projection-only.",
-    oracle="""
-        SELECT p_partkey,
-               upper(p_name) AS name_uc,
-               lower(p_brand) AS brand_lc,
-               substr(p_name, 1, 10) AS name_prefix,
-               replace(p_type, ' ', '_') AS type_snake,
-               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
-               trim(concat('  ', p_brand, '  ')) AS brand_trim,
-               CAST(length(p_name) AS BIGINT) AS name_len,
-               CAST(strpos(p_type, 'BRUSHED') AS INTEGER) AS brushed_pos
-        FROM part
-    """,
-    tags=("extended", "scalar"),
-)
-def q46_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "part").select(
-        "p_partkey",
-        F.upper("p_name").alias("name_uc"),
-        F.lower("p_brand").alias("brand_lc"),
-        F.substring("p_name", 1, 10).alias("name_prefix"),
-        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
-        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
-        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("brand_trim"),
-        F.length("p_name").cast("bigint").alias("name_len"),
-        F.instr(F.col("p_type"), "BRUSHED").alias("brushed_pos"),
-    )
-
-
-@query(
-    "q47_date_functions",
-    "Scalar date/time surface: truncation, extraction, arithmetic, "
-    "boundaries — pinned to UTC (session.py) so both engines agree.",
+    "q46_scalar_functions",
+    "The scalar function library in one projection over orders: string "
+    "ops (case, substring, replace, padding, trim, concat, length, "
+    "position) + date/time ops (truncation, extraction, arithmetic, "
+    "boundaries — pinned to UTC by session.py so both engines agree).",
     oracle="""
         SELECT o_orderkey,
+               lower(o_orderpriority) AS prio_lc,
+               upper(concat(o_orderstatus, '-', o_orderpriority)) AS status_prio_uc,
+               substr(o_orderpriority, 3, 6) AS prio_word,
+               replace(o_orderpriority, '-', '_') AS prio_snake,
+               lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+               trim(concat('  ', o_orderstatus, '  ')) AS status_trim,
+               CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+               CAST(strpos(o_orderpriority, 'URGENT') AS INTEGER) AS urgent_pos,
                CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
                CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
                CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month_num,
@@ -317,9 +277,21 @@ def q46_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("extended", "scalar", "time"),
 )
-def q47_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q46_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
+        F.lower("o_orderpriority").alias("prio_lc"),
+        F.upper(
+            F.concat(F.col("o_orderstatus"), F.lit("-"), F.col("o_orderpriority"))
+        ).alias("status_prio_uc"),
+        F.substring("o_orderpriority", 3, 6).alias("prio_word"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("prio_snake"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("o_orderstatus"), F.lit("  "))).alias(
+            "status_trim"
+        ),
+        F.length("o_orderpriority").cast("bigint").alias("prio_len"),
+        F.instr(F.col("o_orderpriority"), "URGENT").alias("urgent_pos"),
         F.date_trunc("month", "o_orderdate").alias("order_month"),
         F.year("o_orderdate").alias("order_year"),
         F.month("o_orderdate").alias("order_month_num"),
@@ -331,33 +303,8 @@ def q47_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q48_union_intersect",
-    "Remaining set operations (W5): UNION (distinct) of two customer "
-    "segments INTERSECTed with active buyers — completes the "
-    "union/intersect/except trio (except is q16).",
-    oracle="""
-        SELECT custkey FROM (
-            SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-            UNION
-            SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 8000
-        )
-        INTERSECT
-        SELECT o_custkey AS custkey FROM orders
-    """,
-    tags=("extended", "setop"),
-)
-def q48_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
-        F.col("c_custkey").alias("custkey")
-    )
-    rich = customer.filter(F.col("c_acctbal") > 8000).select(
-        F.col("c_custkey").alias("custkey")
-    )
-    buyers = orders.select(F.col("o_custkey").alias("custkey"))
-    return building.union(rich).distinct().intersect(buyers)
+# q48 (union+intersect) merged into q16's full set-op pipeline; the
+# standalone formulation remains oracle-checked in extra_checks.py.
 
 
 @query(
@@ -404,8 +351,9 @@ def q49_pandas_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q53_correlated_subquery",
     "Correlated scalar subquery — customers above their nation's average "
     "balance. Catalyst decorrelates this into an aggregate + join "
-    "(no per-row re-execution); written via spark.sql to exercise the "
-    "SQL-path decorrelation the DataFrame API can't express directly.",
+    "(no per-row re-execution); written via spark.sql, so this also "
+    "carries the raw-SQL-surface coverage (the simpler q45 formulation "
+    "lives in extra_checks.py).",
     oracle="""
         SELECT c_custkey, c_name, c_acctbal
         FROM customer c
@@ -431,45 +379,42 @@ def q53_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q54_lateral_explode",
-    "Table-generating projection: explode part-name words with their "
-    "positions (generator functions / LATERAL shape). Spark posexplode; "
-    "the oracle expands via generate-series indexing.",
+    "q54_array_agg_explode",
+    "Array round-trip: ordered collection aggregation (sorted distinct "
+    "event types per user, rendered deterministically) followed by the "
+    "table-generating projection back out (posexplode with ordinal) — "
+    "covers collect_set/sort_array/array_join AND generator/LATERAL in "
+    "one oracle-checked pipeline.",
     oracle="""
-        SELECT p_partkey, CAST(i - 1 AS INTEGER) AS pos, words[i] AS word
-        FROM (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part),
-             unnest(range(1, len(words) + 1)) AS u(i)
-    """,
-    tags=("extended", "generator"),
-)
-def q54_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "part")
-        .select("p_partkey", F.split("p_name", " ").alias("words"))
-        .select("p_partkey", F.posexplode("words").alias("pos", "word"))
-    )
-
-
-@query(
-    "q55_ordered_array_agg",
-    "Ordered collection aggregation: per-user sorted distinct event types "
-    "as one joined string (deterministic rendering of collect_set).",
-    oracle="""
+        WITH agg AS (
+            SELECT user_id,
+                   list_sort(list_distinct(list(event_type))) AS arr,
+                   count(*) AS cnt
+            FROM events GROUP BY user_id
+        )
         SELECT user_id,
-               array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
-               count(*) AS cnt
-        FROM events GROUP BY user_id
+               array_to_string(arr, ',') AS types,
+               cnt,
+               CAST(i - 1 AS INTEGER) AS pos,
+               arr[i] AS event_type
+        FROM agg, unnest(range(1, len(arr) + 1)) AS u(i)
     """,
-    tags=("extended", "aggregate", "array"),
+    tags=("extended", "aggregate", "array", "generator"),
 )
-def q55_ordered_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+def q54_array_agg_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
-            F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types"),
+            F.sort_array(F.collect_set("event_type")).alias("arr"),
             F.count(F.lit(1)).alias("cnt"),
         )
+    )
+    return agg.select(
+        "user_id",
+        F.array_join("arr", ",").alias("types"),
+        "cnt",
+        F.posexplode("arr").alias("pos", "event_type"),
     )
 
 
@@ -518,13 +463,16 @@ def q56_outer_join_zerofill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q57_window_zoo",
-    "Window-function coverage: dense_rank, ntile, percent_rank, cume_dist, "
-    "first/nth value, and a numeric RANGE frame — the full analytic-window "
-    "surface in one per-key pass (all integer/ratio-of-integer outputs, so "
-    "cross-engine exact).",
+    "Window-function coverage: dense_rank, rank, ntile, percent_rank, "
+    "cume_dist, first/nth value, a numeric RANGE frame, plus ordered "
+    "running-sum and moving-average frames (the time-series serving "
+    "surface) — the full analytic-window zoo in one per-key pass. Ranks "
+    "and counts are integers; the running aggregates go through exact "
+    "decimal -> cross-engine exact throughout.",
     oracle="""
         SELECT user_id, event_id, value,
                dense_rank()  OVER wv AS dr,
+               rank()        OVER wv AS value_rank,
                ntile(4)      OVER wv AS quartile,
                percent_rank() OVER wv AS pr,
                cume_dist()   OVER wv AS cd,
@@ -532,16 +480,31 @@ def q56_outer_join_zerofill(spark: SparkSession, sf_dir: str) -> DataFrame:
                nth_value(event_id, 2) OVER (PARTITION BY user_id ORDER BY value DESC, event_id
                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_event,
                count(*) OVER (PARTITION BY user_id ORDER BY value
-                              RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW) AS near_below
+                              RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW) AS near_below,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / count(*) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS moving_avg_10
         FROM events
         WINDOW wv AS (PARTITION BY user_id ORDER BY value DESC, event_id)
     """,
     tags=("extended", "window"),
 )
 def q57_window_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_monitoring_spark.functions.exact import MEASURE
+
     ev = load_table(spark, sf_dir, "events")
     wv = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
     wv_rows = wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered = Window.partitionBy("user_id").orderBy("event_id")
+    running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = ordered.rowsBetween(-9, Window.currentRow)
+    dec_value = F.col("value").cast(MEASURE)
     # fractional RANGE frames aren't expressible through the python
     # Window API (int offsets only) — SQL text handles them
     near_below = F.expr(
@@ -553,12 +516,18 @@ def q57_window_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
         F.dense_rank().over(wv).alias("dr"),
+        F.rank().over(wv).alias("value_rank"),
         F.ntile(4).over(wv).alias("quartile"),
         F.percent_rank().over(wv).alias("pr"),
         F.cume_dist().over(wv).alias("cd"),
         F.first("event_id").over(wv).alias("top_event"),
         F.nth_value("event_id", 2).over(wv_rows).alias("second_event"),
         near_below.alias("near_below"),
+        F.sum(dec_value).over(running).cast("double").alias("running_sum"),
+        (
+            F.sum(dec_value).over(moving).cast("double")
+            / F.count(F.lit(1)).over(moving)
+        ).alias("moving_avg_10"),
     )
 
 
