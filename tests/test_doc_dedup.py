@@ -45,3 +45,46 @@ def test_streaming_dedup_exact_and_fuzzy(spark, tmp_path):
     )
     dd.process_batch(b2, 2)
     assert sorted(r.doc_id for r in dd.corpus().collect()) == [1, 3, 6, 8]
+
+
+def test_streaming_dedup_batch_internal_fuzzy(spark, tmp_path):
+    """Two near-dup (but not byte-identical) documents arriving in the
+    SAME micro-batch: only the min-id one survives."""
+    dd = StreamingDocDedup(spark, str(tmp_path / "store"))
+    base = _varied("alpha")
+    near = base.replace("alpha30", "sleepy", 1)
+    b0 = _docs(spark, [(1, base), (2, near), (3, _varied("beta"))])
+    dd.process_batch(b0, 0)
+    assert sorted(r.doc_id for r in dd.corpus().collect()) == [1, 3]
+
+
+def test_streaming_dedup_partial_batch_replay_reconciles(spark, tmp_path):
+    """Crash-consistency: a batch whose stores were only partially written
+    (crash before the meta commit — here even with the fp partition
+    missing entirely) must replay to the SAME final state, with no
+    duplicate corpus rows and consistent fp/band indexes."""
+    import os
+    import shutil
+
+    store = tmp_path / "store"
+    dd = StreamingDocDedup(spark, str(store))
+    b0 = _docs(spark, [(1, _varied("alpha")), (2, _varied("beta"))])
+    dd.process_batch(b0, 0)
+
+    # Simulate a crash during batch 1: stores written, fp partition lost,
+    # meta never committed.
+    b1 = _docs(spark, [(3, _varied("gamma")), (4, _varied("delta"))])
+    dd.process_batch(b1, 1)
+    os.remove(dd._meta)
+    shutil.rmtree(os.path.join(dd.fp_dir, "batch_id=1"))
+
+    # Replay overwrites batch 1's partitions -> consistent state.
+    dd.process_batch(b1, 1)
+    assert sorted(r.doc_id for r in dd.corpus().collect()) == [1, 2, 3, 4]
+    fp = spark.read.parquet(dd.fp_dir)
+    assert fp.count() == fp.select("fp").distinct().count() == 4
+
+    # An exact dup of a batch-1 doc is still recognized afterwards.
+    b2 = _docs(spark, [(5, _varied("gamma")), (6, _varied("eps"))])
+    dd.process_batch(b2, 2)
+    assert sorted(r.doc_id for r in dd.corpus().collect()) == [1, 2, 3, 4, 6]

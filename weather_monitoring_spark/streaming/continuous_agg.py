@@ -4,10 +4,17 @@
 Unlike the latest-view (max_by — idempotent under replay), additive
 aggregates (count/sum) double-count if a micro-batch is replayed after a
 crash between sink-write and checkpoint-commit. The standard fix is
-transactional idempotency keyed by ``batch_id``: the view directory
-stores the last applied batch id, and ``merge_batch`` is a no-op for
-batch ids it has already absorbed. foreachBatch + this guard gives
-effective exactly-once on an at-least-once channel.
+transactional idempotency keyed by ``batch_id``: the view stores the last
+applied batch id, and ``merge_batch`` is a no-op for batch ids it has
+already absorbed. foreachBatch + this guard gives effective exactly-once
+on an at-least-once channel.
+
+The batch-id marker lives INSIDE the view directory (``_last_batch_id``,
+underscore-prefixed so parquet readers ignore it) and is written into the
+tmp directory BEFORE the single atomic rename swap — view data and marker
+commit together. A sibling meta file updated after the swap would leave a
+window where a crash yields a view that already absorbed the batch with a
+stale id, double-counting on replay.
 
 Merge math: each batch reduces to partial (cnt, sum) per group —
 commutative + associative, so merging partials into the view is one
@@ -42,10 +49,13 @@ def _batch_partials(batch_df: DataFrame) -> DataFrame:
 class ContinuousRollup:
     """Incrementally-maintained (station, date, hour) rollup."""
 
+    #: Marker filename inside the view directory; the leading underscore
+    #: makes Spark/DuckDB parquet readers skip it (like _SUCCESS).
+    MARKER = "_last_batch_id"
+
     def __init__(self, spark: SparkSession, view_dir: str) -> None:
         self.spark = spark
         self.view_dir = view_dir
-        self._meta_path = view_dir + ".meta.json"
 
     # -- reads ------------------------------------------------------------
 
@@ -65,9 +75,10 @@ class ContinuousRollup:
     # -- writes -----------------------------------------------------------
 
     def _last_applied(self) -> int:
-        if not os.path.exists(self._meta_path):
+        marker = os.path.join(self.view_dir, self.MARKER)
+        if not os.path.exists(marker):
             return -1
-        with open(self._meta_path) as f:
+        with open(marker) as f:
             return json.load(f).get("last_batch_id", -1)
 
     def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -90,6 +101,10 @@ class ContinuousRollup:
             merged = partials
         tmp = self.view_dir + ".tmp"
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # Commit marker INSIDE tmp before the swap: the rename below is the
+        # single atomic commit point for data + batch id together.
+        with open(os.path.join(tmp, self.MARKER), "w") as f:
+            json.dump({"last_batch_id": batch_id}, f)
         old = self.view_dir + ".old"
         if os.path.exists(old):
             shutil.rmtree(old)
@@ -98,9 +113,6 @@ class ContinuousRollup:
         os.rename(tmp, self.view_dir)
         if os.path.exists(old):
             shutil.rmtree(old)
-        with open(self._meta_path + ".tmp", "w") as f:
-            json.dump({"last_batch_id": batch_id}, f)
-        os.replace(self._meta_path + ".tmp", self._meta_path)
 
     def attach(
         self,

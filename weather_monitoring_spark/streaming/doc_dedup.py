@@ -9,17 +9,24 @@ Design (foreachBatch, like every stateful sink in this engine):
    (keep min id per hash).
 2. **fuzzy**: MinHash band hashes of the remaining rows are anti-joined
    against the persisted band index — a candidate band collision marks
-   the doc as a near-dup of the existing corpus and it is dropped. (The
-   1-in-2^128 band-hash false-positive rate is negligible; false
-   negatives follow the LSH curve, tunable via K/bands in
-   operators/dedup.py.)
-3. survivors are appended to the output corpus AND their fingerprints +
-   band hashes are appended to the stores.
+   the doc as a near-dup of the existing corpus and it is dropped — AND
+   self-joined within the batch (keep the min doc_id of each colliding
+   band group), so two near-dup documents arriving in the same
+   micro-batch don't both survive. (The 1-in-2^128 band-hash
+   false-positive rate is negligible; false negatives follow the LSH
+   curve, tunable via K/bands in operators/dedup.py.)
+3. survivors + their fingerprints/band hashes are written to
+   ``batch_id=N`` partition directories with overwrite semantics — the
+   replay of a partially-written batch overwrites its own partitions
+   instead of appending next to them, so corpus/fp/band stay consistent
+   with NO ordering requirement between the three writes. Store reads
+   filter to ``batch_id < current``, so a crashed attempt's partial
+   partitions can't shadow the retry's own survivors.
 
-The stores are plain parquet append tables keyed by digest — at 100 TB
-they'd be bucketed by hash prefix so both anti-joins stay co-located and
-the per-batch cost is O(batch), independent of corpus size. Batch-id
-tracking makes replays no-ops (same pattern as ContinuousRollup).
+The stores are plain parquet tables keyed by digest — at 100 TB they'd
+be bucketed by hash prefix so the anti-joins stay co-located and the
+per-batch cost is O(batch), independent of corpus size. The meta file is
+only a fast-path skip; idempotency comes from partition overwrite.
 """
 
 from __future__ import annotations
@@ -44,16 +51,25 @@ class StreamingDocDedup:
         os.makedirs(store_dir, exist_ok=True)
 
     def corpus(self) -> DataFrame:
-        return self.spark.read.parquet(self.corpus_dir)
+        return self.spark.read.parquet(self.corpus_dir).drop("batch_id")
 
-    def _read_or_none(self, path: str) -> DataFrame | None:
-        return self.spark.read.parquet(path) if os.path.exists(path) else None
+    def _read_before(self, path: str, batch_id: int) -> DataFrame | None:
+        """Store contents committed by earlier batches only — a crashed
+        attempt of THIS batch may have left partial partitions that must
+        not be visible to the retry."""
+        if not os.path.exists(path):
+            return None
+        df = self.spark.read.parquet(path)
+        return df.filter(F.col("batch_id") < batch_id).drop("batch_id")
 
     def _last_applied(self) -> int:
         if not os.path.exists(self._meta):
             return -1
         with open(self._meta) as f:
             return json.load(f).get("last_batch_id", -1)
+
+    def _batch_partition(self, root: str, batch_id: int) -> str:
+        return os.path.join(root, f"batch_id={batch_id}")
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= self._last_applied():
@@ -62,32 +78,52 @@ class StreamingDocDedup:
         hashed = batch_df.withColumn("fp", F.md5(F.col("text")))
         w_min = hashed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
         fresh = hashed.join(w_min, ["fp", "doc_id"], "left_semi")
-        store_fp = self._read_or_none(self.fp_dir)
+        store_fp = self._read_before(self.fp_dir, batch_id)
         if store_fp is not None:
             fresh = fresh.join(store_fp, "fp", "left_anti")
 
-        # 2. fuzzy: any band collision with the persisted index -> drop
+        # 2. fuzzy: band hashes of the exact-surviving rows.
         sigs = minhash_signatures(fresh)
         bands = sigs.select(
             "doc_id",
             F.posexplode(
                 F.array(*[F.col(f"band_{b}") for b in range(LSH_BANDS)])
             ).alias("band_idx", "bh"),
+        ).localCheckpoint(eager=False)
+        # 2a. batch-internal: two near-dups arriving in the same batch must
+        # not both survive — keep the min doc_id of each colliding band
+        # group (mirrors the batch-internal exact-dedup step).
+        a, b = bands.alias("a"), bands.alias("b")
+        batch_drops = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.doc_id") > F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_id"))
+            .distinct()
         )
-        store_bands = self._read_or_none(self.bands_dir)
+        fresh = fresh.join(batch_drops, "doc_id", "left_anti")
+        # 2b. vs the persisted index: any band collision -> near-dup of the
+        # existing corpus -> drop.
+        store_bands = self._read_before(self.bands_dir, batch_id)
         if store_bands is not None:
             neardup_ids = bands.join(store_bands, ["band_idx", "bh"], "left_semi").select(
                 "doc_id"
             ).distinct()
             fresh = fresh.join(neardup_ids, "doc_id", "left_anti")
 
-        # 3. append survivors + their index entries. The survivor set MUST
-        # have its lineage truncated before the first store write: the
-        # plans above read the fp/band stores lazily, and appending to
-        # those paths auto-invalidates dependent caches (refreshByPath),
-        # so a merely-cached plan re-evaluated after the fp append would
-        # see the batch's own fingerprints and filter out its own
-        # survivors. localCheckpoint pins the rows themselves.
+        # 3. write survivors + index entries into this batch's partition
+        # directories with OVERWRITE semantics: a replay of a partially
+        # written batch overwrites its own partitions, so the three stores
+        # stay mutually consistent with no ordering requirement between
+        # the writes. The survivor set MUST have its lineage truncated
+        # first: the plans above read the fp/band stores lazily, and
+        # writing those paths auto-invalidates dependent caches
+        # (refreshByPath), so a merely-cached plan re-evaluated after the
+        # fp write would see the batch's own fingerprints and filter out
+        # its own survivors. localCheckpoint pins the rows themselves.
         fresh = fresh.localCheckpoint(eager=True)
         survivor_bands = minhash_signatures(fresh).select(
             "doc_id",
@@ -95,9 +131,15 @@ class StreamingDocDedup:
                 F.array(*[F.col(f"band_{b}") for b in range(LSH_BANDS)])
             ).alias("band_idx", "bh"),
         )
-        fresh.drop("fp").write.mode("append").parquet(self.corpus_dir)
-        fresh.select("fp").write.mode("append").parquet(self.fp_dir)
-        survivor_bands.write.mode("append").parquet(self.bands_dir)
+        fresh.drop("fp").write.mode("overwrite").parquet(
+            self._batch_partition(self.corpus_dir, batch_id)
+        )
+        fresh.select("fp").write.mode("overwrite").parquet(
+            self._batch_partition(self.fp_dir, batch_id)
+        )
+        survivor_bands.write.mode("overwrite").parquet(
+            self._batch_partition(self.bands_dir, batch_id)
+        )
         with open(self._meta + ".tmp", "w") as f:
             json.dump({"last_batch_id": batch_id}, f)
         os.replace(self._meta + ".tmp", self._meta)
