@@ -157,3 +157,49 @@ def test_kafka_wrapper_capability_detection(spark):
 
         with pytest.raises(Exception, match="kafka"):
             read_kafka_stream(spark, "localhost:9092")
+
+
+def test_kafka_and_file_parse_paths_are_identical(spark, tmp_path):
+    """S1 fence: no broker exists in this sandbox, so the Kafka source
+    can't execute here — this proves the downstream ingest transform is
+    byte-identical across transports instead. The same wire values are
+    fed once in the exact frame shape read_kafka_stream produces
+    (key/value/topic/partition/offset/kafka_timestamp) and once via the
+    file source; wire_to_canonical must yield identical canonical rows
+    and identical rejects, so swapping the transport in deployment
+    changes nothing downstream (the DataFrame algebra is
+    source-agnostic by construction)."""
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.sources.generator import synthetic_wire_batch
+    from weather_monitoring_spark.sources.kafka import WEATHER_TOPIC
+    from weather_monitoring_spark.streaming.archive import wire_to_canonical
+
+    wire = synthetic_wire_batch(spark, 200, with_drops=False)
+    values = wire.select(
+        F.col("stationId").cast("string").alias("key"),  # WeatherStation.java:58-62
+        F.to_json(F.struct("*")).alias("value"),
+    )
+    malformed = spark.createDataFrame(
+        [("bad", "{not json"), ("bad2", '{"stationId": null}')], ["key", "value"]
+    )
+    values = values.unionByName(malformed)
+
+    kafka_shape = values.select(
+        "key",
+        "value",
+        F.lit(WEATHER_TOPIC).alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("kafka_timestamp"),
+    )
+    src = tmp_path / "wire_text"
+    values.select("value").coalesce(1).write.mode("overwrite").text(str(src))
+    file_shape = spark.read.text(str(src))
+
+    canon_k, rejects_k = wire_to_canonical(kafka_shape)
+    canon_f, rejects_f = wire_to_canonical(file_shape)
+    rows_k = sorted(map(str, canon_k.collect()))
+    rows_f = sorted(map(str, canon_f.collect()))
+    assert rows_k == rows_f and len(rows_k) == 200
+    assert rejects_k.count() == rejects_f.count() == 2

@@ -309,11 +309,15 @@ def q46_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q49_pandas_per_group",
-    "applyInPandas per-group operator (the grouped-map UDF surface): per "
-    "user, ordinal position and inter-event gap in microseconds. Outputs "
-    "are exact integers, so even the Python path is oracle-checked — the "
-    "pattern for custom per-entity logic that built-ins can't express. "
-    "Arrow moves each group as one columnar batch; one shuffle on the key.",
+    "applyInPandas per-group operator — a deliberate DEMO of the "
+    "grouped-map UDF surface, NOT the recommended plan for this job: the "
+    "same result is pure Catalyst (row_number + lag(unix_micros); see "
+    "extra_checks.x_per_group_builtin, ~10x faster in bench). Registered "
+    "in this form because the surface itself needs correctness standing: "
+    "outputs are exact integers, so even the Python path is "
+    "oracle-checked — the pattern for custom per-entity logic that "
+    "built-ins genuinely can't express. Arrow moves each group as one "
+    "columnar batch; one shuffle on the key.",
     oracle="""
         SELECT user_id, event_id,
                CAST(row_number() OVER w AS INTEGER) AS ordinal,
