@@ -159,6 +159,47 @@ def test_kafka_wrapper_capability_detection(spark):
             read_kafka_stream(spark, "localhost:9092")
 
 
+def test_avro_schema_contract_and_wire_path(spark):
+    """S-Avro fence: the spark-avro data source is an external package not
+    present here, so the wire encode/decode can't execute — what IS
+    asserted: (a) the capability probe is honest, (b) the re-expressed
+    Avro schema matches the reference's WeatherStatus.avsc contract
+    field-for-field (names, types, enum symbols, timestamp-millis), and
+    (c) when the package IS loaded, a canonical batch round-trips
+    to_avro_wire -> from_avro_wire unchanged."""
+    from weather_monitoring_spark.sources.avro import (
+        WEATHER_STATUS_AVSC,
+        avro_available,
+        from_avro_wire,
+        to_avro_wire,
+    )
+
+    fields = {f["name"]: f["type"] for f in WEATHER_STATUS_AVSC["fields"]}
+    assert list(fields) == [
+        "station_id", "s_no", "battery_status", "status_timestamp", "weather",
+    ]  # WeatherStatus.avsc:1-26
+    assert fields["station_id"] == "long" and fields["s_no"] == "long"
+    assert fields["battery_status"]["symbols"] == ["low", "medium", "high"]
+    assert fields["status_timestamp"]["logicalType"] == "timestamp-millis"
+    assert [f["name"] for f in fields["weather"]["fields"]] == [
+        "humidity", "temperature", "wind_speed",
+    ]
+
+    if not avro_available(spark):
+        return  # honest fence: no spark-avro jar in this container
+
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.operators.core import normalize_wire
+    from weather_monitoring_spark.sources.generator import synthetic_wire_batch
+
+    canonical = normalize_wire(synthetic_wire_batch(spark, 50, with_drops=False))
+    back = from_avro_wire(to_avro_wire(canonical))
+    a = sorted(map(str, canonical.select(*back.columns).collect()))
+    b = sorted(map(str, back.collect()))
+    assert a == b
+
+
 def test_kafka_and_file_parse_paths_are_identical(spark, tmp_path):
     """S1 fence: no broker exists in this sandbox, so the Kafka source
     can't execute here — this proves the downstream ingest transform is
