@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Scale probe for the quadratic-family operators: run the blocked/banded
+plans on synthetic corpora 10-40x the sf0.1 bench tables and print one
+JSON line of timings. The point is trend evidence for the 100 TB story:
+these operators must scale with collisions/candidates, not n^2.
+
+Synthetic inputs are generated distributed (spark.range + md5-derived
+columns) — nothing is collected to the driver.
+
+Usage: python scripts/scale_probe.py [n_embeddings] [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    n_emb = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        simhash_neardup_pairs,
+    )
+    from weather_monitoring_spark.operators.similarity import (
+        ann_lsh_topk,
+        cosine_neardup_pairs,
+    )
+    from weather_monitoring_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe")
+    out: dict[str, float | int] = {"n_embeddings": n_emb, "n_docs": n_docs}
+
+    # --- synthetic embeddings: 64-dim uniform via md5 (distributed) ------
+    emb = (
+        spark.range(n_emb)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 64), i -> "
+                "CAST(CAST(conv(substring(md5(concat(id, ':', i)), 1, 8), 16, 10) AS DOUBLE)"
+                " / 4294967296.0 - 0.5 AS FLOAT))"
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    t0 = time.perf_counter()
+    out["gemm_neardup_pairs"] = cosine_neardup_pairs(emb, threshold=0.4).count()
+    out["gemm_neardup_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    out["ann_topk_rows"] = ann_lsh_topk(emb, [0, 1, 2, 3, 4]).count()
+    out["ann_topk_sec"] = round(time.perf_counter() - t0, 2)
+
+    # --- synthetic documents: ~60 md5-derived words each (distributed) ---
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, 60), i -> "
+                "substring(md5(concat(id, ':w', i)), 1, 8)))"
+            ).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    t0 = time.perf_counter()
+    out["exact_dedup_groups"] = exact_dedup(docs).count()
+    out["exact_dedup_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    out["minhash_lsh_pairs"] = minhash_lsh_pairs(docs).count()
+    out["minhash_lsh_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    out["simhash_blocked_pairs"] = simhash_neardup_pairs(docs).count()
+    out["simhash_blocked_sec"] = round(time.perf_counter() - t0, 2)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
