@@ -25,9 +25,13 @@ def main() -> None:
     spark = get_spark(app_name="wms-bench")
 
     specs = all_queries()
-    # Warm the JVM + parquet footers once with the cheapest query.
+    # Warm the JVM + parquet footers once with the cheapest query, and the
+    # Python UDF workers with a trivial Arrow round-trip (so the pandas
+    # queries measure the operator, not worker spin-up — mirroring the
+    # JVM warm-up).
     try:
         specs["q12_topk_extremes"].spark(spark, sf_dir).collect()
+        spark.range(32).mapInPandas(lambda it: it, "id long").collect()
     except Exception:
         pass
 

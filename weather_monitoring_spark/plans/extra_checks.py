@@ -81,6 +81,44 @@ def _per_group_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (SURVEY §2.4's implied interval join): for each
+    purchase, count clicks by the same user within the preceding 30
+    minutes. The scale-correct shape: equi-join on (user, hour-bucket)
+    pairs — each purchase probes its own and the previous hour bucket —
+    so the range predicate only filters within small co-located groups
+    instead of driving an n*m per-user nested loop. (The as-of variant,
+    one shuffle + last(ignorenulls), is registered as q17.)"""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.date_trunc("hour", "ts").alias("c_bucket"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id"),
+        "ts",
+        F.explode(
+            F.array(
+                F.date_trunc("hour", "ts"),
+                F.date_trunc("hour", "ts") - F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("probe_bucket"),
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (purchases.probe_bucket == clicks.c_bucket)
+        & (clicks.c_ts >= purchases.ts - F.expr("INTERVAL 30 MINUTES"))
+        & (clicks.c_ts < purchases.ts),
+        "left",
+    )
+    return joined.groupBy("user_id", "event_id", "ts").agg(
+        F.count("c_ts").alias("clicks_30m")
+    )
+
+
 def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document SimHash bit-identity for ALL documents (the registered
     q34 oracle only proves signatures of colliding docs)."""
@@ -126,6 +164,20 @@ EXTRA_SPECS: list[QuerySpec] = [
                  unnest(range(1, len(words) + 1)) AS u(i)
         """,
         tags=("extra", "generator"),
+    ),
+    QuerySpec(
+        name="x_range_join",
+        doc=_range_join.__doc__ or "",
+        spark=_range_join,
+        oracle="""
+            SELECT p.user_id, p.event_id, p.ts,
+                   (SELECT count(*) FROM events c
+                    WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                      AND c.ts >= p.ts - INTERVAL '30 minutes'
+                      AND c.ts < p.ts) AS clicks_30m
+            FROM events p WHERE p.event_type = 'purchase'
+        """,
+        tags=("extra", "join", "range"),
     ),
     QuerySpec(
         name="x_per_group_builtin",
