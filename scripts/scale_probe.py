@@ -34,6 +34,7 @@ def main() -> None:
     from weather_monitoring_spark.operators.similarity import (
         ann_lsh_topk,
         cosine_neardup_pairs,
+        ivf_topk,
     )
     from weather_monitoring_spark.session import get_spark
 
@@ -61,6 +62,12 @@ def main() -> None:
     t0 = time.perf_counter()
     out["ann_topk_rows"] = ann_lsh_topk(emb, [0, 1, 2, 3, 4]).count()
     out["ann_topk_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    out["ivf_topk_rows"] = ivf_topk(
+        emb, [0, 1, 2, 3, 4], n_cells=max(16, int(n_emb**0.5))
+    ).count()
+    out["ivf_topk_sec"] = round(time.perf_counter() - t0, 2)
 
     # --- synthetic documents: ~60 md5-derived words each (distributed) ---
     docs = (

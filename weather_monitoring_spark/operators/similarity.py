@@ -324,6 +324,20 @@ def ann_lsh_topk(
         .select("qid", id_col)
         .distinct()
     )
+    return _pairs_exact_topk(pair_ids, emb, query_ids, k, id_col, vec_col)
+
+
+def _pairs_exact_topk(
+    pair_ids: DataFrame,
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared ANN tail: given candidate (qid, id) pairs, rejoin the vectors
+    (query side broadcast), score with the exact sequential fold, and rank
+    to top-k per query."""
     cands = pair_ids.join(
         F.broadcast(
             emb.filter(F.col(id_col).isin(query_ids)).select(
@@ -341,3 +355,147 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("qid", id_col, "cosine", "rank")
     )
+
+
+#: IVF defaults: ~sqrt(N) cells is the classic rule; 16 cells at the
+#: sf0.01 corpus (500 vectors) keeps ~30 vectors/cell, and 4 probes scan
+#: ~25% of the corpus — the recall/cost point the tests assert.
+IVF_CELLS = 16
+IVF_PROBES = 4
+IVF_ITERS = 2
+
+
+def _ivf_assign(
+    emb: DataFrame,
+    centroids,  # np.ndarray [n_cells, dim], unit rows
+    id_col: str,
+    vec_col: str,
+    carry_vec: bool = False,
+) -> DataFrame:
+    """Nearest-centroid assignment as one Arrow-batched GEMM pass.
+
+    The centroid matrix ships in the task closure (KB — it's k centroids,
+    not data), so this is a zero-shuffle map: each executor batch does a
+    single float64 matmul + argmax. ``carry_vec`` additionally emits the
+    L2-normalized vector (used by the Lloyd mean step, which then needs
+    no join back to the corpus)."""
+    import numpy as np
+
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    schema = (
+        "cell int, v array<double>" if carry_vec else f"{id_col} long, cell int"
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            mat /= norms
+            cells = np.argmax(mat @ cent.T, axis=1).astype("int32")
+            if carry_vec:
+                yield pd.DataFrame({"cell": cells, "v": list(mat)})
+            else:
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col].to_numpy(dtype="int64"), "cell": cells}
+                )
+
+    return emb.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def ivf_train(
+    emb: DataFrame,
+    n_cells: int = IVF_CELLS,
+    n_iters: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Spherical k-means centroids, fully deterministic: seeds are the
+    ``n_cells`` vectors with the smallest ``md5(id)`` (an engine-portable
+    'random' sample, picked by TakeOrderedAndProject — no RNG), then
+    ``n_iters`` Lloyd rounds. Each round is one distributed assignment
+    GEMM (``_ivf_assign``) followed by a 64-column avg aggregate — the
+    only shuffle is the tiny (cell, partial-mean) combine; vectors never
+    leave their partitions. Returns ``np.ndarray [n_cells, dim]`` of unit
+    centroids — k rows, intentionally driver-side (it IS the model)."""
+    import numpy as np
+
+    seeds = (
+        emb.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    cent = np.array([r[0] for r in seeds], dtype=np.float64)
+    norms = np.linalg.norm(cent, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    cent /= norms
+    dim = cent.shape[1]
+    for _ in range(n_iters):
+        means = (
+            _ivf_assign(emb, cent, id_col, vec_col, carry_vec=True)
+            .groupBy("cell")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        new = cent.copy()  # empty cells keep their previous centroid
+        for r in means:
+            v = np.array([r[f"m{i}"] for i in range(dim)], dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n > 0:
+                new[r["cell"]] = v / n
+        cent = new
+    return cent
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = ANN_TOP_K,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBES,
+    n_iters: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k — the second ANN scale path next to
+    random-hyperplane LSH (``ann_lsh_topk``).
+
+    Index: every corpus vector lands in exactly one of ``n_cells``
+    spherical-k-means cells (one GEMM pass, no shuffle). Query: each query
+    probes its ``n_probe`` nearest centroids (driver-side — the query set
+    is tiny by the same premise as ``cosine_topk``'s broadcast; the
+    centroid model is k rows), and only vectors in probed cells are
+    scored, with the exact sequential fold. Cost per query ~
+    ``n_probe/n_cells`` of a full scan; at 100 TB the assignment is a
+    persisted column and the table is partitioned by cell, so a probe is
+    a handful of partition-pruned scans (mirroring ``storage/bucketing``'s
+    bucketBy path for LSH). Recall is approximate by design (a true
+    neighbor can sit in an unprobed cell) — rows-only checking plus recall
+    assertions in tests, like the LSH variant. Since each vector has one
+    cell and probe pairs are distinct, candidate pairs need no dedup."""
+    import numpy as np
+
+    cent = ivf_train(emb, n_cells, n_iters, id_col, vec_col)
+    assigned = _ivf_assign(emb, cent, id_col, vec_col).localCheckpoint(eager=False)
+    qrows = (
+        emb.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
+    )
+    probe: list[tuple[int, int]] = []
+    for r in qrows:
+        q = np.asarray(r[1], dtype=np.float64)
+        n = np.linalg.norm(q)
+        scores = (q / (n if n > 0 else 1.0)) @ cent.T
+        for c in np.argsort(-scores, kind="stable")[:n_probe]:
+            probe.append((int(r[0]), int(c)))
+    probe_df = emb.sparkSession.createDataFrame(probe, "qid long, cell int")
+    pair_ids = (
+        assigned.join(F.broadcast(probe_df), "cell")
+        .filter(F.col("qid") != F.col(id_col))
+        .select("qid", id_col)
+    )
+    return _pairs_exact_topk(pair_ids, emb, query_ids, k, id_col, vec_col)
