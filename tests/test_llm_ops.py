@@ -64,6 +64,22 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert len({q for q, _ in a}) >= 3
 
 
+def test_lsh_buckets_gemm_equals_expr(spark):
+    """The Arrow-GEMM bucket derivation must agree with the all-JVM
+    expression derivation on every vector — same md5-derived planes, so
+    the only possible divergence is a dot product within summation-order
+    noise of exactly zero, which the fixture corpus does not contain."""
+    from weather_monitoring_spark.operators.similarity import with_lsh_buckets
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cols = ["vec_id", "bucket_0", "bucket_1", "bucket_2", "bucket_3"]
+    gemm = sorted(map(tuple, with_lsh_buckets(emb).select(cols).collect()))
+    expr = sorted(
+        map(tuple, with_lsh_buckets(emb, method="expr").select(cols).collect())
+    )
+    assert gemm == expr
+
+
 def test_ivf_topk_recall_exactness_determinism(spark):
     """IVF (spherical k-means cells, 4/16 probes => ~25% of the corpus
     scanned): returned cosines must equal the exact fold, every query must
