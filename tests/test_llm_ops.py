@@ -106,6 +106,76 @@ def test_ivf_topk_recall_exactness_determinism(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
 
 
+def test_distributed_cumsum_equals_naive_window(spark):
+    """The range-partitioned cumsum (local windows + broadcast offsets)
+    must equal the single-partition global window exactly, for any
+    partition count — boundary placement must not matter."""
+    from pyspark.sql import Window
+
+    from weather_monitoring_spark.operators.training_prep import distributed_cumsum
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", F.length("text").alias("v")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = {r.doc_id: r.cum for r in docs.select(
+        "doc_id", F.sum("v").over(w).cast("long").alias("cum")
+    ).collect()}
+    for n_parts in (1, 7, 32):
+        dist = {r.doc_id: r.cum for r in distributed_cumsum(
+            docs, "doc_id", "v", n_partitions=n_parts
+        ).collect()}
+        assert dist == naive, f"n_partitions={n_parts}"
+
+
+def test_pack_token_budget_shard_bounds(spark):
+    """Contiguous packing invariants: shard ids are dense from 0, docs in
+    id order have non-decreasing shard ids, and every shard's token total
+    stays under budget + its largest document (the formulation's bound)."""
+    from weather_monitoring_spark.operators.training_prep import pack_token_budget
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    packed = pack_token_budget(docs, budget=5_000).collect()
+    by_id = sorted(packed, key=lambda r: r.doc_id)
+    shards = [r.shard_id for r in by_id]
+    assert shards == sorted(shards) and shards[0] == 0
+    assert set(shards) == set(range(max(shards) + 1))
+    from collections import defaultdict
+
+    totals, biggest = defaultdict(int), defaultdict(int)
+    for r in by_id:
+        totals[r.shard_id] += r.n_tokens
+        biggest[r.shard_id] = max(biggest[r.shard_id], r.n_tokens)
+    for s, tot in totals.items():
+        if s != max(shards):  # the tail shard may be short
+            assert tot >= 5_000 - biggest[s] or len(totals) == 1
+        assert tot <= 5_000 + biggest[s]
+
+
+def test_contamination_flags_catch_planted_neardups(spark):
+    """A training doc that is a planted near-duplicate of an eval doc
+    shares essentially all its shingles — it MUST be flagged; docs with
+    zero overlap must appear with an explicit n_shared = 0."""
+    from weather_monitoring_spark.operators.training_prep import contamination_flags
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    flags = contamination_flags(train, bench).collect()
+    assert len(flags) == train.count()  # zero-filled: every train doc has a verdict
+    flagged = {r.doc_id for r in flags if r.contaminated}
+    # ground truth from the exact pairwise machinery: near-dup partners of
+    # eval docs that live in the training split
+    partners = {
+        (r.id_a if r.id_b % 20 == 0 else r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+        if (r.id_a % 20 == 0) != (r.id_b % 20 == 0)
+    }
+    assert partners, "fixture should plant eval/train near-dup pairs"
+    assert partners <= flagged
+    assert any(r.n_shared == 0 for r in flags)
+
+
 def test_approx_sketches_accuracy(spark):
     orders = load_table(spark, SF_SMALL, "orders")
     row = orders.agg(

@@ -1,0 +1,163 @@
+"""Training-set preparation operators: token-budget shard packing and
+benchmark decontamination.
+
+Both are late-pipeline steps of an LLM data pipeline (after dedup /
+curation, before the data loader):
+
+- **shard packing**: assign documents, in a deterministic global order,
+  to contiguous shards of ~``budget`` tokens each. The hard part at scale
+  is the global running total — a bare ``Window.orderBy`` (no partition
+  key) collapses the corpus onto ONE task. ``distributed_cumsum`` is the
+  scale-correct formulation: range-repartition on the order key, local
+  window cumsums per partition, then add broadcast per-partition offsets
+  (one row per partition crosses the driver, never data).
+- **decontamination**: flag training documents that share >= k word
+  3-grams with a held-out benchmark set. Contamination is measured
+  against the UNION of benchmark shingles (one distinct set), so the
+  join is train-shingles x shingle-set — an equi-join whose cost follows
+  shingle overlap, never |train| x |benchmark| pairs.
+
+Reference parity: the reference has no training-prep surface (its corpus
+ops end at the ES index — ``ParquetToElasticsearch.java``); these extend
+the engine per the builder brief's LLM-pipeline scope, sharing the
+engine-portable text primitives of ``functions/text.py`` so both are
+fully DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from weather_monitoring_spark.functions.text import shingles_expr, tokens_expr
+
+#: Default shard size for pack_token_budget, in tokens. A doc is assigned
+#: by the shard its first token falls in, so true shard totals vary by up
+#: to one document length around the budget — the standard contiguous
+#: (non-bin-packing) formulation, which keeps assignment a pure function
+#: of the running total.
+PACK_TOKEN_BUDGET = 20_000
+
+#: Minimum shared distinct shingles for a training doc to be flagged.
+CONTAMINATION_MIN_SHARED = 3
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Global running sum of ``value_col`` in ``order_col`` order, without
+    ever sorting the dataset on a single task.
+
+    Plan shape: ``repartitionByRange(order_col)`` gives partitions that
+    are themselves globally ordered (partition i holds strictly smaller
+    keys than partition i+1), so a partition-LOCAL window cumsum plus the
+    exclusive sum of the preceding partitions' totals equals the global
+    cumsum. The per-partition totals are a ``groupBy`` over at most
+    ``n_partitions`` rows; their own running sum happens on that tiny
+    frame and is broadcast back. Rows shuffle once (the range exchange);
+    the sort is per-partition; nothing quadratic, nothing single-task.
+
+    The result is independent of where the (sampled) range boundaries
+    land — offsets correct the partials for any boundary placement — so
+    the output is deterministic even though the partitioner samples.
+    ``order_col`` must be unique (it is a key in every caller here).
+    """
+    n_parts = n_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    part = df.repartitionByRange(int(n_parts), F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("_local", F.sum(value_col).over(local_w).cast("long"))
+    totals = local.groupBy("_pid").agg(F.sum(value_col).cast("long").alias("_tot"))
+    # Running sum over <= n_partitions rows: the single-partition window
+    # is fine HERE because its input is one row per partition, not data.
+    off_w = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.select(
+        "_pid", (F.sum("_tot").over(off_w) - F.col("_tot")).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_local") + F.col("_off")).cast("long"))
+        .drop("_pid", "_local", "_off")
+    )
+
+
+def pack_token_budget(
+    docs: DataFrame,
+    budget: int = PACK_TOKEN_BUDGET,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents (in ``id_col`` order) to contiguous token-budget
+    shards: ``shard_id = (cum_tokens - n_tokens) DIV budget`` — i.e. the
+    shard containing the document's first token. Returns
+    (doc_id, n_tokens, cum_tokens, shard_id), all BIGINT for cross-engine
+    type stability."""
+    counted = docs.select(
+        F.col(id_col),
+        F.size(tokens_expr(text_col)).cast("long").alias("n_tokens"),
+    )
+    with_cum = distributed_cumsum(counted, id_col, "n_tokens", out_col="cum_tokens")
+    return with_cum.select(
+        id_col,
+        "n_tokens",
+        "cum_tokens",
+        F.expr(f"CAST((cum_tokens - n_tokens) DIV {int(budget)} AS BIGINT)").alias(
+            "shard_id"
+        ),
+    )
+
+
+def contamination_flags(
+    train: DataFrame,
+    benchmark: DataFrame,
+    min_shared: int = CONTAMINATION_MIN_SHARED,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per training document: how many of its distinct word 3-grams occur
+    anywhere in the benchmark set, and whether that clears ``min_shared``.
+    Returns (doc_id, n_shared, contaminated) for EVERY train doc
+    (zero-filled — the common case must be an explicit clean verdict).
+
+    The benchmark collapses to one distinct shingle set before the join,
+    so cost scales with shingle-level overlap; at 100 TB the benchmark
+    side is millions of shingles at most — broadcastable, making the hit
+    count a map-side join against an in-memory set."""
+    bench_sh = (
+        benchmark.withColumn("_tk", tokens_expr(text_col))
+        .select(F.explode(shingles_expr("_tk")).alias("s"))
+        .distinct()
+    )
+    train_sh = (
+        train.withColumn("_tk", tokens_expr(text_col))
+        .select(F.col(id_col).alias("id"), F.explode(shingles_expr("_tk")).alias("s"))
+    )
+    hits = (
+        train_sh.join(bench_sh, "s")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        train.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_shared"), F.lit(0).cast("long")).alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) >= min_shared).alias(
+                "contaminated"
+            ),
+        )
+    )

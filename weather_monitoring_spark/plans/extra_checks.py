@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from weather_monitoring_spark.functions.exact import dsum, o_dsum
+from weather_monitoring_spark.functions.text import o_shingles, o_tokens
 from weather_monitoring_spark.operators.dedup import simhash_signatures
 from weather_monitoring_spark.plans.llm_queries import _o_simhash
 from weather_monitoring_spark.plans.registry import QuerySpec
@@ -125,6 +126,28 @@ def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
+def _pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing over the document corpus: global running
+    token total via distributed_cumsum (range repartition + local windows
+    + broadcast offsets — no single-task global sort), shard = the
+    budget-interval containing the doc's first token."""
+    from weather_monitoring_spark.operators.training_prep import pack_token_budget
+
+    return pack_token_budget(load_table(spark, sf_dir, "documents"), budget=5_000)
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 20 == 0 act as the
+    held-out eval set; every other (training) doc is flagged when it
+    shares >= 3 distinct word 3-grams with the union of eval shingles."""
+    from weather_monitoring_spark.operators.training_prep import contamination_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return contamination_flags(train, bench)
+
+
 EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec(
         name="x_rollup_aggregate",
@@ -198,5 +221,53 @@ EXTRA_SPECS: list[QuerySpec] = [
         spark=_simhash_sigs,
         oracle=f"SELECT doc_id, simhash FROM ({_o_simhash()})",
         tags=("extra", "simhash"),
+    ),
+    QuerySpec(
+        name="x_pack_token_shards",
+        doc=_pack_shards.__doc__ or "",
+        spark=_pack_shards,
+        oracle=f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       CAST(len({o_tokens('text')}) AS BIGINT) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS cum_tokens
+                FROM tok
+            )
+            SELECT doc_id, n_tokens, cum_tokens,
+                   CAST((cum_tokens - n_tokens) // 5000 AS BIGINT) AS shard_id
+            FROM c
+        """,
+        tags=("extra", "training-prep", "window"),
+    ),
+    QuerySpec(
+        name="x_decontaminate",
+        doc=_decontaminate.__doc__ or "",
+        spark=_decontaminate,
+        oracle=f"""
+            WITH tok AS (
+                SELECT doc_id, {o_tokens('text')} AS tk FROM documents
+            ), sh AS (
+                SELECT doc_id, unnest({o_shingles('tk')}) AS s FROM tok
+            ), ev AS (
+                SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0
+            ), hits AS (
+                SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+                FROM sh JOIN ev USING (s)
+                WHERE sh.doc_id % 20 <> 0
+                GROUP BY sh.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+                   coalesce(h.n_shared, 0) >= 3 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 20 <> 0
+        """,
+        tags=("extra", "training-prep", "dedup"),
     ),
 ]
