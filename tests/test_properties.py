@@ -105,3 +105,31 @@ def test_minhash_similarity_tracks_jaccard(base, n_edits):
         assert agree_ab == 1.0
     assert agree_ac < 0.5
     assert agree_ab >= agree_ac
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=60
+    ),
+    n_parts=st.integers(min_value=1, max_value=9),
+)
+def test_distributed_cumsum_matches_prefix_sums(vals, n_parts):
+    """distributed_cumsum == plain Python prefix sums for arbitrary values
+    (incl. negatives) and any partition count: the broadcast-offset
+    correction must be exact wherever the sampled range boundaries land."""
+    from weather_monitoring_spark.operators.training_prep import distributed_cumsum
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["k", "v"]
+    )
+    got = {
+        r.k: r.cum
+        for r in distributed_cumsum(df, "k", "v", n_partitions=n_parts).collect()
+    }
+    acc, expected = 0, {}
+    for i, v in enumerate(vals):
+        acc += v
+        expected[i] = acc
+    assert got == expected
