@@ -210,6 +210,19 @@ def test_multimodal_decode_shapes(spark):
     frames = sample_frames(assets)
     per_asset = frames.groupBy("asset_id").count()
     assert per_asset.filter(F.col("count") > 1).count() > 0  # 1-to-N shape
+
+    from weather_monitoring_spark.operators.multimodal import resize_images
+
+    resized = resize_images(assets, width=16, height=16).cache()
+    assert resized.count() == n_images
+    rr = resized.first()
+    assert rr.width == 16 and rr.height == 16
+    assert len(bytes(rr.resized)) == 16 * 16  # the thumbnailer size contract
+    again_r = resize_images(assets, width=16, height=16)
+    assert resized.select("asset_id", "resized_sha256").exceptAll(
+        again_r.select("asset_id", "resized_sha256")
+    ).count() == 0
+    resized.unpersist()
     decoded.unpersist()
     assets.unpersist()
 

@@ -140,6 +140,57 @@ def decode_images(assets: DataFrame, codec: str = "fake", batch_hint: int = 1024
     return images.repartition(F.col("asset_id")).mapInPandas(op, DECODED_IMAGE_SCHEMA)
 
 
+RESIZED_IMAGE_SCHEMA = (
+    "asset_id long, width int, height int, resized binary, resized_sha256 string"
+)
+
+
+def resize_images(
+    assets: DataFrame, width: int = 32, height: int = 32, codec: str = "fake"
+) -> DataFrame:
+    """Resize step of the image pipeline: emits a new (smaller) binary
+    payload per image asset at the requested dimensions.
+
+    With ``codec="fake"`` the 'pixels' are a deterministic strided
+    resample of the payload bytes (index ``i * len // (w*h)`` — the
+    nearest-neighbor access pattern a real resampler has, minus the pixel
+    math); ``codec="real"`` is the PIL slot, NotImplemented here. The
+    output payload is width*height bytes, so downstream stages see the
+    size contract a real thumbnailer would produce. Same Spark shape as
+    decode_images: kind filter before Python, hash repartition, Arrow
+    batches."""
+    if codec not in ("fake", "real"):
+        raise ValueError(f"unknown codec {codec!r}")
+    n_out = width * height
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec == "real":
+            raise NotImplementedError(
+                "real image resizing requires PIL, not present in this "
+                "container; use codec='fake' for the deterministic stub"
+            )
+        for pdf in batches:
+            resized = []
+            for payload in pdf["payload"]:
+                payload = bytes(payload)
+                out = bytes(payload[(i * len(payload)) // n_out] for i in range(n_out))
+                resized.append(out)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": width,
+                    "height": height,
+                    "resized": resized,
+                    "resized_sha256": [
+                        hashlib.sha256(r).hexdigest() for r in resized
+                    ],
+                }
+            )
+
+    images = assets.filter(F.col("kind") == "image").select("asset_id", "payload")
+    return images.repartition(F.col("asset_id")).mapInPandas(op, RESIZED_IMAGE_SCHEMA)
+
+
 def sample_frames(assets: DataFrame, every_n: int = 4, max_frames: int = 8) -> DataFrame:
     """Frame sampling for video assets: deterministic frame indices +
     per-frame digests (the real codec would decode at those offsets).
