@@ -223,6 +223,15 @@ def test_multimodal_decode_shapes(spark):
         again_r.select("asset_id", "resized_sha256")
     ).count() == 0
     resized.unpersist()
+
+    from weather_monitoring_spark.operators.multimodal import chunk_audio
+
+    chunks = chunk_audio(assets, chunk_bytes=8)
+    c = chunks.filter(F.col("chunk_idx") == 0).first()
+    assert c.byte_start == 0 and c.byte_len == 8 and 0.0 <= c.mean_level <= 1.0
+    # payloads are 32 bytes -> exactly 4 chunks per audio asset
+    n_audio = assets.filter(F.col("kind") == "audio").count()
+    assert chunks.count() == 4 * n_audio
     decoded.unpersist()
     assets.unpersist()
 

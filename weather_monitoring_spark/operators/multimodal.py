@@ -191,6 +191,42 @@ def resize_images(
     return images.repartition(F.col("asset_id")).mapInPandas(op, RESIZED_IMAGE_SCHEMA)
 
 
+AUDIO_CHUNK_SCHEMA = (
+    "asset_id long, chunk_idx int, byte_start long, byte_len long, "
+    "chunk_sha256 string, mean_level double"
+)
+
+
+def chunk_audio(assets: DataFrame, chunk_bytes: int = 8) -> DataFrame:
+    """Audio chunking + per-chunk level feature: split each audio payload
+    into fixed-byte chunks (the stand-in for fixed-duration windows a real
+    resampler would cut), emitting byte offsets, a digest, and the mean
+    byte level (the fake 'RMS'). Completes the image/audio/video trio on
+    the same Spark shape: kind filter before Python, hash repartition,
+    1-to-N Arrow batches."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "asset_id": [], "chunk_idx": [], "byte_start": [],
+                "byte_len": [], "chunk_sha256": [], "mean_level": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                payload = bytes(payload)
+                for idx, start in enumerate(range(0, len(payload), chunk_bytes)):
+                    chunk = payload[start : start + chunk_bytes]
+                    out["asset_id"].append(aid)
+                    out["chunk_idx"].append(idx)
+                    out["byte_start"].append(start)
+                    out["byte_len"].append(len(chunk))
+                    out["chunk_sha256"].append(hashlib.sha256(chunk).hexdigest())
+                    out["mean_level"].append(sum(chunk) / len(chunk) / 255.0)
+            yield pd.DataFrame(out)
+
+    audio = assets.filter(F.col("kind") == "audio").select("asset_id", "payload")
+    return audio.repartition(F.col("asset_id")).mapInPandas(op, AUDIO_CHUNK_SCHEMA)
+
+
 def sample_frames(assets: DataFrame, every_n: int = 4, max_frames: int = 8) -> DataFrame:
     """Frame sampling for video assets: deterministic frame indices +
     per-frame digests (the real codec would decode at those offsets).
