@@ -94,6 +94,30 @@ def main() -> None:
     out["simhash_blocked_pairs"] = simhash_neardup_pairs(docs).count()
     out["simhash_blocked_sec"] = round(time.perf_counter() - t0, 2)
 
+    # --- training prep: global cumsum packing + decontamination ----------
+    from weather_monitoring_spark.operators.training_prep import (
+        contamination_flags,
+        pack_token_budget,
+    )
+
+    t0 = time.perf_counter()
+    out["pack_shards"] = (
+        pack_token_budget(docs, budget=50_000)
+        .agg(F.countDistinct("shard_id").alias("n"))
+        .first()["n"]
+    )
+    out["pack_shards_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    bench_set = docs.filter(F.col("doc_id") % 20 == 0)
+    train_set = docs.filter(F.col("doc_id") % 20 != 0)
+    out["decontam_flagged"] = (
+        contamination_flags(train_set, bench_set)
+        .filter(F.col("contaminated"))
+        .count()
+    )
+    out["decontam_sec"] = round(time.perf_counter() - t0, 2)
+
     print(json.dumps(out))
 
 
