@@ -340,6 +340,21 @@ def test_stratified_sample_proportions_and_determinism(spark):
     assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
 
 
+def test_sampleby_surface_seeded_stratified(spark):
+    """The RNG-based sampleBy surface (kept out of the registry since its
+    Bernoulli draws are engine-specific by design): seeded -> repeatable
+    within Spark, per-stratum fractions honored."""
+    ev = load_table(spark, SF_SMALL, "events")
+    fracs = {"click": 0.1, "view": 0.1, "error": 1.0, "purchase": 1.0, "signup": 1.0}
+    s1 = ev.sampleBy("event_type", fracs, seed=42)
+    s2 = ev.sampleBy("event_type", fracs, seed=42)
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+    counts = {r.event_type: r["count"] for r in s1.groupBy("event_type").count().collect()}
+    full = {r.event_type: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    assert counts["purchase"] == full["purchase"]
+    assert counts["click"] < full["click"] * 0.3
+
+
 def test_deterministic_split_proportions(spark):
     from weather_monitoring_spark.plans.registry import all_queries
 

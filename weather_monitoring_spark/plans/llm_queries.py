@@ -567,17 +567,30 @@ def q61_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q60_stratified_sample",
-    "Seeded stratified sampling (per-class fractions via sampleBy) — "
-    "downsampling the majority class is a daily training-data operation. "
-    "Rows-only check: Bernoulli sampling algorithms differ across engines "
-    "by design; proportions are asserted in tests.",
-    oracle=None,
+    "Deterministic stratified sampling — downsample the majority classes "
+    "(click/view at 10%) by thresholding a per-row md5-derived uniform, "
+    "so the SAME rows are kept on every run, engine, and partitioning "
+    "(content-addressed sampling, like q59's split). Fully oracle-checked; "
+    "the RNG-based sampleBy surface (engine-specific Bernoulli draws by "
+    "design) is exercised in tests/test_llm_ops.py.",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM events
+        WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              / 4294967296.0
+              < CASE WHEN event_type IN ('click', 'view') THEN 0.1 ELSE 1.0 END
+    """,
     tags=("llm", "sample"),
 )
 def q60_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.sampleBy(
-        "event_type",
-        {"click": 0.1, "view": 0.1, "error": 1.0, "purchase": 1.0, "signup": 1.0},
-        seed=42,
+    u = F.expr(
+        "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        " / 4294967296.0"
+    )
+    frac = F.when(F.col("event_type").isin("click", "view"), F.lit(0.1)).otherwise(
+        F.lit(1.0)
+    )
+    return ev.filter(u < frac).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
     )
