@@ -340,13 +340,72 @@ def q36_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
+def _o_lsh_bucket(table: int, vec: str = "embedding", dim: int = 64) -> str:
+    """DuckDB bucket signature for one LSH table: plane entries are the
+    SAME md5-derived ±1s as the Spark side (hyperplane_matrix), baked in
+    as literals. The per-plane sum is the identical left-associated term
+    chain in identical order, so the sign — and hence every bucket — is
+    bit-for-bit the Spark expr derivation's (and the registered GEMM
+    derivation is proven equal to the expr one by test on this corpus)."""
+    from weather_monitoring_spark.operators.similarity import (
+        PLANES_PER_TABLE,
+        hyperplane_matrix,
+    )
+
+    planes = hyperplane_matrix(dim)
+    parts = []
+    for i in range(PLANES_PER_TABLE):
+        p = table * PLANES_PER_TABLE + i
+        terms = " + ".join(
+            f"({'1.0' if planes[p, j] > 0 else '-1.0'}) * {vec}[{j + 1}]::DOUBLE"
+            for j in range(dim)
+        )
+        parts.append(f"(CASE WHEN ({terms}) > 0 THEN {2 ** i} ELSE 0 END)")
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+def _o_ann_lsh_topk() -> str:
+    from weather_monitoring_spark.operators.similarity import LSH_TABLES
+
+    buckets = ",\n               ".join(
+        f"{_o_lsh_bucket(t)} AS b{t}" for t in range(LSH_TABLES)
+    )
+    same_bucket = " OR ".join(f"s.b{t} = q.b{t}" for t in range(LSH_TABLES))
+    qids = ", ".join(map(str, QUERY_VEC_IDS))
+    return f"""
+        WITH sig AS (
+            SELECT vec_id, embedding,
+               {buckets}
+            FROM embeddings
+        ),
+        q AS (SELECT * FROM sig WHERE vec_id IN ({qids})),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS qid, s.vec_id
+            FROM sig s, q
+            WHERE s.vec_id <> q.vec_id AND ({same_bucket})
+        ),
+        scored AS (
+            SELECT c.qid, c.vec_id, {_o_cosine('e.embedding', 'qe.embedding')} AS cosine
+            FROM cand c
+            JOIN embeddings e ON e.vec_id = c.vec_id
+            JOIN embeddings qe ON qe.vec_id = c.qid
+        )
+        SELECT qid, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= {ANN_TOP_K}
+    """
+
+
 @query(
     "q37_ann_lsh_topk",
     "Approximate top-k via 16 deterministic random-hyperplane LSH buckets "
     "+ exact cosine within bucket — the physically-partitionable ANN path "
-    "for 100 TB. Rows-only check (recall is probabilistic by design; "
-    "asserted >= threshold in tests instead of a SQL oracle).",
-    oracle=None,
+    "for 100 TB. Recall vs brute force is probabilistic by design, but the "
+    "RESULT is a deterministic function of the data (md5-derived planes, "
+    "no RNG), so it carries a full oracle: the DuckDB side rebuilds every "
+    "bucket from the same ±1 plane literals in the same summation order.",
+    oracle=_o_ann_lsh_topk(),
     tags=("llm", "similarity", "approx"),
 )
 def q37_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
