@@ -151,6 +151,14 @@ def test_pack_token_budget_shard_bounds(spark):
             assert tot >= 5_000 - biggest[s] or len(totals) == 1
         assert tot <= 5_000 + biggest[s]
 
+    # shuffled packing: same docs, same grand total, different adjacency
+    shuffled = pack_token_budget(docs, budget=5_000, shuffle=True).collect()
+    assert {r.doc_id for r in shuffled} == {r.doc_id for r in packed}
+    assert sum(r.n_tokens for r in shuffled) == sum(r.n_tokens for r in packed)
+    assert {r.doc_id: r.shard_id for r in shuffled} != {
+        r.doc_id: r.shard_id for r in packed
+    }
+
 
 def test_contamination_flags_catch_planted_neardups(spark):
     """A training doc that is a planted near-duplicate of an eval doc

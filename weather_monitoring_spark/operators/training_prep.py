@@ -99,17 +99,27 @@ def pack_token_budget(
     budget: int = PACK_TOKEN_BUDGET,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shuffle: bool = False,
 ) -> DataFrame:
-    """Assign documents (in ``id_col`` order) to contiguous token-budget
-    shards: ``shard_id = (cum_tokens - n_tokens) DIV budget`` — i.e. the
-    shard containing the document's first token. Returns
+    """Assign documents to contiguous token-budget shards:
+    ``shard_id = (cum_tokens - n_tokens) DIV budget`` — i.e. the shard
+    containing the document's first token. Returns
     (doc_id, n_tokens, cum_tokens, shard_id), all BIGINT for cross-engine
-    type stability."""
+    type stability.
+
+    ``shuffle=True`` packs in ``md5(id)`` order instead of id order — the
+    standard deterministic pre-shuffle so shards don't inherit crawl/source
+    locality (adjacent ids are usually correlated documents). Same running-
+    total machinery; the order key is just content-addressed."""
     counted = docs.select(
         F.col(id_col),
         F.size(tokens_expr(text_col)).cast("long").alias("n_tokens"),
     )
-    with_cum = distributed_cumsum(counted, id_col, "n_tokens", out_col="cum_tokens")
+    order_col = id_col
+    if shuffle:
+        counted = counted.withColumn("_ord", F.md5(F.col(id_col).cast("string")))
+        order_col = "_ord"
+    with_cum = distributed_cumsum(counted, order_col, "n_tokens", out_col="cum_tokens")
     return with_cum.select(
         id_col,
         "n_tokens",
