@@ -1,0 +1,85 @@
+"""Unit tests for operators/quality.py — PII redaction and repetition
+signals on constructed documents with known answers. (Cross-engine oracle
+parity for the same operators runs in test_oracle_parity via the
+q27_pii_quality registry entry.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from weather_monitoring_spark.operators.quality import (
+    pii_redaction,
+    quality_annotations,
+    repetition_signals,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_pii_redaction_masks_and_counts(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail me at jo.doe+x@sub.example.co.uk or root@host.io today"),
+            (2, "server 192.168.0.1 and 10.255.3.77 rebooted"),
+            (3, "call 555-0100-1234 or 020-123-4567 now"),
+            (4, "clean document with no identifiers at all"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in pii_redaction(df).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["n_ips"] == 0 and out[1]["n_phones"] == 0
+    assert out[1]["clean_text"] == "mail me at <EMAIL> or <EMAIL> today"
+    assert out[2]["n_ips"] == 2
+    assert out[2]["clean_text"] == "server <IP> and <IP> rebooted"
+    assert out[3]["n_phones"] == 2
+    assert out[3]["clean_text"] == "call <PHONE> or <PHONE> now"
+    assert out[4]["clean_text"] == df.collect()[3]["text"]
+    assert out[4]["n_emails"] == out[4]["n_ips"] == out[4]["n_phones"] == 0
+
+
+def test_repetition_signals_known_values(spark):
+    # tokens: a a a b -> top unigram 3/4; bigrams (a a, a a, a b) -> 2/3;
+    # duplicate fraction (4 - 2 distinct) / 4.
+    df = _docs(spark, [(1, "a a a b"), (2, "x y z"), (3, "")])
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 4
+    assert r1["top_token_share"] == pytest.approx(0.75)
+    assert r1["top_bigram_share"] == pytest.approx(2 / 3)
+    assert r1["dup_token_frac"] == pytest.approx(0.5)
+    r2 = out[2]
+    assert r2["top_token_share"] == pytest.approx(1 / 3)
+    assert r2["top_bigram_share"] == pytest.approx(0.5)
+    assert r2["dup_token_frac"] == 0.0
+    r3 = out[3]
+    assert r3["n_tokens"] == 0
+    assert r3["top_token_share"] == r3["top_bigram_share"] == r3["dup_token_frac"] == 0.0
+
+
+def test_repetition_boilerplate_detection(spark):
+    # A heavily repeated phrase dominates the bigram distribution — the
+    # signal a curation gate thresholds on.
+    spam = " ".join(["buy now"] * 50)
+    prose = "the quick brown fox jumps over the lazy dog again and again"
+    df = _docs(spark, [(1, spam), (2, prose)])
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert out[1]["top_bigram_share"] > 0.49
+    assert out[2]["top_bigram_share"] < 0.2
+    assert out[1]["dup_token_frac"] > 0.9
+
+
+def test_quality_annotations_single_projection(spark):
+    df = _docs(spark, [(7, "ping 10.0.0.7 ping ping")])
+    rows = quality_annotations(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["clean_text"] == "ping <IP> ping ping"
+    assert r["n_ips"] == 1
+    # tokens of the *raw* text: ping 10 0 0 7 ping ping -> 7 tokens, top=3
+    assert r["n_tokens"] == 7
+    assert r["top_token_share"] == pytest.approx(3 / 7)
+    # one physical projection, no shuffle in the plan
+    plan = quality_annotations(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

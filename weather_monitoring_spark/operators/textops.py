@@ -194,3 +194,67 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.md5(F.array_join(F.col("_tk"), " ")).alias("fp_normalized"),
         rolling.alias("fp_rolling"),
     )
+
+
+def doc_annotations(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The full metadata annotation pass — quality features, token
+    budgets, language votes, and all three fingerprints — in ONE
+    projection. At 100 TB every annotation family stacks into the same
+    whole-stage-codegen scan; the corpus is read once and never joined
+    against itself."""
+    df = docs.withColumn("_tk", tokens_expr(text_col))
+    n_chars = F.length(text_col).cast("bigint")
+    n_tokens = F.size("_tk").cast("bigint")
+    alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", "")).cast("bigint")
+    digits = F.length(F.regexp_replace(F.col(text_col), "[^0-9]", "")).cast("bigint")
+    spaces = F.length(F.regexp_replace(F.col(text_col), "[^ ]", "")).cast("bigint")
+    en_hits = F.expr(_lex_hits("_tk", "en")).cast("bigint")
+    hit_cols = {
+        lang: F.expr(_lex_hits("_tk", lang)).cast("bigint").alias(f"hits_{lang}")
+        for lang in LANG_LEXICONS
+    }
+    rolling = F.expr(
+        f"aggregate(_tk, CAST(0 AS BIGINT),"
+        f" (acc, t) -> pmod(acc * 31 + {h32_sql('fp', 't')}, 2147483647))"
+    )
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        F.col("_tk"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        alpha.alias("n_alpha"),
+        digits.alias("n_digit"),
+        (n_chars - alpha - digits - spaces).alias("n_symbol"),
+        (alpha * F.lit(1.0) / n_chars).alias("alpha_ratio"),
+        (F.length(F.array_join(F.col("_tk"), "")) * F.lit(1.0) / n_tokens).alias(
+            "avg_token_len"
+        ),
+        (en_hits * F.lit(1.0) / n_tokens).alias("stopword_ratio"),
+        F.size(F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t != '')"))
+        .cast("bigint")
+        .alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{BPE_TOKEN_RE_SPARK_SQL}', 0)"))
+        .cast("bigint")
+        .alias("bpe_tokens"),
+        *hit_cols.values(),
+        rolling.alias("fp_rolling"),
+    )
+    return staged.select(
+        F.col(id_col),
+        "n_chars",
+        "n_tokens",
+        "n_alpha",
+        "n_digit",
+        "n_symbol",
+        "alpha_ratio",
+        "avg_token_len",
+        "stopword_ratio",
+        "ws_tokens",
+        "bpe_tokens",
+        _lang_pred_cond("_text").alias("pred_lang"),
+        *[F.col(f"hits_{lang}") for lang in LANG_LEXICONS],
+        F.md5(F.col("_text")).alias("fp_exact"),
+        F.md5(F.array_join(F.col("_tk"), " ")).alias("fp_normalized"),
+        F.col("fp_rolling"),
+    )

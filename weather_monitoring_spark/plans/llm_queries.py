@@ -46,11 +46,15 @@ from weather_monitoring_spark.operators.similarity import (
     cosine_neardup_pairs,
     cosine_topk,
 )
+from weather_monitoring_spark.operators.quality import (
+    o_redaction_cols,
+    o_repetition_cols,
+    quality_annotations,
+)
 from weather_monitoring_spark.operators.textops import (
     BPE_TOKEN_RE,
     LANG_LEXICONS,
-    lang_fingerprints,
-    text_features,
+    doc_annotations,
 )
 from weather_monitoring_spark.plans.registry import query
 from weather_monitoring_spark.sources.tables import load_table
@@ -79,36 +83,6 @@ def q25_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs.unionByName(docs))
 
 
-@query(
-    "q26_text_features",
-    "Quality-scoring features + token budgets per document: char/token "
-    "counts, char-class ratios, stopword ratio, whitespace + BPE-ish "
-    "subword token counts — ONE projection (no shuffle, no join between "
-    "annotation families), runs at scan speed.",
-    oracle=f"""
-        SELECT doc_id,
-               CAST(length(text) AS BIGINT) AS n_chars,
-               CAST(len(tk) AS BIGINT) AS n_tokens,
-               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
-               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
-               CAST(length(text) AS BIGINT)
-                 - CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
-                 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
-                 - CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_symbol,
-               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) AS alpha_ratio,
-               length(array_to_string(tk, '')) * 1.0 / len(tk) AS avg_token_len,
-               len(list_filter(tk, t -> list_contains({list(LANG_LEXICONS['en'])}, t))) * 1.0
-                 / len(tk) AS stopword_ratio,
-               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
-               CAST(len(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}', 0)) AS BIGINT) AS bpe_tokens
-        FROM (SELECT doc_id, text, tk FROM (SELECT *, {o_tokens('text')} AS tk FROM documents))
-    """,
-    tags=("llm", "text"),
-)
-def q26_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_features(load_table(spark, sf_dir, "documents"))
-
-
 def _o_lang_case() -> str:
     langs = list(LANG_LEXICONS)
     hits = {
@@ -127,15 +101,30 @@ def _o_lang_case() -> str:
 
 
 @query(
-    "q27_lang_fingerprints",
-    "Per-document annotation pass: heuristic language ID (Han-block "
-    "detection + stopword-lexicon voting with deterministic tie-break) "
-    "AND the three fingerprints (exact md5, normalized-token md5, "
-    "order-sensitive 31-polynomial rolling hash) — one projection; the "
-    "lexicons/hash constants are compile-time values shared with the "
-    "oracle.",
+    "q26_doc_annotations",
+    "The full metadata annotation pass per document: quality features "
+    "(char/token counts, char-class ratios, stopword ratio), token "
+    "budgets (whitespace + BPE-ish subword counts), heuristic language "
+    "ID (Han-block detection + stopword-lexicon voting), and all three "
+    "fingerprints (exact md5, normalized-token md5, order-sensitive "
+    "31-polynomial rolling hash) — ONE projection (no shuffle, no join "
+    "between annotation families), runs at scan speed.",
     oracle=f"""
         SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+               CAST(length(text) AS BIGINT)
+                 - CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+                 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+                 - CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_symbol,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) AS alpha_ratio,
+               length(array_to_string(tk, '')) * 1.0 / len(tk) AS avg_token_len,
+               len(list_filter(tk, t -> list_contains({list(LANG_LEXICONS['en'])}, t))) * 1.0
+                 / len(tk) AS stopword_ratio,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}', 0)) AS BIGINT) AS bpe_tokens,
                {_o_lang_case()} AS pred_lang,
                {", ".join(
                    f"CAST(len(list_filter(tk, t -> list_contains({list(LANG_LEXICONS[lang])}, t))) AS BIGINT) AS hits_{lang}"
@@ -146,12 +135,78 @@ def _o_lang_case() -> str:
                list_reduce(list_prepend(CAST(0 AS BIGINT),
                    list_transform(tk, t -> {o_h32('fp', 't')})),
                    (acc, h) -> (acc * 31 + h) % 2147483647) AS fp_rolling
-        FROM (SELECT doc_id, text, {o_tokens('text')} AS tk FROM documents)
+        FROM (SELECT doc_id, text, tk FROM (SELECT *, {o_tokens('text')} AS tk FROM documents))
     """,
     tags=("llm", "text", "fingerprint"),
 )
-def q27_lang_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lang_fingerprints(load_table(spark, sf_dir, "documents"))
+def q26_doc_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_annotations(load_table(spark, sf_dir, "documents"))
+
+
+#: Deterministic synthetic PII suffix for q27 — built from doc_id with
+#: the *same* string algebra on both engines, so the redaction query
+#: actually exercises matches (the synthetic corpus itself contains no
+#: digits or '@'). Spark side mirrors this in _plant_pii.
+O_PLANTED_PII = (
+    "SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.org from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.7 call 555-0' || CAST(doc_id % 10 AS VARCHAR) || '00-1234' AS text"
+    " FROM documents"
+)
+
+
+def _plant_pii(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-0"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("00-1234"),
+        ).alias("text"),
+    )
+
+
+def _o_pii_quality() -> str:
+    red = o_redaction_cols("text")
+    rep = o_repetition_cols("tk")
+    cols = ", ".join(
+        f"{frag} AS {name}"
+        for name, frag in [
+            ("clean_text", red["clean_text"]),
+            ("n_emails", red["n_emails"]),
+            ("n_ips", red["n_ips"]),
+            ("n_phones", red["n_phones"]),
+            ("n_tokens", rep["n_tokens"]),
+            ("top_token_share", rep["top_token_share"]),
+            ("top_bigram_share", rep["top_bigram_share"]),
+            ("dup_token_frac", rep["dup_token_frac"]),
+        ]
+    )
+    return (
+        f"SELECT doc_id, {cols} FROM "
+        f"(SELECT doc_id, text, {o_tokens('text')} AS tk FROM ({O_PLANTED_PII}))"
+    )
+
+
+@query(
+    "q27_pii_quality",
+    "Curation-gate annotations over documents with deterministically "
+    "planted PII: e-mail/IPv4/phone redaction + per-pattern counts "
+    "(RE2∩Java-regex patterns shared verbatim with the oracle) AND "
+    "Gopher-style repetition signals (top-unigram share, top-bigram "
+    "share, duplicate-token fraction) computed zero-shuffle via "
+    "sorted-array run-length folds — ONE projection, scan speed at any "
+    "corpus size.",
+    oracle=_o_pii_quality(),
+    tags=("llm", "text", "quality", "pii"),
+)
+def q27_pii_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_annotations(_plant_pii(load_table(spark, sf_dir, "documents")))
 
 
 O_DOC_SHINGLE_HASHES = (
