@@ -372,3 +372,24 @@ def test_deterministic_split_proportions(spark):
     assert abs(frac["train"] - 0.8) < 0.1
     assert abs(frac.get("val", 0) - 0.1) < 0.08
     assert abs(frac.get("test", 0) - 0.1) < 0.08
+
+
+def test_oversample_sources_weights_and_drops(spark):
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.operators.training_prep import oversample_sources
+
+    docs = spark.createDataFrame(
+        [(1, "keep2"), (2, "keep1"), (3, "drop0"), (4, "keep3")],
+        "doc_id bigint, source string",
+    )
+    weight = F.expr("CAST(substring(source, 5) AS BIGINT)")
+    out = oversample_sources(docs, weight).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["doc_id"], []).append(r["copy"])
+    assert sorted(by_id[1]) == [1, 2]
+    assert by_id[2] == [1]
+    assert 3 not in by_id  # weight 0 -> dropped
+    assert sorted(by_id[4]) == [1, 2, 3]
+    assert all(r["weight"] == len(by_id[r["doc_id"]]) for r in out)

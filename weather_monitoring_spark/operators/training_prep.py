@@ -26,7 +26,7 @@ fully DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from weather_monitoring_spark.functions.text import shingles_expr, tokens_expr
@@ -170,4 +170,34 @@ def contamination_flags(
                 "contaminated"
             ),
         )
+    )
+
+
+def oversample_sources(
+    docs: DataFrame,
+    weight: Column,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Domain-mixing oversampling: emit ``weight`` copies of every row
+    (weight an integer column expression; rows with weight < 1 drop).
+    Returns (id, source, weight, copy 1..weight) — the copy index keeps
+    replicas distinct for downstream content-addressed shuffles
+    (``pack_token_budget(shuffle=True)`` would otherwise collapse them).
+
+    Deterministic by construction (no RNG): integer repeat factors model
+    the integer part of a mixture weight; the fractional part composes
+    with the hash-threshold sampling of ``q60``/``q59``. Scale shape:
+    ``explode(sequence(...))`` multiplies rows map-side inside the scan
+    projection — no shuffle, no skew beyond the weights themselves."""
+    base = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        weight.cast("long").alias("weight"),
+    ).filter(F.col("weight") >= 1)
+    return base.select(
+        id_col,
+        source_col,
+        "weight",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("weight"))).alias("copy"),
     )

@@ -148,6 +148,18 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(train, bench)
 
 
+def _oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing oversampling with deterministic integer weights
+    derived from the source name (srcN -> N % 3 + 1 copies): explode
+    multiplies rows map-side, the copy index keeps replicas distinct for
+    downstream content-addressed shuffles."""
+    from weather_monitoring_spark.operators.training_prep import oversample_sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    weight = (F.expr("CAST(substring(source, 4) AS BIGINT)") % 3) + 1
+    return oversample_sources(docs, weight)
+
+
 EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec(
         name="x_rollup_aggregate",
@@ -269,5 +281,17 @@ EXTRA_SPECS: list[QuerySpec] = [
             WHERE d.doc_id % 20 <> 0
         """,
         tags=("extra", "training-prep", "dedup"),
+    ),
+    QuerySpec(
+        name="x_oversample_mixture",
+        doc=_oversample.__doc__ or "",
+        spark=_oversample,
+        oracle="""
+            SELECT doc_id, source, w AS weight, unnest(range(1, w + 1)) AS copy
+            FROM (SELECT doc_id, source,
+                         (CAST(substr(source, 4) AS BIGINT) % 3) + 1 AS w
+                  FROM documents)
+        """,
+        tags=("extra", "training-prep", "mixture"),
     ),
 ]
