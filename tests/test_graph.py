@@ -1,0 +1,55 @@
+"""Unit tests for operators/graph.py — connected components and
+transitive survivor selection. (Cross-engine parity of the composed
+pipeline runs via x_dedup_clusters in test_oracle_parity.)"""
+
+from __future__ import annotations
+
+from weather_monitoring_spark.operators.graph import connected_components, dedup_clusters
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+
+
+def test_chain_collapses_to_one_component(spark):
+    # 0-1, 1-2, 2-3: transitive closure even though (0,3) is no pair.
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(_edges(spark, [(0, 1), (1, 2), (2, 3)])).collect()
+    }
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_disjoint_components_keep_separate_labels(spark):
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            _edges(spark, [(1, 5), (5, 9), (20, 21), (30, 31), (31, 30)])
+        ).collect()
+    }
+    assert comp[1] == comp[5] == comp[9] == 1
+    assert comp[20] == comp[21] == 20
+    assert comp[30] == comp[31] == 30
+
+
+def test_long_chain_converges_within_iteration_cap(spark):
+    # 64-node path graph: diameter 63, but pointer jumping converges in
+    # O(log n) rounds — well inside CC_MAX_ITER=30.
+    n = 64
+    comp = connected_components(_edges(spark, [(i, i + 1) for i in range(n - 1)]))
+    rows = comp.collect()
+    assert len(rows) == n
+    assert all(r["component"] == 0 for r in rows)
+
+
+def test_dedup_clusters_one_survivor_per_cluster(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id bigint")
+    # cluster {1,3,5} via chain, cluster {6,7}; 0,2,4 isolated.
+    out = {r["doc_id"]: r for r in dedup_clusters(docs, _edges(spark, [(1, 3), (3, 5), (6, 7)])).collect()}
+    assert out[1]["cluster"] == out[3]["cluster"] == out[5]["cluster"] == 1
+    assert [out[i]["survivor"] for i in (1, 3, 5)] == [True, False, False]
+    assert out[6]["cluster"] == 6 and out[6]["survivor"] and not out[7]["survivor"]
+    for i in (0, 2, 4):
+        assert out[i]["cluster"] == i and out[i]["survivor"]
+    survivors = [r for r in out.values() if r["survivor"]]
+    assert len(survivors) == 5  # 2 cluster reps + 3 isolated

@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 from weather_monitoring_spark.functions.exact import dsum, o_dsum
 from weather_monitoring_spark.functions.text import o_shingles, o_tokens
 from weather_monitoring_spark.operators.dedup import simhash_signatures
-from weather_monitoring_spark.plans.llm_queries import _o_simhash
+from weather_monitoring_spark.operators.dedup import JACCARD_THRESHOLD, LSH_BANDS
+from weather_monitoring_spark.plans.llm_queries import (
+    O_FILTERED_SH,
+    _o_minhash_sig,
+    _o_simhash,
+)
 from weather_monitoring_spark.plans.registry import QuerySpec
 from weather_monitoring_spark.sources.tables import load_table, register_views
 
@@ -146,6 +151,23 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     train = docs.filter(F.col("doc_id") % 20 != 0)
     return contamination_flags(train, bench)
+
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transitive-closure completion of the q50 pipeline: MinHash-LSH
+    candidates -> candidate-bounded exact Jaccard -> connected components
+    over the verified pair graph (min-label propagation + pointer
+    jumping) -> exactly one survivor per near-dup CLUSTER. The recursive
+    oracle proves the fixpoint labels, not just pair semantics."""
+    from weather_monitoring_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_verify,
+    )
+    from weather_monitoring_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    verified = ngram_jaccard_verify(docs, minhash_lsh_pairs(docs))
+    return dedup_clusters(docs, verified.select("id_a", "id_b"))
 
 
 def _oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,6 +303,51 @@ EXTRA_SPECS: list[QuerySpec] = [
             WHERE d.doc_id % 20 <> 0
         """,
         tags=("extra", "training-prep", "dedup"),
+    ),
+    QuerySpec(
+        name="x_dedup_clusters",
+        doc=_dedup_clusters.__doc__ or "",
+        spark=_dedup_clusters,
+        oracle=f"""
+            WITH RECURSIVE sigs AS ({_o_minhash_sig()}),
+            bands AS (
+                {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band_{b} AS bh FROM sigs" for b in range(LSH_BANDS))}
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+            ),
+            {O_FILTERED_SH},
+            shared AS (
+                SELECT c.id_a, c.id_b, count(*) AS shared
+                FROM cand c
+                JOIN sh a ON a.id = c.id_a
+                JOIN sh b ON b.id = c.id_b AND b.s = a.s
+                GROUP BY 1, 2
+            ),
+            dup_pairs AS (
+                SELECT id_a, id_b
+                FROM shared JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
+                WHERE shared * 1.0 / (x.n + y.n - shared) >= {JACCARD_THRESHOLD}
+            ),
+            sym AS (
+                SELECT id_a AS a, id_b AS b FROM dup_pairs
+                UNION
+                SELECT id_b, id_a FROM dup_pairs
+            ),
+            reach(node, lbl) AS (
+                SELECT a, a FROM sym
+                UNION
+                SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+            ),
+            comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+            SELECT d.doc_id,
+                   CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster,
+                   d.doc_id = CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS survivor
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        """,
+        tags=("extra", "dedup", "graph", "pipeline"),
     ),
     QuerySpec(
         name="x_oversample_mixture",
