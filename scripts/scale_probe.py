@@ -118,6 +118,35 @@ def main() -> None:
     )
     out["decontam_sec"] = round(time.perf_counter() - t0, 2)
 
+    # --- quality annotations: zero-shuffle curation pass -----------------
+    from weather_monitoring_spark.operators.quality import quality_annotations
+
+    t0 = time.perf_counter()
+    out["quality_rows"] = quality_annotations(docs).count()
+    out["quality_sec"] = round(time.perf_counter() - t0, 2)
+
+    # --- connected components: n_docs/5 planted 5-node chains ------------
+    # path edges i -> i+1 except across cluster boundaries; worst-case
+    # label distance 4 inside each cluster, plus one n_docs/100-node chain
+    # appended to exercise pointer jumping depth.
+    from weather_monitoring_spark.operators.graph import connected_components
+
+    edges = (
+        spark.range(n_docs - 1)
+        .filter((F.col("id") % 5) != 4)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        .unionByName(
+            spark.range(n_docs, n_docs + n_docs // 100)
+            .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.perf_counter()
+    out["cc_components"] = (
+        connected_components(edges).select("component").distinct().count()
+    )
+    out["cc_sec"] = round(time.perf_counter() - t0, 2)
+
     print(json.dumps(out))
 
 

@@ -393,3 +393,26 @@ def test_oversample_sources_weights_and_drops(spark):
     assert 3 not in by_id  # weight 0 -> dropped
     assert sorted(by_id[4]) == [1, 2, 3]
     assert all(r["weight"] == len(by_id[r["doc_id"]]) for r in out)
+
+
+def test_training_shard_writer_roundtrip(tmp_path, spark):
+    from weather_monitoring_spark.operators.training_prep import (
+        verify_training_shards,
+        write_training_shards,
+    )
+    from weather_monitoring_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, out, budget=2_000).collect()
+    assert len(manifest) > 1
+    assert sum(m["n_docs"] for m in manifest) == docs.count()
+    # every written shard matches its manifest row (counts, tokens, checksum)
+    assert verify_training_shards(spark, out).count() == 0
+    # shard files preserve global packing order within each shard
+    import pyspark.sql.functions as F
+
+    written = spark.read.parquet(out)
+    w = written.filter(F.col("shard_id") == manifest[0]["shard_id"])
+    cums = [r["cum_tokens"] for r in w.collect()]
+    assert cums == sorted(cums)

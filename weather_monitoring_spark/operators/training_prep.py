@@ -201,3 +201,69 @@ def oversample_sources(
         "weight",
         F.explode(F.sequence(F.lit(1).cast("long"), F.col("weight"))).alias("copy"),
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    budget: int = PACK_TOKEN_BUDGET,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shuffle: bool = False,
+) -> DataFrame:
+    """Materialize the packed corpus as ``shard_id=N/`` parquet partitions
+    plus a deterministic manifest, and return the manifest.
+
+    The write repartitions BY shard (each shard's documents land in one
+    task => one file per shard, no small-files spray) and sorts within
+    the shard by the packing order, so a data loader streaming one shard
+    reads documents in their global packing order.
+
+    The manifest (written to ``<out_dir>/_manifest``) carries per shard:
+    row count, token total, and a content checksum (sum of md5-derived
+    64-bit doc hashes mod 2^61 — commutative, so it is independent of
+    row order/partitioning and re-derivable from the written files by
+    any engine). At 100 TB the manifest is the cheap integrity handle:
+    re-run the groupBy over the written shards and diff two tiny tables.
+    """
+    from weather_monitoring_spark.functions.text import h32_sql
+
+    packed = pack_token_budget(docs, budget=budget, id_col=id_col,
+                               text_col=text_col, shuffle=shuffle)
+    data = docs.join(packed.select(id_col, "n_tokens", "cum_tokens", "shard_id"), id_col)
+    (
+        data.repartition(F.col("shard_id"))
+        .sortWithinPartitions("cum_tokens")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )
+    manifest = (
+        data.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            (F.sum(F.expr(h32_sql("shard", text_col))) % F.lit(2**61)).cast("long").alias("checksum"),
+        )
+    )
+    manifest.repartition(1).write.mode("overwrite").parquet(out_dir + "/_manifest")
+    return manifest
+
+
+def verify_training_shards(spark, out_dir: str, text_col: str = "text") -> DataFrame:
+    """Re-derive the manifest from the written shard files and diff it
+    against the stored one. Returns the mismatching rows (empty == the
+    shards on disk are exactly what the packer wrote)."""
+    from weather_monitoring_spark.functions.text import h32_sql, tokens_expr
+
+    written = spark.read.parquet(out_dir)
+    derived = (
+        written.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(tokens_expr(text_col)).cast("long")).cast("long").alias("n_tokens"),
+            (F.sum(F.expr(h32_sql("shard", text_col))) % F.lit(2**61)).cast("long").alias("checksum"),
+        )
+    )
+    stored = spark.read.parquet(out_dir + "/_manifest")
+    return derived.exceptAll(stored).unionByName(stored.exceptAll(derived))
