@@ -133,3 +133,44 @@ def test_distributed_cumsum_matches_prefix_sums(vals, n_parts):
         acc += v
         expected[i] = acc
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=24),
+            st.integers(min_value=0, max_value=24),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_match_union_find(edges):
+    """connected_components == a plain union-find reference on arbitrary
+    small graphs (self-loops and duplicate/reversed edges included): the
+    propagation + pointer-jumping loop must reach the same fixpoint as
+    the sequential algorithm."""
+    from weather_monitoring_spark.operators.graph import connected_components
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a bigint, id_b bigint"
+    )
+    got = {r.node: r.component for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    assert got == expected
