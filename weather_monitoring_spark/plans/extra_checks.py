@@ -19,8 +19,10 @@ from weather_monitoring_spark.functions.exact import dsum, o_dsum
 from weather_monitoring_spark.functions.text import o_shingles, o_tokens
 from weather_monitoring_spark.operators.dedup import simhash_signatures
 from weather_monitoring_spark.operators.dedup import JACCARD_THRESHOLD, LSH_BANDS
+from weather_monitoring_spark.operators.similarity import COSINE_NEARDUP_THRESHOLD
 from weather_monitoring_spark.plans.llm_queries import (
     O_FILTERED_SH,
+    _o_cosine,
     _o_minhash_sig,
     _o_simhash,
 )
@@ -168,6 +170,20 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     verified = ngram_jaccard_verify(docs, minhash_lsh_pairs(docs))
     return dedup_clusters(docs, verified.select("id_a", "id_b"))
+
+
+def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup at cluster granularity: exact
+    cosine near-dup pairs (blocked-GEMM prefilter + exact re-score) ->
+    connected components -> one survivor per semantic cluster. Same
+    clustering machinery as the text-side x_dedup_clusters, proving the
+    survivor-selection stage composes across modalities."""
+    from weather_monitoring_spark.operators.graph import dedup_clusters
+    from weather_monitoring_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_pairs(emb).select("id_a", "id_b")
+    return dedup_clusters(emb, pairs, id_col="vec_id")
 
 
 def _oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,6 +364,34 @@ EXTRA_SPECS: list[QuerySpec] = [
             FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
         """,
         tags=("extra", "dedup", "graph", "pipeline"),
+    ),
+    QuerySpec(
+        name="x_semantic_dedup",
+        doc=_semantic_dedup.__doc__ or "",
+        spark=_semantic_dedup,
+        oracle=f"""
+            WITH RECURSIVE dup_pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE {_o_cosine('a.embedding', 'b.embedding')} >= {COSINE_NEARDUP_THRESHOLD}
+            ),
+            sym AS (
+                SELECT id_a AS a, id_b AS b FROM dup_pairs
+                UNION
+                SELECT id_b, id_a FROM dup_pairs
+            ),
+            reach(node, lbl) AS (
+                SELECT a, a FROM sym
+                UNION
+                SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+            ),
+            comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+            SELECT e.vec_id,
+                   CAST(coalesce(c.component, e.vec_id) AS BIGINT) AS cluster,
+                   e.vec_id = CAST(coalesce(c.component, e.vec_id) AS BIGINT) AS survivor
+            FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+        """,
+        tags=("extra", "similarity", "graph", "pipeline"),
     ),
     QuerySpec(
         name="x_oversample_mixture",
