@@ -416,3 +416,17 @@ def test_training_shard_writer_roundtrip(tmp_path, spark):
     w = written.filter(F.col("shard_id") == manifest[0]["shard_id"])
     cums = [r["cum_tokens"] for r in w.collect()]
     assert cums == sorted(cums)
+
+
+def test_training_shard_writer_jsonl(tmp_path, spark):
+    from weather_monitoring_spark.operators.training_prep import (
+        verify_training_shards,
+        write_training_shards,
+    )
+    from weather_monitoring_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    out = str(tmp_path / "jsonl_shards")
+    manifest = write_training_shards(docs, out, budget=2_000, file_format="json")
+    assert manifest.count() > 1
+    assert verify_training_shards(spark, out, file_format="json").count() == 0

@@ -83,3 +83,30 @@ def test_quality_annotations_single_projection(spark):
     # one physical projection, no shuffle in the plan
     plan = quality_annotations(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_quality_annotations_run_in_structured_streaming(tmp_path, spark):
+    """The curation gate is a pure projection, so the SAME operator runs
+    unchanged as a streaming transformation — batch/stream unification is
+    the point of expressing it declaratively."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "ping 10.0.0.7 ping ping"), (2, "mail root@host.io now")],
+        "doc_id bigint, text string",
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = (
+        quality_annotations(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[1]["clean_text"] == "ping <IP> ping ping"
+    assert rows[2]["n_emails"] == 1 and rows[2]["clean_text"] == "mail <EMAIL> now"

@@ -210,9 +210,12 @@ def write_training_shards(
     id_col: str = "doc_id",
     text_col: str = "text",
     shuffle: bool = False,
+    file_format: str = "parquet",
 ) -> DataFrame:
-    """Materialize the packed corpus as ``shard_id=N/`` parquet partitions
-    plus a deterministic manifest, and return the manifest.
+    """Materialize the packed corpus as ``shard_id=N/`` partitions
+    (``file_format`` "parquet" or "json" — JSONL is what most training
+    loaders consume) plus a deterministic manifest, and return the
+    manifest.
 
     The write repartitions BY shard (each shard's documents land in one
     task => one file per shard, no small-files spray) and sorts within
@@ -236,7 +239,8 @@ def write_training_shards(
         .sortWithinPartitions("cum_tokens")
         .write.mode("overwrite")
         .partitionBy("shard_id")
-        .parquet(out_dir)
+        .format(file_format)
+        .save(out_dir)
     )
     manifest = (
         data.groupBy("shard_id")
@@ -250,13 +254,15 @@ def write_training_shards(
     return manifest
 
 
-def verify_training_shards(spark, out_dir: str, text_col: str = "text") -> DataFrame:
+def verify_training_shards(
+    spark, out_dir: str, text_col: str = "text", file_format: str = "parquet"
+) -> DataFrame:
     """Re-derive the manifest from the written shard files and diff it
     against the stored one. Returns the mismatching rows (empty == the
     shards on disk are exactly what the packer wrote)."""
     from weather_monitoring_spark.functions.text import h32_sql, tokens_expr
 
-    written = spark.read.parquet(out_dir)
+    written = spark.read.format(file_format).load(out_dir)
     derived = (
         written.groupBy("shard_id")
         .agg(
