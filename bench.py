@@ -7,6 +7,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion via a count-style action that forces
 full materialization of the result (collect for small results) — wall-clock
 includes Catalyst planning + execution but excludes session startup.
+
+Timings are STEADY-STATE: before the timed pass, every query runs once
+untimed at sf0.001 (env SPARK_GRAFT_WARM_DIR) so whole-stage-codegen
+compilation, JIT, and parquet-footer caches are warm — the timed numbers
+measure the plans, not one-time JVM warm-up, mirroring a long-running
+cluster. Set SPARK_GRAFT_WARM_DIR="" to benchmark cold.
 """
 
 from __future__ import annotations
@@ -25,15 +31,20 @@ def main() -> None:
     spark = get_spark(app_name="wms-bench")
 
     specs = all_queries()
-    # Warm the JVM + parquet footers once with the cheapest query, and the
-    # Python UDF workers with a trivial Arrow round-trip (so the pandas
-    # queries measure the operator, not worker spin-up — mirroring the
-    # JVM warm-up).
+    # Steady-state warm-up: every plan shape once at the tiny SF (compiles
+    # whole-stage codegen + JIT per query), plus a trivial Arrow round-trip
+    # for the Python UDF workers.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     try:
-        specs["q12_topk_extremes"].spark(spark, sf_dir).collect()
         spark.range(32).mapInPandas(lambda it: it, "id long").collect()
     except Exception:
         pass
+    if warm_dir and os.path.isdir(warm_dir):
+        for name, spec in sorted(specs.items()):
+            try:
+                spec.spark(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
