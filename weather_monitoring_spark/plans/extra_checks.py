@@ -186,6 +186,30 @@ def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(emb, pairs, id_col="vec_id")
 
 
+def _vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: token -> document frequency + total count, top
+    200 by (count desc, token asc) — the deterministic tie-break makes a
+    top-k over ties oracle-checkable. Scale shape: explode + one partial
+    agg (map-side combine collapses each task to its distinct tokens)
+    + TakeOrderedAndProject; the vocab itself is tiny at any corpus
+    size."""
+    from weather_monitoring_spark.functions.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.col("doc_id"), F.explode(tokens_expr("text")).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.col("n_total").desc(), F.col("token"))
+        .limit(200)
+    )
+
+
 def _oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixing oversampling with deterministic integer weights
     derived from the source name (srcN -> N % 3 + 1 copies): explode
@@ -392,6 +416,21 @@ EXTRA_SPECS: list[QuerySpec] = [
             FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
         """,
         tags=("extra", "similarity", "graph", "pipeline"),
+    ),
+    QuerySpec(
+        name="x_vocabulary",
+        doc=_vocabulary.__doc__ or "",
+        spark=_vocabulary,
+        oracle=f"""
+            SELECT token,
+                   CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM (SELECT doc_id, unnest({o_tokens('text')}) AS token FROM documents)
+            GROUP BY token
+            ORDER BY n_total DESC, token
+            LIMIT 200
+        """,
+        tags=("extra", "text", "aggregate"),
     ),
     QuerySpec(
         name="x_oversample_mixture",
