@@ -430,3 +430,73 @@ def test_training_shard_writer_jsonl(tmp_path, spark):
     manifest = write_training_shards(docs, out, budget=2_000, file_format="json")
     assert manifest.count() > 1
     assert verify_training_shards(spark, out, file_format="json").count() == 0
+
+
+def test_chunk_documents_covers_and_reconstructs(spark):
+    """Chunk windows tile the token stream: chunk 0 starts at 0, strides
+    are uniform, dropping each chunk's overlap prefix reconstructs the
+    original token sequence exactly, and no chunk is empty or oversized."""
+    from weather_monitoring_spark.operators.training_prep import (
+        CHUNK_OVERLAP,
+        CHUNK_TOKENS,
+        chunk_documents,
+    )
+    from weather_monitoring_spark.functions.text import tokens_expr
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    chunks = chunk_documents(docs).collect()
+    assert chunks
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    by_doc: dict = {}
+    for r in chunks:
+        assert 1 <= r.n_tokens <= CHUNK_TOKENS
+        assert r.chunk_start == r.chunk_idx * stride
+        by_doc.setdefault(r.doc_id, []).append(r)
+    originals = {
+        r.doc_id: r.tk
+        for r in docs.select("doc_id", tokens_expr("text").alias("tk")).collect()
+    }
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        rebuilt: list[str] = []
+        for r in rows:
+            toks = r.chunk_text.split(" ")
+            rebuilt.extend(toks if r.chunk_idx == 0 else toks[CHUNK_OVERLAP:])
+        assert rebuilt == originals[doc_id], f"doc {doc_id} reconstruction"
+    # every non-empty doc chunked
+    assert set(by_doc) == {d for d, tk in originals.items() if tk}
+
+
+def test_tfidf_topk_ranks_rare_terms_over_common(spark):
+    """A term appearing in every document (df == N) scores exactly tf, so
+    any equally-frequent rarer term must outrank it; ranks are 1..k."""
+    from weather_monitoring_spark.operators.textops import tfidf_topk
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    n_docs = docs.count()
+    rows = tfidf_topk(docs).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.term_rank <= 5
+        assert r.score == pytest.approx(r.tf * (n_docs / r.df))
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rows_d in by_doc.values():
+        rows_d.sort(key=lambda r: r.term_rank)
+        scores = [r.score for r in rows_d]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_quantize_embeddings_error_bound_and_range(spark):
+    """floor-quantization guarantees |x - q*scale| < scale elementwise;
+    codes stay within the int8-style range [-128, 127]."""
+    from weather_monitoring_spark.operators.embeddings import quantize_embeddings
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    rows = quantize_embeddings(emb).collect()
+    assert rows
+    for r in rows:
+        assert r.scale > 0
+        assert 0 <= r.max_abs_err < r.scale
+        assert all(-128 <= q <= 127 for q in r.qvec)

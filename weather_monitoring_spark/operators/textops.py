@@ -258,3 +258,52 @@ def doc_annotations(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
         F.md5(F.array_join(F.col("_tk"), " ")).alias("fp_normalized"),
         F.col("fp_rolling"),
     )
+
+
+#: Top-k terms to keep per document in tfidf_topk.
+TFIDF_TOP_K = 5
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = TFIDF_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF. Returns
+    (doc_id, token, tf, df, score, term_rank), term_rank 1..k.
+
+    Scoring definition (engine-portable): ``score = tf * (N / df)`` with
+    N = corpus document count — the raw inverse document frequency, NOT
+    ``log(N/df)``: transcendental functions are not bit-stable across
+    engines (libm vs Java Math differ in the last ulp) while IEEE-754
+    divide/multiply are correctly rounded everywhere, so this definition
+    is exactly reproducible on any engine. Ties rank deterministically by
+    (score desc, token asc).
+
+    Scale shape: one shuffle to (doc, token) term counts (map-side
+    partials collapse repeats), one vocabulary aggregation, an equi-join
+    back on token, and a per-document window whose partitions are a
+    document's distinct tokens — never larger than the document. The
+    vocabulary join stays a shuffle join on purpose: a web-scale corpus
+    vocabulary (typos, numbers) is NOT reliably broadcastable; AQE may
+    still convert it when the measured vocab is small."""
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_expr(text_col)).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = tf.join(dfreq, "token").withColumn(
+        "score",
+        F.col("tf").cast("double")
+        * (F.lit(float(n_docs)) / F.col("df").cast("double")),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= k)
+        .select("doc_id", "token", "tf", "df", "score", "term_rank")
+    )

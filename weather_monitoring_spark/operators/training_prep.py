@@ -41,6 +41,11 @@ PACK_TOKEN_BUDGET = 20_000
 #: Minimum shared distinct shingles for a training doc to be flagged.
 CONTAMINATION_MIN_SHARED = 3
 
+#: Defaults for chunk_documents: context-window chunks of CHUNK_TOKENS
+#: tokens, consecutive chunks sharing CHUNK_OVERLAP tokens.
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+
 
 def distributed_cumsum(
     df: DataFrame,
@@ -127,6 +132,65 @@ def pack_token_budget(
         F.expr(f"CAST((cum_tokens - n_tokens) DIV {int(budget)} AS BIGINT)").alias(
             "shard_id"
         ),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    step that turns a curated corpus into fixed-context training samples.
+    Returns (doc_id, chunk_idx, chunk_start, n_tokens, chunk_text);
+    chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap, and the last chunk is the first one
+    reaching the document's end (no trailing chunk that adds no new
+    tokens). Empty documents produce no chunks.
+
+    Scale shape: chunking is a pure per-row projection — tokenize,
+    ``sequence`` over the chunk count, ``posexplode``, ``slice`` — all
+    inside the scan's whole-stage codegen. No shuffle at any corpus size;
+    the row multiplication happens map-side exactly where the data sits,
+    which is what makes this safe to run inline before `pack_token_budget`
+    or `write_training_shards` on the exploded chunks."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    stride = chunk_tokens - overlap
+    tk = docs.select(
+        F.col(id_col), tokens_expr(text_col).alias("_tk")
+    ).withColumn("_n", F.size("_tk").cast("long"))
+    # Chunk count: 1 if the doc fits one window, else 1 + ceil((n - chunk)/stride).
+    n_chunks = F.expr(
+        f"CASE WHEN _n <= {chunk_tokens} THEN CAST(1 AS BIGINT) "
+        f"ELSE 1 + (_n - {chunk_tokens} + {stride} - 1) DIV {stride} END"
+    )
+    return (
+        tk.filter(F.col("_n") > 0)
+        .withColumn("_nc", n_chunks)
+        .select(
+            F.col(id_col),
+            F.col("_tk"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, CAST(_nc AS INT) - 1),"
+                    f" i -> CAST(i * {stride} AS BIGINT))"
+                )
+            ).alias("chunk_idx", "chunk_start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("chunk_start"),
+            F.expr(
+                f"CAST(size(slice(_tk, CAST(chunk_start + 1 AS INT), {chunk_tokens})) AS BIGINT)"
+            ).alias("n_tokens"),
+            F.expr(
+                f"concat_ws(' ', slice(_tk, CAST(chunk_start + 1 AS INT), {chunk_tokens}))"
+            ).alias("chunk_text"),
+        )
     )
 
 

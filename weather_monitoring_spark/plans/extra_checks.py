@@ -26,6 +26,7 @@ from weather_monitoring_spark.plans.llm_queries import (
     _o_minhash_sig,
     _o_simhash,
 )
+from weather_monitoring_spark.operators.training_prep import CHUNK_OVERLAP, CHUNK_TOKENS
 from weather_monitoring_spark.plans.registry import QuerySpec
 from weather_monitoring_spark.sources.tables import load_table, register_views
 
@@ -208,6 +209,33 @@ def _vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_total").desc(), F.col("token"))
         .limit(200)
     )
+
+
+def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (doc -> fixed-context training
+    samples): pure map-side projection — tokenize, sequence over the
+    chunk count, posexplode, slice — no shuffle at any corpus size."""
+    from weather_monitoring_spark.operators.training_prep import chunk_documents
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+def _tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k TF-IDF terms with the engine-portable raw-IDF
+    score tf * (N/df) — IEEE divide/multiply only, no log (libm is not
+    bit-stable across engines)."""
+    from weather_monitoring_spark.operators.textops import tfidf_topk
+
+    return tfidf_topk(load_table(spark, sf_dir, "documents"))
+
+
+def _quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8-style embedding quantization with a per-vector
+    reconstruction-error bound; floor()-based so both engines agree
+    bit-for-bit (round() of computed doubles is forbidden)."""
+    from weather_monitoring_spark.operators.embeddings import quantize_embeddings
+
+    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
 
 
 def _oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,6 +459,97 @@ EXTRA_SPECS: list[QuerySpec] = [
             LIMIT 200
         """,
         tags=("extra", "text", "aggregate"),
+    ),
+    QuerySpec(
+        name="x_chunk_documents",
+        doc=_chunk_documents.__doc__ or "",
+        spark=_chunk_documents,
+        oracle=f"""
+            WITH tok AS (
+                SELECT doc_id, {o_tokens('text')} AS tk FROM documents
+            ), sized AS (
+                SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
+                FROM tok WHERE len(tk) > 0
+            ), counted AS (
+                SELECT doc_id, tk, n,
+                       CAST(CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+                            ELSE 1 + (n - {CHUNK_TOKENS} + {CHUNK_TOKENS - CHUNK_OVERLAP} - 1)
+                                     // {CHUNK_TOKENS - CHUNK_OVERLAP}
+                       END AS BIGINT) AS n_chunks
+                FROM sized
+            ), ex AS (
+                SELECT doc_id, tk,
+                       CAST(i AS BIGINT) AS chunk_idx,
+                       CAST(i * {CHUNK_TOKENS - CHUNK_OVERLAP} AS BIGINT) AS chunk_start
+                FROM counted, unnest(range(0, n_chunks)) AS u(i)
+            )
+            SELECT doc_id, chunk_idx, chunk_start,
+                   CAST(len(tk[chunk_start + 1 : chunk_start + {CHUNK_TOKENS}]) AS BIGINT)
+                       AS n_tokens,
+                   array_to_string(tk[chunk_start + 1 : chunk_start + {CHUNK_TOKENS}], ' ')
+                       AS chunk_text
+            FROM ex
+        """,
+        tags=("extra", "training-prep", "chunking"),
+    ),
+    QuerySpec(
+        name="x_tfidf_topk",
+        doc=_tfidf.__doc__ or "",
+        spark=_tfidf,
+        oracle=f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({o_tokens('text')}) AS token FROM documents
+            ), tfq AS (
+                SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                FROM tok GROUP BY doc_id, token
+            ), dfq AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS df
+                FROM tfq GROUP BY token
+            ), scored AS (
+                SELECT doc_id, token, tf, df,
+                       CAST(tf AS DOUBLE) *
+                       (CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                        / CAST(df AS DOUBLE)) AS score
+                FROM tfq JOIN dfq USING (token)
+            ), ranked AS (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, token
+                ) AS BIGINT) AS term_rank
+                FROM scored
+            )
+            SELECT doc_id, token, tf, df, score, term_rank
+            FROM ranked WHERE term_rank <= 5
+        """,
+        tags=("extra", "text", "tfidf"),
+    ),
+    QuerySpec(
+        name="x_quantize_embeddings",
+        doc=_quantize.__doc__ or "",
+        spark=_quantize,
+        oracle="""
+            WITH xd AS (
+                SELECT vec_id,
+                       list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+                FROM embeddings
+            ), s AS (
+                SELECT vec_id, x,
+                       list_max(list_transform(x, v -> abs(v))) / CAST(127 AS DOUBLE) AS scale
+                FROM xd
+            ), q AS (
+                SELECT vec_id, x, scale,
+                       list_transform(x, v -> CAST(
+                           CASE WHEN scale = 0 THEN 0.0 ELSE floor(v / scale) END
+                       AS BIGINT)) AS qvec
+                FROM s
+            )
+            SELECT vec_id, scale, qvec,
+                   CASE WHEN scale = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+                       list_max(list_transform(range(1, len(x) + 1),
+                           i -> abs(x[i] - CAST(qvec[i] AS DOUBLE) * scale)))
+                   END AS max_abs_err
+            FROM q
+        """,
+        tags=("extra", "embeddings", "quantization"),
     ),
     QuerySpec(
         name="x_oversample_mixture",
