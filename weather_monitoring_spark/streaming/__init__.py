@@ -7,6 +7,10 @@ from weather_monitoring_spark.streaming.archive import (
 )
 from weather_monitoring_spark.streaming.continuous_agg import ContinuousRollup
 from weather_monitoring_spark.streaming.doc_dedup import StreamingDocDedup
+from weather_monitoring_spark.streaming.joins import (
+    interval_attribution,
+    streaming_dedup,
+)
 from weather_monitoring_spark.streaming.index_sink import (
     attach_index_sink,
     fs_bulk_upsert,
@@ -30,6 +34,7 @@ __all__ = [
     "compact_archive",
     "fs_bulk_upsert",
     "index_batch",
+    "interval_attribution",
     "live_gap_detector",
     "parse_wire",
     "rain_alerts",
@@ -37,6 +42,7 @@ __all__ = [
     "run_archive_stream",
     "session_rollup",
     "sliding_rollup",
+    "streaming_dedup",
     "tumbling_rollup",
     "wire_to_canonical",
     "with_doc_id",
