@@ -294,7 +294,14 @@ def tfidf_topk(
     tok = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens_expr(text_col)).alias("token")
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    # Pin the term-count table: both the vocabulary aggregation and the
+    # scored join consume it — without the pin the tokenize+explode+agg
+    # pass over the full corpus runs twice.
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     scored = tf.join(dfreq, "token").withColumn(
         "score",
