@@ -38,7 +38,12 @@ def main() -> None:
     )
     from weather_monitoring_spark.session import get_spark
 
-    spark = get_spark(app_name="scale-probe")
+    # Probe corpora are 10-40x the bench tables; give the single local JVM
+    # an executor-realistic heap (the default 1g driver heap is a test
+    # setting, not a scale statement).
+    spark = get_spark(
+        app_name="scale-probe", extra_conf={"spark.driver.memory": "8g"}
+    )
     out: dict[str, float | int] = {"n_embeddings": n_emb, "n_docs": n_docs}
 
     # --- synthetic embeddings: 64-dim uniform via md5 (distributed) ------
@@ -146,6 +151,23 @@ def main() -> None:
         connected_components(edges).select("component").distinct().count()
     )
     out["cc_sec"] = round(time.perf_counter() - t0, 2)
+
+    # --- linear-family training ops: chunking / tf-idf / quantization ----
+    from weather_monitoring_spark.operators.embeddings import quantize_embeddings
+    from weather_monitoring_spark.operators.textops import tfidf_topk
+    from weather_monitoring_spark.operators.training_prep import chunk_documents
+
+    t0 = time.perf_counter()
+    out["chunk_rows"] = chunk_documents(docs).count()
+    out["chunk_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    out["tfidf_rows"] = tfidf_topk(docs).count()
+    out["tfidf_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    out["quantize_rows"] = quantize_embeddings(emb).count()
+    out["quantize_sec"] = round(time.perf_counter() - t0, 2)
 
     print(json.dumps(out))
 
