@@ -500,3 +500,41 @@ def test_quantize_embeddings_error_bound_and_range(spark):
         assert r.scale > 0
         assert 0 <= r.max_abs_err < r.scale
         assert all(-128 <= q <= 127 for q in r.qvec)
+
+
+def test_chunk_documents_runs_in_structured_streaming(tmp_path, spark):
+    """Chunking is a stateless projection, so the SAME operator runs
+    unchanged as a streaming transformation — documents flowing in from a
+    stream chunk identically to a batch pass over the same rows."""
+    from weather_monitoring_spark.operators.training_prep import chunk_documents
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(80))), (2, "short doc"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = (
+        chunk_documents(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    streamed = {
+        (r.doc_id, r.chunk_idx): (r.chunk_start, r.n_tokens, r.chunk_text)
+        for r in spark.read.parquet(out).collect()
+    }
+    batched = {
+        (r.doc_id, r.chunk_idx): (r.chunk_start, r.n_tokens, r.chunk_text)
+        for r in chunk_documents(batch).collect()
+    }
+    assert streamed == batched
+    assert any(k[0] == 1 for k in streamed) and any(k[0] == 2 for k in streamed)
+    assert not any(k[0] == 3 for k in streamed)  # empty doc -> no chunks
