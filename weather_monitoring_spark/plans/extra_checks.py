@@ -238,6 +238,25 @@ def _quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
 
 
+def _profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column profiling of the events table (null rates,
+    exact cardinalities, typed min/max slots; timestamps profile as
+    unix micros — micros exceed double's 2^53 exact range, so they ride
+    the integer slots)."""
+    from weather_monitoring_spark.operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "events"))
+
+
+def _histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 25-bin histogram of events.value over [0, 500):
+    IEEE divide/floor binning (bit-stable cross-engine), zero-filled
+    empty bins from a generated bin table."""
+    from weather_monitoring_spark.operators.profile import histogram
+
+    return histogram(load_table(spark, sf_dir, "events"), "value", 0.0, 500.0, 25)
+
+
 def _oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixing oversampling with deterministic integer weights
     derived from the source name (srcN -> N % 3 + 1 copies): explode
@@ -550,6 +569,84 @@ EXTRA_SPECS: list[QuerySpec] = [
             FROM q
         """,
         tags=("extra", "embeddings", "quantization"),
+    ),
+    QuerySpec(
+        name="x_profile_events",
+        doc=_profile_events.__doc__ or "",
+        spark=_profile_events,
+        oracle="""
+            SELECT 'event_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                   CAST(min(event_id) AS BIGINT) AS min_int,
+                   CAST(max(event_id) AS BIGINT) AS max_int,
+                   CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM events
+            UNION ALL
+            SELECT 'ts', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(ts) AS BIGINT),
+                   CAST(count(DISTINCT epoch_us(ts)) AS BIGINT),
+                   CAST(min(epoch_us(ts)) AS BIGINT),
+                   CAST(max(epoch_us(ts)) AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(user_id) AS BIGINT),
+                   CAST(count(DISTINCT user_id) AS BIGINT),
+                   CAST(min(user_id) AS BIGINT), CAST(max(user_id) AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'event_type', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(event_type) AS BIGINT),
+                   CAST(count(DISTINCT event_type) AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   min(event_type), max(event_type)
+            FROM events
+            UNION ALL
+            SELECT 'value', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(value) AS BIGINT),
+                   CAST(count(DISTINCT value) AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'props', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(props) AS BIGINT),
+                   CAST(count(DISTINCT props) AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   min(props), max(props)
+            FROM events
+        """,
+        tags=("extra", "profiling"),
+    ),
+    QuerySpec(
+        name="x_histogram_value",
+        doc=_histogram_value.__doc__ or "",
+        spark=_histogram_value,
+        oracle="""
+            WITH b AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 25)),
+            binned AS (
+                SELECT CAST(least(floor((value - 0.0) / 20.0), 24) AS BIGINT) AS bin,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events
+                WHERE value IS NOT NULL AND value >= 0.0 AND value <= 500.0
+                GROUP BY 1
+            )
+            SELECT b.bin,
+                   0.0 + CAST(b.bin AS DOUBLE) * 20.0 AS bin_lo,
+                   0.0 + CAST(b.bin + 1 AS DOUBLE) * 20.0 AS bin_hi,
+                   CAST(coalesce(cnt, 0) AS BIGINT) AS cnt
+            FROM b LEFT JOIN binned USING (bin)
+        """,
+        tags=("extra", "profiling", "histogram"),
     ),
     QuerySpec(
         name="x_oversample_mixture",
