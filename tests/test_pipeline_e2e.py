@@ -1,0 +1,124 @@
+"""End-to-end LLM corpus pipeline: curate -> dedup (exact + fuzzy,
+cluster-granular) -> decontaminate -> chunk -> pack -> shard, with
+conservation invariants checked at every boundary. This is the
+"switching user" proof: every stage is the library operator a real
+pipeline would call, composed the way the docs say to compose them."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from weather_monitoring_spark.functions.text import tokens_expr
+from weather_monitoring_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_verify,
+)
+from weather_monitoring_spark.operators.graph import dedup_clusters
+from weather_monitoring_spark.operators.quality import quality_annotations
+from weather_monitoring_spark.operators.training_prep import (
+    CHUNK_OVERLAP,
+    CHUNK_TOKENS,
+    chunk_documents,
+    contamination_flags,
+    verify_training_shards,
+    write_training_shards,
+)
+
+
+def test_corpus_pipeline_end_to_end(tmp_path, spark):
+    docs = (
+        __import__(
+            "weather_monitoring_spark.sources.tables", fromlist=["load_table"]
+        ).load_table(spark, SF_SMALL, "documents")
+    ).localCheckpoint(eager=True)
+    n_docs = docs.count()
+
+    # 1. curation gate: drop high-repetition documents (quality pass is
+    # one zero-shuffle projection; the gate composes as a filter).
+    ann = quality_annotations(docs)
+    kept_ids = ann.filter(F.col("dup_token_frac") <= 0.9).select("doc_id")
+    curated = docs.join(kept_ids, "doc_id", "left_semi").localCheckpoint(eager=True)
+    n_curated = curated.count()
+    assert 0 < n_curated <= n_docs
+
+    # 2. exact dedup: min-id keeper per content hash.
+    keepers = exact_dedup(curated).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    exact_unique = curated.join(keepers, "doc_id", "left_semi")
+
+    # 3. fuzzy dedup at cluster granularity: LSH candidates -> exact
+    # Jaccard verification bounded by candidates -> connected components.
+    verified = ngram_jaccard_verify(exact_unique, minhash_lsh_pairs(exact_unique))
+    clusters = dedup_clusters(exact_unique, verified.select("id_a", "id_b"))
+    survivors = exact_unique.join(
+        clusters.filter(F.col("survivor")).select("doc_id"), "doc_id", "left_semi"
+    ).localCheckpoint(eager=True)
+    n_survivors = survivors.count()
+    # exactly one survivor per cluster; every non-survivor shares a
+    # cluster with its survivor
+    cl = clusters.collect()
+    by_cluster: dict = {}
+    for r in cl:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for cluster_id, members in by_cluster.items():
+        assert sum(m.survivor for m in members) == 1
+        assert min(m.doc_id for m in members) == cluster_id
+    assert n_survivors == len(by_cluster)
+
+    # 4. decontamination against the held-out split.
+    bench = survivors.filter(F.col("doc_id") % 20 == 0)
+    train = survivors.filter(F.col("doc_id") % 20 != 0)
+    flags = contamination_flags(train, bench)
+    clean = train.join(
+        flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
+    ).localCheckpoint(eager=True)
+    assert flags.count() == train.count()  # every train doc got a verdict
+
+    # 5. chunk into training samples; token mass is conserved:
+    # sum(chunk tokens) - overlap per chunk seam == doc token count.
+    chunks = chunk_documents(clean).localCheckpoint(eager=True)
+    seam = CHUNK_OVERLAP
+    chunk_mass = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.sum("n_tokens").alias("tok_sum"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .select(
+            "doc_id", (F.col("tok_sum") - seam * (F.col("n_chunks") - 1)).alias("mass")
+        )
+    )
+    doc_mass = clean.select(
+        "doc_id", F.size(tokens_expr("text")).cast("long").alias("mass")
+    )
+    mismatch = chunk_mass.join(doc_mass, "doc_id").filter(
+        chunk_mass.mass != doc_mass.mass
+    )
+    assert mismatch.count() == 0
+    assert chunks.agg(F.max("n_tokens")).first()[0] <= CHUNK_TOKENS
+
+    # 6. pack chunks into token-budget shards and write + verify.
+    samples = chunks.select(
+        (F.col("doc_id") * 10_000 + F.col("chunk_idx")).alias("sample_id"),
+        F.col("chunk_text"),
+    )
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        samples, out, budget=2_000, id_col="sample_id", text_col="chunk_text"
+    )
+    assert manifest.count() >= 1
+    diff = verify_training_shards(spark, out, text_col="chunk_text")
+    assert diff.count() == 0, "shards on disk must match the manifest"
+
+    # 7. global conservation: every written sample is a chunk of a clean
+    # surviving curated document, and none were lost.
+    written = spark.read.parquet(out)
+    assert written.count() == chunks.count()
+    written_docs = written.select(
+        (F.col("sample_id") / 10_000).cast("long").alias("doc_id")
+    ).distinct()
+    stray = written_docs.join(clean.select("doc_id"), "doc_id", "left_anti")
+    assert stray.count() == 0
