@@ -244,3 +244,37 @@ def test_kafka_and_file_parse_paths_are_identical(spark, tmp_path):
     rows_f = sorted(map(str, canon_f.collect()))
     assert rows_k == rows_f and len(rows_k) == 200
     assert rejects_k.count() == rejects_f.count() == 2
+
+
+def test_jsonl_source_splits_valid_and_rejects(tmp_path, spark):
+    """Batch JSONL corpus loading: parse failures and contract violations
+    route to rejects (queryable, raw line kept); valid rows carry the
+    documents contract and feed the corpus operators directly."""
+    from weather_monitoring_spark.sources.jsonl import read_jsonl_documents
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    (src / "part-0.jsonl").write_text(
+        "\n".join(
+            [
+                '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "src1", "n_chars": 11}',
+                '{"doc_id": 2, "text": "more text", "lang": "en", "source": "src1", "n_chars": 9}',
+                '{"doc_id": 3, "lang": "en", "source": "src1", "n_chars": 0}',  # no text
+                "{not json at all",  # corrupt line
+            ]
+        )
+    )
+    valid, rejects = read_jsonl_documents(spark, str(src))
+    v = {r.doc_id: r for r in valid.collect()}
+    assert set(v) == {1, 2}
+    assert v[1].text == "hello world" and v[1].n_chars == 11
+    assert "_corrupt_record" not in valid.columns
+    rej = rejects.collect()
+    assert len(rej) == 2
+    raws = {r["_corrupt_record"] for r in rej}
+    assert "{not json at all" in raws  # raw line kept for forensics
+
+    # valid feeds the corpus operators unchanged
+    from weather_monitoring_spark.operators.training_prep import chunk_documents
+
+    assert chunk_documents(valid).count() >= 2
