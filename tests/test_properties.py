@@ -174,3 +174,33 @@ def test_connected_components_match_union_find(edges):
             parent[max(ra, rb)] = min(ra, rb)
     expected = {n: find(n) for n in parent}
     assert got == expected
+
+
+@given(
+    n=st.integers(min_value=0, max_value=5_000),
+    chunk=st.integers(min_value=2, max_value=200),
+    overlap=st.integers(min_value=0, max_value=199),
+)
+@settings(max_examples=300, deadline=None)
+def test_chunk_count_formula_matches_greedy(n, chunk, overlap):
+    """The closed-form chunk count used by chunk_documents (and its
+    DuckDB oracle) equals a greedy simulation of the window rule, for
+    any (n_tokens, chunk_tokens, overlap)."""
+    if overlap >= chunk:
+        return
+    stride = chunk - overlap
+    # closed form from operators/training_prep.chunk_documents
+    formula = 0 if n == 0 else (1 if n <= chunk else 1 + -(-(n - chunk) // stride))
+    # greedy: start chunks while the previous chunk hasn't covered the end
+    count, start = 0, 0
+    while n > 0:
+        count += 1
+        if start + chunk >= n:
+            break
+        start += stride
+    assert formula == count
+    if n > 0:
+        # last chunk reaches the end; no chunk starts at/after the end
+        last_start = (formula - 1) * stride
+        assert last_start < n
+        assert last_start + chunk >= n
