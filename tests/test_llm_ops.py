@@ -538,3 +538,42 @@ def test_chunk_documents_runs_in_structured_streaming(tmp_path, spark):
     assert streamed == batched
     assert any(k[0] == 1 for k in streamed) and any(k[0] == 2 for k in streamed)
     assert not any(k[0] == 3 for k in streamed)  # empty doc -> no chunks
+
+
+def test_cap_per_group_is_deterministic_and_capped(spark):
+    """Domain capping keeps <= k rows per group, ranks are contiguous
+    from 1, and the kept id set is a pure function of the ids (same
+    result when recomputed from a reshuffled input)."""
+    from weather_monitoring_spark.operators.training_prep import cap_per_group
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    capped = cap_per_group(docs, "source", 7)
+    rows = capped.collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src_rows in by_src.values():
+        assert len(src_rows) <= 7
+        assert sorted(r.group_rank for r in src_rows) == list(
+            range(1, len(src_rows) + 1)
+        )
+    again = {
+        (r.source, r.doc_id)
+        for r in cap_per_group(docs.repartition(13), "source", 7).collect()
+    }
+    assert {(r.source, r.doc_id) for r in rows} == again
+
+
+def test_corpus_report_totals_match_corpus(spark):
+    from weather_monitoring_spark.functions.text import tokens_expr
+    from weather_monitoring_spark.operators.textops import corpus_report
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    rep = corpus_report(docs).collect()
+    assert sum(r.n_docs for r in rep) == docs.count()
+    total_tokens = docs.select(
+        F.sum(F.size(tokens_expr("text")).cast("long")).alias("t")
+    ).first()["t"]
+    assert sum(r.n_tokens for r in rep) == total_tokens
+    for r in rep:
+        assert r.chars_per_doc == r.n_chars / r.n_docs

@@ -314,3 +314,36 @@ def tfidf_topk(
         .filter(F.col("term_rank") <= k)
         .select("doc_id", "token", "tf", "df", "score", "term_rank")
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source corpus report — the summary artifact a pipeline
+    publishes with every data drop: document/token/char volumes,
+    language spread, and the largest document, one row per source.
+
+    One aggregation over one scan (token counts are computed inside the
+    scan projection; the group count is the number of sources, so the
+    shuffle moves a handful of partial rows per task). The mean is a
+    division of two exact BIGINTs — correctly rounded IEEE, bit-stable
+    cross-engine."""
+    sized = docs.select(
+        F.col(group_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.length(text_col).cast("long").alias("_chars"),
+        F.size(tokens_expr(text_col)).cast("long").alias("_toks"),
+    )
+    return sized.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_chars").cast("long").alias("n_chars"),
+        F.sum("_toks").cast("long").alias("n_tokens"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.max("_toks").cast("long").alias("max_doc_tokens"),
+        (
+            F.sum("_chars").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("chars_per_doc"),
+    )

@@ -267,6 +267,32 @@ def oversample_sources(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-group subsampling: keep at most ``k`` rows per
+    group, chosen by content-addressed order (md5 of the id) — the
+    "cap every domain at N documents" mixture-control step. Returns the
+    input columns plus ``group_rank`` (1..k within the group).
+
+    Content-addressed ordering makes the kept set a pure function of the
+    ids — stable across runs, partitionings, and engines (no RNG, no
+    arrival order). Scale shape: one hash-partitioned window per group;
+    with a heavy-hitter group the window sort is the cost, bounded by
+    WindowGroupLimit pushing the rank filter below the exchange (only
+    per-partition top-k rows shuffle)."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("group_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("group_rank") <= k)
+    )
+
+
 def write_training_shards(
     docs: DataFrame,
     out_dir: str,

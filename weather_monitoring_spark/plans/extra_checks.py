@@ -257,6 +257,22 @@ def _histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram(load_table(spark, sf_dir, "events"), "value", 0.0, 500.0, 25)
 
 
+def _cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain capping (keep <= 30 docs per source,
+    content-addressed md5 order — a pure function of the ids, no RNG)."""
+    from weather_monitoring_spark.operators.training_prep import cap_per_group
+
+    return cap_per_group(load_table(spark, sf_dir, "documents"), "source", 30)
+
+
+def _corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report: doc/char/token volumes, language spread,
+    largest doc, mean doc size — one aggregation over one scan."""
+    from weather_monitoring_spark.operators.textops import corpus_report
+
+    return corpus_report(load_table(spark, sf_dir, "documents"))
+
+
 def _oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixing oversampling with deterministic integer weights
     derived from the source name (srcN -> N % 3 + 1 copies): explode
@@ -569,6 +585,38 @@ EXTRA_SPECS: list[QuerySpec] = [
             FROM q
         """,
         tags=("extra", "embeddings", "quantization"),
+    ),
+    QuerySpec(
+        name="x_cap_per_source",
+        doc=_cap_per_source.__doc__ or "",
+        spark=_cap_per_source,
+        oracle="""
+            SELECT doc_id, text, lang, source, n_chars, group_rank FROM (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                ) AS BIGINT) AS group_rank
+                FROM documents
+            ) WHERE group_rank <= 30
+        """,
+        tags=("extra", "training-prep", "sampling"),
+    ),
+    QuerySpec(
+        name="x_corpus_report",
+        doc=_corpus_report.__doc__ or "",
+        spark=_corpus_report,
+        oracle=f"""
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                   CAST(sum(len({o_tokens('text')})) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(max(len({o_tokens('text')})) AS BIGINT) AS max_doc_tokens,
+                   CAST(sum(length(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS chars_per_doc
+            FROM documents GROUP BY source
+        """,
+        tags=("extra", "text", "reporting"),
     ),
     QuerySpec(
         name="x_profile_events",
