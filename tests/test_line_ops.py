@@ -1,0 +1,89 @@
+"""Unit tests for operators/lines.py — intra-document line dedup and
+corpus-level boilerplate stripping on constructed corpora with known
+answers. (Cross-engine oracle parity for the same operators runs in
+test_oracle_parity via the x_dedup_lines / x_strip_boilerplate extras.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from weather_monitoring_spark.operators.lines import (
+    dedup_lines,
+    line_doc_freq,
+    strip_boilerplate,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, lines array<string>")
+
+
+def test_dedup_lines_keeps_first_occurrence_in_order(spark):
+    df = _docs(
+        spark,
+        [
+            (1, ["nav", "body one", "nav", "body two", "body one", "nav"]),
+            (2, ["only line"]),
+            (3, []),
+        ],
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert out[1]["n_lines"] == 6 and out[1]["n_kept"] == 3
+    assert out[1]["text_clean"] == "nav\nbody one\nbody two"
+    assert out[2]["n_lines"] == out[2]["n_kept"] == 1
+    assert out[3]["n_lines"] == out[3]["n_kept"] == 0 and out[3]["text_clean"] == ""
+
+
+def test_dedup_lines_matches_array_distinct_cardinality(spark):
+    # n_kept must equal the distinct-line count for every document.
+    df = _docs(
+        spark,
+        [(i, [f"l{(i * j) % 7}" for j in range(20)]) for i in range(50)],
+    )
+    bad = (
+        dedup_lines(df)
+        .join(
+            df.select("doc_id", F.size(F.array_distinct("lines")).alias("nd")),
+            "doc_id",
+        )
+        .filter(F.col("n_kept") != F.col("nd"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_line_doc_freq_counts_documents_not_occurrences(spark):
+    df = _docs(
+        spark,
+        [
+            (1, ["hot", "hot", "hot", "rare a"]),
+            (2, ["hot", "rare b"]),
+            (3, ["rare c"]),
+        ],
+    )
+    freq = {r["line"]: r["n_docs"] for r in line_doc_freq(df).collect()}
+    assert freq["hot"] == 2  # repeats within doc 1 count once
+    assert freq["rare a"] == freq["rare b"] == freq["rare c"] == 1
+
+
+def test_strip_boilerplate_removes_hot_keeps_rare(spark):
+    rows = [(i, ["footer", f"unique {i}", "footer"]) for i in range(10)]
+    rows.append((99, ["footer"]))  # every line is boilerplate
+    df = _docs(spark, rows)
+    out = {r["doc_id"]: r for r in strip_boilerplate(df, min_docs=5).collect()}
+    assert out[3]["n_lines"] == 3 and out[3]["n_kept"] == 1
+    assert out[3]["text_clean"] == "unique 3"
+    # the all-boilerplate doc survives with an explicit empty verdict
+    assert out[99]["n_kept"] == 0 and out[99]["text_clean"] == ""
+    assert len(out) == 11
+
+
+def test_strip_boilerplate_formulations_agree(spark):
+    # broadcast hot-set filter == explode + left-join + re-group, row for
+    # row, including empty-array and all-hot documents.
+    rows = [(i, [f"l{j % 4}" for j in range(i % 6)] + [f"u{i}"]) for i in range(40)]
+    rows.append((100, []))
+    df = _docs(spark, rows)
+    a = strip_boilerplate(df, min_docs=10, broadcast_hot=True)
+    b = strip_boilerplate(df, min_docs=10, broadcast_hot=False)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

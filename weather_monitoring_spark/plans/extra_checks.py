@@ -285,6 +285,70 @@ def _oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oversample_sources(docs, weight)
 
 
+#: Tokens per synthesized "line" for the line-ops specs. The testdata
+#: documents are single-line word streams, so the specs synthesize a
+#: lined corpus deterministically (k-token groups) on BOTH engines
+#: before applying the line operators; k=2 over the small testdata
+#: vocabulary makes intra-doc duplicates and cross-doc hot lines common
+#: enough to exercise both code paths.
+LINE_TOKENS = 2
+LINE_MIN_DOCS = 25
+
+
+def _with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_monitoring_spark.functions.text import tokens_expr
+
+    k = LINE_TOKENS
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id"), tokens_expr("text").alias("_tk"))
+        .filter(F.size("_tk") > 0)
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, CAST((size(_tk) + {k - 1}) DIV {k} AS INT) - 1),"
+                f" i -> concat_ws(' ', slice(_tk, i*{k}+1, {k})))"
+            ).alias("lines"),
+        )
+    )
+
+
+#: Oracle CTE building the identical lined corpus in DuckDB (1-based
+#: inclusive list slicing; chr(10) == the Spark side's literal "\n").
+O_LINED = f"""
+    WITH lined AS (
+        SELECT doc_id,
+               list_transform(range(0, (len(tk) + {LINE_TOKENS - 1}) // {LINE_TOKENS}),
+                              i -> array_to_string(tk[i*{LINE_TOKENS}+1 : i*{LINE_TOKENS}+{LINE_TOKENS}], ' ')) AS lines
+        FROM (SELECT doc_id, {o_tokens('text')} AS tk FROM documents)
+        WHERE len(tk) > 0
+    )
+"""
+
+
+def _dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document duplicate-line removal (CCNet/Dolma line dedup):
+    keep each line's FIRST occurrence in order, re-join, count. Pure
+    per-row array projection — the corpus never shuffles; the
+    first-occurrence index lambda states the order contract explicitly
+    on both engines (list_distinct order is not portable)."""
+    from weather_monitoring_spark.operators.lines import dedup_lines
+
+    return dedup_lines(_with_lines(spark, sf_dir))
+
+
+def _strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate-line stripping: lines appearing in >=
+    LINE_MIN_DOCS distinct documents are removed from every document.
+    Scale shape: only (line -> doc-frequency) pairs shuffle; the hot set
+    (bounded by total_lines/min_docs) collapses to one broadcast array
+    row and each document filters map-side — documents are never
+    exploded, never re-assembled."""
+    from weather_monitoring_spark.operators.lines import strip_boilerplate
+
+    return strip_boilerplate(_with_lines(spark, sf_dir), min_docs=LINE_MIN_DOCS)
+
+
 EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec(
         name="x_rollup_aggregate",
@@ -707,5 +771,42 @@ EXTRA_SPECS: list[QuerySpec] = [
                   FROM documents)
         """,
         tags=("extra", "training-prep", "mixture"),
+    ),
+    QuerySpec(
+        name="x_dedup_lines",
+        doc=_dedup_lines.__doc__ or "",
+        spark=_dedup_lines,
+        oracle=O_LINED
+        + """
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   array_to_string(kept, chr(10)) AS text_clean
+            FROM (SELECT doc_id, lines,
+                         list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept
+                  FROM lined)
+        """,
+        tags=("extra", "text", "line-dedup"),
+    ),
+    QuerySpec(
+        name="x_strip_boilerplate",
+        doc=_strip_boilerplate.__doc__ or "",
+        spark=_strip_boilerplate,
+        oracle=O_LINED
+        + f"""
+            , hot AS (
+                SELECT line FROM (
+                    SELECT doc_id, unnest(list_distinct(lines)) AS line FROM lined
+                ) GROUP BY line HAVING count(*) >= {LINE_MIN_DOCS}
+            ), hotl AS (SELECT coalesce(list(line), []) AS hot FROM hot)
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   array_to_string(kept, chr(10)) AS text_clean
+            FROM (SELECT doc_id, lines,
+                         list_filter(lines, x -> NOT list_contains(hot, x)) AS kept
+                  FROM lined CROSS JOIN hotl)
+        """,
+        tags=("extra", "text", "line-dedup"),
     ),
 ]
