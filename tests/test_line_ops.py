@@ -87,3 +87,31 @@ def test_strip_boilerplate_formulations_agree(spark):
     a = strip_boilerplate(df, min_docs=10, broadcast_hot=True)
     b = strip_boilerplate(df, min_docs=10, broadcast_hot=False)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_bigram_lm_known_counts(spark):
+    from weather_monitoring_spark.operators.textops import bigram_lm
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b"), (3, "x")],  # doc 3: no bigram
+        "doc_id bigint, text string",
+    )
+    out = {(r["w1"], r["w2"]): r for r in bigram_lm(df).collect()}
+    assert out[("a", "b")]["c_pair"] == 3 and out[("a", "b")]["c_ctx"] == 3
+    assert out[("a", "b")]["p"] == 1.0
+    assert out[("b", "a")]["c_pair"] == 1 and out[("b", "a")]["c_ctx"] == 2
+    assert out[("b", "c")]["p"] == 0.5
+    assert set(out) == {("a", "b"), ("b", "a"), ("b", "c")}
+
+
+def test_bigram_lm_probabilities_sum_to_one_per_context(spark):
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.operators.textops import bigram_lm
+    from weather_monitoring_spark.sources.tables import load_table
+
+    lm = bigram_lm(load_table(spark, "/root/testdata/sf0.001", "documents"))
+    sums = lm.groupBy("w1").agg(
+        F.sum("c_pair").alias("s"), F.first("c_ctx").alias("c")
+    )
+    assert sums.filter(F.col("s") != F.col("c")).count() == 0

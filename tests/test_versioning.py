@@ -1,0 +1,41 @@
+"""Unit tests for operators/versioning.py — snapshot diff verdicts,
+summary conservation, and the incremental changed-slice. (Cross-engine
+oracle parity runs in test_oracle_parity via the x_snapshot_diff extra.)"""
+
+from __future__ import annotations
+
+from weather_monitoring_spark.operators.versioning import (
+    changed_slice,
+    diff_summary,
+    snapshot_diff,
+)
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_snapshot_diff_all_four_verdicts(spark):
+    old = _snap(spark, [(1, "same"), (2, "before"), (3, "gone")])
+    new = _snap(spark, [(1, "same"), (2, "after"), (4, "fresh")])
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_diff_summary_conserves_id_universe(spark):
+    old = _snap(spark, [(i, f"t{i}") for i in range(100)])
+    new = _snap(spark, [(i, f"t{i}" if i % 4 else "edited") for i in range(20, 120)])
+    diff = snapshot_diff(old, new)
+    counts = {r["status"]: r["n"] for r in diff_summary(diff).collect()}
+    # universe = 0..119; removed 0..19, added 100..119
+    assert counts["removed"] == 20 and counts["added"] == 20
+    assert sum(counts.values()) == 120
+    assert diff.count() == 120
+
+
+def test_changed_slice_is_added_plus_changed_rows(spark):
+    old = _snap(spark, [(1, "a"), (2, "b")])
+    new = _snap(spark, [(1, "a"), (2, "B"), (3, "c")])
+    diff = snapshot_diff(old, new)
+    got = sorted(r["doc_id"] for r in changed_slice(new, diff).collect())
+    assert got == [2, 3]

@@ -347,3 +347,58 @@ def corpus_report(
             F.sum("_chars").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("chars_per_doc"),
     )
+
+
+#: Drop bigrams seen fewer than this many times in bigram_lm (noise floor;
+#: 1 keeps everything).
+BIGRAM_MIN_COUNT = 1
+
+
+def bigram_lm(
+    docs: DataFrame,
+    min_count: int = BIGRAM_MIN_COUNT,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus bigram language-model count table (the KenLM-style artifact
+    behind perplexity-based quality filtering): for every adjacent token
+    pair, its corpus count, its context count, and the conditional MLE
+    probability. Returns (w1, w2, c_pair, c_ctx, p) with counts BIGINT
+    and ``p = c_pair / c_ctx`` — a single IEEE divide of two exact
+    integers, so the table is bit-identical on any engine (no log-space
+    smoothing here for exactly that reason; downstream scorers can take
+    logs in their own numeric domain).
+
+    Scale shape: pairs explode map-side inside the scan projection; ONE
+    shuffle aggregates (w1, w2) with map-side partial counts. The context
+    count is a reaggregation OF THE PAIR TABLE (vocab-bounded, tiny next
+    to the corpus), joined back on w1 — a shuffle join on purpose, since
+    a web-scale vocabulary is not reliably broadcastable; AQE converts it
+    when the measured side is small."""
+    pairs = (
+        docs.select(tokens_expr(text_col).alias("_tk"))
+        .filter(F.size("_tk") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_tk) - 1),"
+                    " i -> struct(_tk[i-1] AS w1, _tk[i] AS w2))"
+                )
+            ).alias("s")
+        )
+        .select("s.w1", "s.w2")
+    )
+    c_pair = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_pair")
+    )
+    c_ctx = c_pair.groupBy("w1").agg(F.sum("c_pair").cast("long").alias("c_ctx"))
+    return (
+        c_pair.join(c_ctx, "w1")
+        .filter(F.col("c_pair") >= min_count)
+        .select(
+            "w1",
+            "w2",
+            "c_pair",
+            "c_ctx",
+            (F.col("c_pair").cast("double") / F.col("c_ctx").cast("double")).alias("p"),
+        )
+    )

@@ -349,6 +349,37 @@ def _strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_boilerplate(_with_lines(spark, sf_dir), min_docs=LINE_MIN_DOCS)
 
 
+def _snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (run N vs run N+1): per-id verdict
+    added/removed/changed/unchanged by md5 content digest. Both sides
+    collapse to (id, 16-byte digest) before the full-outer join — text
+    never shuffles. Snapshots are synthesized deterministically from the
+    documents table (drop id%7 on the old side, drop id%5 and edit id%3
+    on the new side) so all four verdicts occur."""
+    from weather_monitoring_spark.operators.versioning import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, new)
+
+
+def _bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM count table: (w1, w2) corpus count, context
+    count, and conditional MLE probability — one IEEE divide of exact
+    BIGINTs, bit-stable cross-engine (no log smoothing for exactly that
+    reason). Pairs explode map-side; one partial-agg shuffle; the
+    context table is a vocab-bounded reaggregation of the pair table."""
+    from weather_monitoring_spark.operators.textops import bigram_lm
+
+    return bigram_lm(load_table(spark, sf_dir, "documents"))
+
+
 EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec(
         name="x_rollup_aggregate",
@@ -808,5 +839,55 @@ EXTRA_SPECS: list[QuerySpec] = [
                   FROM lined CROSS JOIN hotl)
         """,
         tags=("extra", "text", "line-dedup"),
+    ),
+    QuerySpec(
+        name="x_snapshot_diff",
+        doc=_snapshot_diff.__doc__ or "",
+        spark=_snapshot_diff,
+        oracle="""
+            WITH o AS (
+                SELECT doc_id, md5(text) AS old_digest
+                FROM documents WHERE doc_id % 7 <> 0
+            ), n AS (
+                SELECT doc_id,
+                       md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                                ELSE text END) AS new_digest
+                FROM documents WHERE doc_id % 5 <> 0
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN old_digest IS NULL THEN 'added'
+                        WHEN new_digest IS NULL THEN 'removed'
+                        WHEN old_digest = new_digest THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   old_digest, new_digest
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        """,
+        tags=("extra", "versioning"),
+    ),
+    QuerySpec(
+        name="x_bigram_lm",
+        doc=_bigram_lm.__doc__ or "",
+        spark=_bigram_lm,
+        oracle=f"""
+            WITH tk AS (
+                SELECT {o_tokens('text')} AS t FROM documents
+            ), pairs AS (
+                SELECT unnest(list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i+1])) AS pair
+                FROM tk WHERE len(t) > 1
+            ), cp AS (
+                SELECT split_part(pair, ' ', 1) AS w1,
+                       split_part(pair, ' ', 2) AS w2,
+                       CAST(count(*) AS BIGINT) AS c_pair
+                FROM pairs GROUP BY 1, 2
+            ), cc AS (
+                SELECT w1, CAST(sum(c_pair) AS BIGINT) AS c_ctx
+                FROM cp GROUP BY w1
+            )
+            SELECT w1, w2, c_pair, c_ctx,
+                   CAST(c_pair AS DOUBLE) / CAST(c_ctx AS DOUBLE) AS p
+            FROM cp JOIN cc USING (w1)
+        """,
+        tags=("extra", "text", "language-model"),
     ),
 ]
