@@ -65,3 +65,121 @@ def quantize_embeddings(
             " END"
         ).alias("max_abs_err"),
     )
+
+
+#: Output dimensionality for reduce_embeddings. 16 keeps the JL scale
+#: factor 1/sqrt(16) = 0.25 exactly representable, though any k is safe:
+#: IEEE-754 sqrt is correctly rounded on every engine.
+JL_DIM = 16
+
+
+def jl_matrix(out_dim: int, in_dim: int):
+    """Deterministic ±1 Johnson-Lindenstrauss projection matrix: entry
+    (j, i) is the md5-derived sign of ``"jl:j:i"`` — the same
+    engine-portable construction as the ANN hyperplanes
+    (similarity.hyperplane_matrix), under a disjoint seed namespace."""
+    import hashlib
+
+    import numpy as np
+
+    mat = np.empty((out_dim, in_dim), dtype=np.float64)
+    for j in range(out_dim):
+        for i in range(in_dim):
+            h = int(hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[:8], 16)
+            mat[j, i] = 1.0 if h % 2 == 0 else -1.0
+    return mat
+
+
+def _jl_chain(signs, vec: str, scale_lit: str, one_based: bool) -> str:
+    """One output coordinate as a left-associated multiply-add chain with
+    the ±1 signs baked in as literals — the identical term order on both
+    engines, so the double result is bit-identical."""
+    if one_based:
+        terms = " + ".join(
+            f"({'1.0' if s > 0 else '-1.0'}) * {vec}[{i + 1}]::DOUBLE"
+            for i, s in enumerate(signs)
+        )
+    else:
+        terms = " + ".join(
+            f"({'1.0' if s > 0 else '-1.0'}) * CAST({vec}[{i}] AS DOUBLE)"
+            for i, s in enumerate(signs)
+        )
+    return f"({terms}) * {scale_lit}"
+
+
+def reduce_embeddings(
+    emb: DataFrame,
+    out_dim: int = JL_DIM,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "gemm",
+) -> DataFrame:
+    """Random-projection (Johnson-Lindenstrauss) dimensionality reduction:
+    project each vector onto ``out_dim`` deterministic ±1 hyperplanes and
+    scale by 1/sqrt(out_dim), preserving pairwise distances in
+    expectation. Returns (vec_id, reduced array<double>). The cheap first
+    stage of an embedding pipeline at 100 TB — a 4x narrower vector
+    feeds ANN bucketing / IVF training at a quarter of the shuffle bytes,
+    with exact re-scoring on the full vectors afterwards (the engine's
+    standard prefilter + re-score composition).
+
+    ``method="gemm"`` (default): one Arrow-batched float64 matmul per
+    partition — the scale path; numpy's pairwise summation makes it
+    ulp-close (not bit-equal) to the expr path, so tests compare with a
+    tolerance. ``method="expr"``: all-JVM left-associated multiply-add
+    chains with the signs baked in as literals — bit-identical to the
+    DuckDB oracle, zero Python boundary; the oracle-checked formulation.
+
+    Both paths are shuffle-free per-row projections."""
+    import math
+
+    scale_lit = repr(1.0 / math.sqrt(out_dim))
+    planes = jl_matrix(out_dim, dim)
+    if method == "expr":
+        coords = ", ".join(
+            _jl_chain(planes[j], vec_col, scale_lit, one_based=False)
+            for j in range(out_dim)
+        )
+        return emb.select(F.col(id_col), F.expr(f"array({coords})").alias("reduced"))
+    if method != "gemm":
+        raise ValueError(f"unknown method {method!r}")
+
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    id_field = emb.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("reduced", ArrayType(DoubleType())),
+        ]
+    )
+    scale = 1.0 / math.sqrt(out_dim)
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            red = (mat @ planes.T) * scale
+            yield pd.DataFrame({id_col: pdf[id_col], "reduced": list(red)})
+
+    return emb.select(id_col, vec_col).mapInPandas(project, out_schema)
+
+
+def o_reduce_embeddings(out_dim: int = JL_DIM, dim: int = 64) -> str:
+    """DuckDB oracle for the expr path: the same ±1 literals in the same
+    left-associated order, scaled by the same literal."""
+    import math
+
+    scale_lit = repr(1.0 / math.sqrt(out_dim))
+    planes = jl_matrix(out_dim, dim)
+    coords = ", ".join(
+        _jl_chain(planes[j], "embedding", scale_lit, one_based=True)
+        for j in range(out_dim)
+    )
+    return f"SELECT vec_id, [{coords}] AS reduced FROM embeddings"

@@ -380,6 +380,18 @@ def _bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm(load_table(spark, sf_dir, "documents"))
 
 
+def _reduce_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random-projection reduction, expr path: deterministic ±1 planes
+    baked in as literals, left-associated multiply-add chains — double
+    results bit-identical to the oracle's identical chains. (The GEMM
+    scale path is proven ulp-close to this one by test.)"""
+    from weather_monitoring_spark.operators.embeddings import reduce_embeddings
+
+    return reduce_embeddings(
+        load_table(spark, sf_dir, "embeddings"), method="expr"
+    )
+
+
 EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec(
         name="x_rollup_aggregate",
@@ -891,3 +903,18 @@ EXTRA_SPECS: list[QuerySpec] = [
         tags=("extra", "text", "language-model"),
     ),
 ]
+
+# The JL-reduction oracle SQL is generated from the same plane matrix the
+# Spark side uses (literal chains, identical order) — append it with its
+# generator rather than an inline string.
+from weather_monitoring_spark.operators.embeddings import o_reduce_embeddings  # noqa: E402
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_reduce_embeddings",
+        doc=_reduce_embeddings.__doc__ or "",
+        spark=_reduce_embeddings,
+        oracle=o_reduce_embeddings(),
+        tags=("extra", "embeddings", "dimensionality-reduction"),
+    )
+)
