@@ -169,6 +169,57 @@ def main() -> None:
     out["quantize_rows"] = quantize_embeddings(emb).count()
     out["quantize_sec"] = round(time.perf_counter() - t0, 2)
 
+    # --- line ops: planted boilerplate + per-doc line arrays --------------
+    from weather_monitoring_spark.operators.lines import dedup_lines, strip_boilerplate
+
+    lined = docs.select(
+        "doc_id",
+        F.expr(
+            "concat(array('site header', 'cookie banner'), "
+            "transform(sequence(1, 30), i -> concat(substring(md5(concat(doc_id, ':l', i)), 1, 8), ' ', "
+            "substring(md5(concat(doc_id, ':m', i)), 1, 8))))"
+        ).alias("lines"),
+    )
+    t0 = time.perf_counter()
+    out["dedup_lines_rows"] = dedup_lines(lined).count()
+    out["dedup_lines_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    stripped = strip_boilerplate(lined, min_docs=1000)
+    out["strip_boilerplate_removed"] = (
+        stripped.agg(F.sum(F.col("n_lines") - F.col("n_kept")).alias("r")).first()["r"]
+    )
+    out["strip_boilerplate_sec"] = round(time.perf_counter() - t0, 2)
+
+    # --- bigram LM: web-scale-shaped vocabulary (NOT broadcastable) ------
+    from weather_monitoring_spark.operators.textops import bigram_lm
+
+    t0 = time.perf_counter()
+    out["bigram_lm_rows"] = bigram_lm(docs).count()
+    out["bigram_lm_sec"] = round(time.perf_counter() - t0, 2)
+
+    # --- snapshot diff: digest-only full-outer join ----------------------
+    from weather_monitoring_spark.operators.versioning import snapshot_diff
+
+    new_snap = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    t0 = time.perf_counter()
+    out["snapshot_changed"] = (
+        snapshot_diff(docs, new_snap).filter(F.col("status") == "changed").count()
+    )
+    out["snapshot_diff_sec"] = round(time.perf_counter() - t0, 2)
+
+    # --- JL reduction: one Arrow matmul per partition --------------------
+    from weather_monitoring_spark.operators.embeddings import reduce_embeddings
+
+    t0 = time.perf_counter()
+    out["reduce_rows"] = reduce_embeddings(emb).count()
+    out["reduce_sec"] = round(time.perf_counter() - t0, 2)
+
     print(json.dumps(out))
 
 
