@@ -387,8 +387,14 @@ def bigram_lm(
         )
         .select("s.w1", "s.w2")
     )
-    c_pair = pairs.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("c_pair")
+    # Pin the pair table: both the context reaggregation and the final
+    # join consume it — without the pin the tokenize+explode+agg pass
+    # over the full corpus runs twice (same pattern as tfidf_topk's tf
+    # table).
+    c_pair = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_pair"))
+        .localCheckpoint(eager=False)
     )
     c_ctx = c_pair.groupBy("w1").agg(F.sum("c_pair").cast("long").alias("c_ctx"))
     return (
