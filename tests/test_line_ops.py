@@ -115,3 +115,42 @@ def test_bigram_lm_probabilities_sum_to_one_per_context(spark):
         F.sum("c_pair").alias("s"), F.first("c_ctx").alias("c")
     )
     assert sums.filter(F.col("s") != F.col("c")).count() == 0
+
+
+def test_normalize_text_known_cases(spark):
+    from weather_monitoring_spark.operators.textops import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\t\tb   c"),
+            (2, "win\r\nline\rold"),
+            (3, "ctrl\x07\x01char"),
+            (4, "  padded \n  inner  \n end  "),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert out[1]["text_norm"] == "a b c"
+    assert out[2]["text_norm"] == "win\nline\nold"
+    assert out[3]["text_norm"] == "ctrlchar"
+    assert out[4]["text_norm"] == "padded\ninner\nend"
+    assert out[4]["n_chars_raw"] == 26 and out[4]["n_chars_norm"] == 16
+
+
+def test_normalize_text_is_idempotent(spark):
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.operators.textops import normalize_text
+    from weather_monitoring_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    once = normalize_text(docs).select(
+        F.col("doc_id"), F.col("text_norm").alias("text")
+    )
+    twice = normalize_text(once)
+    diff = (
+        once.join(twice, "doc_id")
+        .filter(F.col("text") != F.col("text_norm"))
+        .count()
+    )
+    assert diff == 0

@@ -408,3 +408,53 @@ def bigram_lm(
             (F.col("c_pair").cast("double") / F.col("c_ctx").cast("double")).alias("p"),
         )
     )
+
+
+#: Control characters stripped by normalize_text: C0 controls except
+#: tab/newline/carriage-return (which are whitespace-normalized instead),
+#: plus DEL. Hex escapes are in the RE2 ∩ Java-regex common subset, so
+#: the DuckDB oracle runs the identical pattern string.
+CTRL_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+#: Horizontal whitespace runs (spaces/tabs) collapse to one space;
+#: CR and CRLF normalize to LF first.
+HWS_RUN_RE = "[ \\t]+"
+
+
+def normalize_text(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Crawl-text normalization — the first transform a raw corpus sees:
+    strip C0/DEL control characters, normalize CR/CRLF to LF, collapse
+    horizontal-whitespace runs to one space, trim line edges and document
+    edges. Returns (id, text_norm, n_chars_raw, n_chars_norm), counts
+    BIGINT. Line structure (LF) is preserved for the downstream line
+    operators (operators/lines.py).
+
+    Unicode canonicalization (NFC/NFKC) is deliberately OUT of scope:
+    no JVM-side builtin exposes it, so it would cost a Python UDF on the
+    hottest path in the pipeline; the regex passes here are whole-stage
+    codegen. One projection, zero shuffle at any corpus size."""
+    t = F.col(text_col)
+    cleaned = F.regexp_replace(t, "\\r\\n|\\r", "\n")
+    cleaned = F.regexp_replace(cleaned, CTRL_RE, "")
+    cleaned = F.regexp_replace(cleaned, HWS_RUN_RE, " ")
+    # trim around line breaks, then the document ends
+    cleaned = F.regexp_replace(cleaned, " ?\\n ?", "\n")
+    cleaned = F.trim(cleaned)
+    return docs.select(
+        F.col(id_col),
+        cleaned.alias("text_norm"),
+        F.length(t).cast("long").alias("n_chars_raw"),
+        F.length(cleaned).cast("long").alias("n_chars_norm"),
+    )
+
+
+def o_normalize_text(text_col: str = "text") -> str:
+    """DuckDB fragment computing the identical normalization (same
+    pattern strings, global replace)."""
+    c = f"regexp_replace({text_col}, '\\r\\n|\\r', chr(10), 'g')"
+    c = f"regexp_replace({c}, '{CTRL_RE}', '', 'g')"
+    c = f"regexp_replace({c}, '{HWS_RUN_RE}', ' ', 'g')"
+    c = f"regexp_replace({c}, ' ?\\n ?', chr(10), 'g')"
+    return f"trim({c})"

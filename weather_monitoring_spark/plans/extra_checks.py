@@ -392,6 +392,30 @@ def _reduce_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Planted-dirt synthesis for the normalize_text spec: BEL + CR/CRLF +
+#: tab runs injected around/into every document, written as ONE SQL
+#: fragment valid verbatim on both engines (concat/chr/replace agree).
+PLANT_DIRT = (
+    "concat(chr(7), 'head ', chr(13), chr(10), "
+    "replace(text, ' ', concat(' ', chr(9), chr(9), ' ')), "
+    "' ', chr(13), ' tail')"
+)
+
+
+def _normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-text normalization over deterministically dirtied documents
+    (BEL, CR/CRLF, tab runs planted via the same SQL fragment on both
+    engines): strip C0/DEL controls, CR->LF, collapse horizontal
+    whitespace, trim line and document edges. One zero-shuffle
+    projection; the regex passes are whole-stage codegen."""
+    from weather_monitoring_spark.operators.textops import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(PLANT_DIRT).alias("text")
+    )
+    return normalize_text(docs)
+
+
 EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec(
         name="x_rollup_aggregate",
@@ -908,6 +932,25 @@ EXTRA_SPECS: list[QuerySpec] = [
 # Spark side uses (literal chains, identical order) — append it with its
 # generator rather than an inline string.
 from weather_monitoring_spark.operators.embeddings import o_reduce_embeddings  # noqa: E402
+
+from weather_monitoring_spark.operators.textops import o_normalize_text  # noqa: E402
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_normalize_text",
+        doc=_normalize_text.__doc__ or "",
+        spark=_normalize_text,
+        oracle=f"""
+            WITH dirty AS (SELECT doc_id, {PLANT_DIRT} AS text FROM documents)
+            SELECT doc_id,
+                   {o_normalize_text('text')} AS text_norm,
+                   CAST(length(text) AS BIGINT) AS n_chars_raw,
+                   CAST(length({o_normalize_text('text')}) AS BIGINT) AS n_chars_norm
+            FROM dirty
+        """,
+        tags=("extra", "text", "normalization"),
+    )
+)
 
 EXTRA_SPECS.append(
     QuerySpec(
