@@ -154,3 +154,56 @@ def test_normalize_text_is_idempotent(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_normalize_and_dedup_lines_run_in_structured_streaming(tmp_path, spark):
+    """The curation front door (normalize -> split lines -> intra-doc
+    line dedup) is stateless column algebra, so the SAME operators run
+    unchanged as a streaming transformation and agree with the batch
+    pass row-for-row. (Corpus-level strip_boilerplate is deliberately
+    NOT streaming-safe — its hot set is a corpus aggregate; the batch
+    operator feeds the streaming path as a broadcast side input.)"""
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.operators.lines import dedup_lines
+    from weather_monitoring_spark.operators.textops import normalize_text
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch = spark.createDataFrame(
+        [
+            (1, "nav\r\nbody  one\x07\nnav\nbody one"),
+            (2, "only\tline"),
+            (3, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    batch.write.parquet(src)
+
+    def curate(df):
+        normed = normalize_text(df)
+        lined = normed.select(
+            "doc_id",
+            F.expr("filter(split(text_norm, '\\n'), x -> x != '')").alias("lines"),
+        )
+        return dedup_lines(lined)
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = (
+        curate(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    streamed = {r.doc_id: (r.n_lines, r.n_kept, r.text_clean)
+                for r in spark.read.parquet(out).collect()}
+    batched = {r.doc_id: (r.n_lines, r.n_kept, r.text_clean)
+               for r in curate(batch).collect()}
+    assert streamed == batched
+    assert streamed[1] == (4, 2, "nav\nbody one")
+    assert streamed[2] == (1, 1, "only line")
+    assert streamed[3] == (0, 0, "")
