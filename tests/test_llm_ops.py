@@ -577,3 +577,40 @@ def test_corpus_report_totals_match_corpus(spark):
     assert sum(r.n_tokens for r in rep) == total_tokens
     for r in rep:
         assert r.chars_per_doc == r.n_chars / r.n_docs
+
+
+def test_sample_exact_k_is_deterministic_and_exact(spark):
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.operators.training_prep import sample_exact_k
+    from weather_monitoring_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = sorted(r["doc_id"] for r in sample_exact_k(docs, 50).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sample_exact_k(docs.repartition(13, F.col("source")), 50).collect()
+    )
+    assert len(a) == 50 and a == b  # exact size; partitioning-independent
+
+
+def test_trim_distribution_tails_known_frame(spark):
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.operators.training_prep import (
+        trim_distribution_tails,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i) for i in range(1, 101)], "doc_id bigint, v bigint"
+    )
+    out = trim_distribution_tails(df, F.col("v"), lo_pct=5, hi_pct=95)
+    rows = out.collect()
+    # ceil(100*5/100)=5 -> v_lo=5; ceil(100*95/100)=95 -> v_hi=95
+    assert all(r["v_lo"] == 5 and r["v_hi"] == 95 for r in rows)
+    assert sorted(r["v"] for r in rows) == list(range(5, 96))
+
+    # degenerate single-valued distribution keeps everything
+    one = spark.createDataFrame([(i, 7) for i in range(20)], "doc_id bigint, v bigint")
+    kept = trim_distribution_tails(one, F.col("v")).collect()
+    assert len(kept) == 20 and all(r["v_lo"] == r["v_hi"] == 7 for r in kept)

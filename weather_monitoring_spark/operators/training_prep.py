@@ -363,3 +363,60 @@ def verify_training_shards(
     )
     stored = spark.read.parquet(out_dir + "/_manifest")
     return derived.exceptAll(stored).unionByName(stored.exceptAll(derived))
+
+
+def sample_exact_k(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic exactly-k sample: the k smallest md5(id) values.
+    ``sample(fraction)`` gives a binomial-sized result and depends on
+    partitioning; hash order gives a uniform-looking, RNG-free, exactly
+    sized pick that is a pure function of the ids — the same rows on any
+    engine, any partitioning, any run. Plans as TakeOrderedAndProject
+    (per-partition heaps of k), so nothing global-sorts."""
+    return (
+        df.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col)).limit(k)
+    )
+
+
+def trim_distribution_tails(
+    docs: DataFrame,
+    feature,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distribution-tail gate (the C4/Gopher "drop the shortest and
+    longest" curation step): keep rows whose integer ``feature`` lies
+    between the lo_pct- and hi_pct-rank values. Returns the input
+    columns plus (f, v_lo, v_hi) so the gate is auditable.
+
+    Bound definition (integer-exact, no interpolation): v_p = the
+    smallest feature value whose cumulative count reaches
+    ceil(n * p / 100) — the lower-value quantile. Both bounds and the
+    comparison are BIGINT arithmetic, bit-stable on any engine.
+
+    Scale shape: the corpus aggregates once into a (value, count)
+    histogram — bounded by the feature's value cardinality (document
+    lengths, not documents), so the cumulative window over it runs on a
+    tiny single-partition frame by construction (the same argument as
+    distributed_cumsum's offsets table). The one-row bounds frame
+    broadcast-cross-joins back; the corpus itself shuffles zero times
+    beyond the histogram's partial aggregation."""
+    feat = docs.withColumn("f", feature.cast("long"))
+    n = feat.count()
+    lo_rank = (n * lo_pct + 99) // 100
+    hi_rank = (n * hi_pct + 99) // 100
+    hist = feat.groupBy("f").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    w = Window.orderBy("f").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    bounds = cum.agg(
+        F.min(F.when(F.col("_cum") >= lo_rank, F.col("f"))).alias("v_lo"),
+        F.min(F.when(F.col("_cum") >= hi_rank, F.col("f"))).alias("v_hi"),
+    )
+    return (
+        feat.crossJoin(F.broadcast(bounds))
+        .filter((F.col("f") >= F.col("v_lo")) & (F.col("f") <= F.col("v_hi")))
+    )

@@ -416,6 +416,29 @@ def _normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(docs)
 
 
+def _sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exactly-k sample: the 100 smallest md5(doc_id)
+    values — RNG-free, partition-independent, exactly sized; plans as
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    from weather_monitoring_spark.operators.training_prep import sample_exact_k
+
+    return sample_exact_k(load_table(spark, sf_dir, "documents"), 100)
+
+
+def _trim_tails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-tail curation gate: keep documents whose token count
+    lies between the 5%- and 95%-rank values (integer-exact lower-value
+    quantiles over a (value, count) histogram — the corpus aggregates
+    once; no interpolation, no collect)."""
+    from weather_monitoring_spark.functions.text import tokens_expr
+    from weather_monitoring_spark.operators.training_prep import (
+        trim_distribution_tails,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trim_distribution_tails(docs, F.size(tokens_expr("text")))
+
+
 EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec(
         name="x_rollup_aggregate",
@@ -875,6 +898,41 @@ EXTRA_SPECS: list[QuerySpec] = [
                   FROM lined CROSS JOIN hotl)
         """,
         tags=("extra", "text", "line-dedup"),
+    ),
+    QuerySpec(
+        name="x_sample_exact_k",
+        doc=_sample_exact_k.__doc__ or "",
+        spark=_sample_exact_k,
+        oracle="""
+            SELECT * FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT 100
+        """,
+        tags=("extra", "training-prep", "sampling"),
+    ),
+    QuerySpec(
+        name="x_trim_tails",
+        doc=_trim_tails.__doc__ or "",
+        spark=_trim_tails,
+        oracle=f"""
+            WITH feat AS (
+                SELECT *, CAST(len({o_tokens('text')}) AS BIGINT) AS f
+                FROM documents
+            ), hist AS (
+                SELECT f, CAST(count(*) AS BIGINT) AS c FROM feat GROUP BY f
+            ), cum AS (
+                SELECT f, sum(c) OVER (ORDER BY f) AS cum FROM hist
+            ), n AS (SELECT count(*) AS n FROM feat),
+            bounds AS (
+                SELECT min(CASE WHEN cum >= (n * 5 + 99) // 100 THEN f END) AS v_lo,
+                       min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN f END) AS v_hi
+                FROM cum, n
+            )
+            SELECT feat.*, v_lo, v_hi
+            FROM feat CROSS JOIN bounds
+            WHERE f >= v_lo AND f <= v_hi
+        """,
+        tags=("extra", "training-prep", "curation"),
     ),
     QuerySpec(
         name="x_snapshot_diff",
