@@ -439,6 +439,41 @@ def _trim_tails(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trim_distribution_tails(docs, F.size(tokens_expr("text")))
 
 
+#: x_pack_contexts parameters: non-overlapping 32-token chunks packed
+#: into 128-token training contexts.
+CTX_CHUNK = 32
+CTX_BUDGET = 128
+
+
+def _pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus -> fixed-length training contexts: non-overlapping
+    token chunks (pure map-side projection) -> global running token total
+    (distributed_cumsum: range repartition + local windows + broadcast
+    offsets, no single-task sort) -> context_id = the 128-token interval
+    containing the chunk's first token. The whole composition is the
+    data-loader feed path, oracle-checked as one plan."""
+    from weather_monitoring_spark.operators.training_prep import (
+        chunk_documents,
+        distributed_cumsum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=CTX_CHUNK, overlap=0)
+    keyed = chunks.withColumn(
+        "ord", F.col("doc_id") * 1048576 + F.col("chunk_idx")
+    )
+    packed = distributed_cumsum(keyed, "ord", "n_tokens", out_col="cum_tokens")
+    return packed.select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        "cum_tokens",
+        F.expr(f"CAST((cum_tokens - n_tokens) DIV {CTX_BUDGET} AS BIGINT)").alias(
+            "context_id"
+        ),
+    )
+
+
 EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec(
         name="x_rollup_aggregate",
@@ -933,6 +968,45 @@ EXTRA_SPECS: list[QuerySpec] = [
             WHERE f >= v_lo AND f <= v_hi
         """,
         tags=("extra", "training-prep", "curation"),
+    ),
+    QuerySpec(
+        name="x_pack_contexts",
+        doc=_pack_contexts.__doc__ or "",
+        spark=_pack_contexts,
+        oracle=f"""
+            WITH tok AS (
+                SELECT doc_id, {o_tokens('text')} AS tk FROM documents
+            ), sized AS (
+                SELECT doc_id, CAST(len(tk) AS BIGINT) AS n
+                FROM tok WHERE len(tk) > 0
+            ), counted AS (
+                SELECT doc_id, n,
+                       CAST(CASE WHEN n <= {CTX_CHUNK} THEN 1
+                            ELSE 1 + (n - 1) // {CTX_CHUNK}
+                       END AS BIGINT) AS n_chunks
+                FROM sized
+            ), ex AS (
+                SELECT doc_id, n,
+                       CAST(i AS BIGINT) AS chunk_idx,
+                       CAST(i * {CTX_CHUNK} AS BIGINT) AS start
+                FROM counted, unnest(range(0, n_chunks)) AS u(i)
+            ), ch AS (
+                SELECT doc_id, chunk_idx,
+                       CAST(least({CTX_CHUNK}, n - start) AS BIGINT) AS n_tokens
+                FROM ex
+            ), c AS (
+                SELECT doc_id, chunk_idx, n_tokens,
+                       CAST(sum(n_tokens) OVER (
+                           ORDER BY doc_id, chunk_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS cum_tokens
+                FROM ch
+            )
+            SELECT doc_id, chunk_idx, n_tokens, cum_tokens,
+                   CAST((cum_tokens - n_tokens) // {CTX_BUDGET} AS BIGINT) AS context_id
+            FROM c
+        """,
+        tags=("extra", "training-prep", "composition"),
     ),
     QuerySpec(
         name="x_snapshot_diff",
