@@ -39,3 +39,21 @@ def test_changed_slice_is_added_plus_changed_rows(spark):
     diff = snapshot_diff(old, new)
     got = sorted(r["doc_id"] for r in changed_slice(new, diff).collect())
     assert got == [2, 3]
+
+
+def test_dup_source_matrix_known_frame(spark):
+    from weather_monitoring_spark.operators.dedup import dup_source_matrix
+
+    docs = spark.createDataFrame(
+        [(1, "web"), (2, "web"), (3, "books"), (4, "code")],
+        "doc_id bigint, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 1), (2, 4)], "id_a bigint, id_b bigint"
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in dup_source_matrix(docs, pairs).collect()
+    }
+    # (1,3) and (3,1) both normalize to (books, web)
+    assert out == {("web", "web"): 1, ("books", "web"): 2, ("code", "web"): 1}

@@ -347,3 +347,32 @@ def simhash_neardup_pairs(
         # A close pair can agree on several blocks -> dedup the pair keys.
         .distinct()
     )
+
+
+def dup_source_matrix(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix: roll a near-dup pair set up to
+    (source_a, source_b, n_pairs) with the source pair normalized so the
+    matrix is upper-triangular — the report that tells a crawl operator
+    WHICH feeds duplicate each other (mirror sites, syndication) rather
+    than just how many documents collide.
+
+    Scale shape: the joins are pair-driven — ``pairs`` is the (small)
+    output of a dedup operator, and the corpus side contributes only its
+    (id, source) projection; the final aggregation has at most
+    |sources|^2 groups."""
+    a = docs.select(F.col(id_col).alias("id_a"), F.col(source_col).alias("_sa"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col(source_col).alias("_sb"))
+    labeled = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    return (
+        labeled.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

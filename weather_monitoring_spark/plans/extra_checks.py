@@ -474,6 +474,20 @@ def _pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix over the exact n-gram Jaccard
+    near-dup pairs (q32's oracle-proven pair set): which sources
+    duplicate each other, upper-triangular by source-name order. The
+    joins are pair-driven; the corpus contributes only (id, source)."""
+    from weather_monitoring_spark.operators.dedup import (
+        dup_source_matrix,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_source_matrix(docs, ngram_jaccard_pairs(docs))
+
+
 EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec(
         name="x_rollup_aggregate",
@@ -1007,6 +1021,35 @@ EXTRA_SPECS: list[QuerySpec] = [
             FROM c
         """,
         tags=("extra", "training-prep", "composition"),
+    ),
+    QuerySpec(
+        name="x_dup_source_matrix",
+        doc=_dup_source_matrix.__doc__ or "",
+        spark=_dup_source_matrix,
+        oracle=f"""
+            WITH {O_FILTERED_SH},
+            shared AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+                FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+                GROUP BY 1, 2
+            ),
+            dup_pairs AS (
+                SELECT id_a, id_b
+                FROM shared JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
+                WHERE shared * 1.0 / (x.n + y.n - shared) >= {JACCARD_THRESHOLD}
+            ),
+            lab AS (
+                SELECT da.source AS sa, db.source AS sb
+                FROM dup_pairs p
+                JOIN documents da ON da.doc_id = p.id_a
+                JOIN documents db ON db.doc_id = p.id_b
+            )
+            SELECT least(sa, sb) AS source_a,
+                   greatest(sa, sb) AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM lab GROUP BY 1, 2
+        """,
+        tags=("extra", "dedup", "reporting"),
     ),
     QuerySpec(
         name="x_snapshot_diff",
