@@ -278,3 +278,34 @@ def test_jsonl_source_splits_valid_and_rejects(tmp_path, spark):
     from weather_monitoring_spark.operators.training_prep import chunk_documents
 
     assert chunk_documents(valid).count() >= 2
+
+
+def test_csv_source_splits_valid_and_rejects(tmp_path, spark):
+    """Batch CSV corpus loading mirrors the JSONL path: schema violations
+    route to rejects with the raw line kept; valid rows carry the
+    documents contract."""
+    from weather_monitoring_spark.sources.csv import read_csv_documents
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    (src / "part-0.csv").write_text(
+        "\n".join(
+            [
+                "doc_id,text,lang,source,n_chars",
+                '1,"hello world",en,src1,11',
+                '2,"quoted, comma",en,src1,13',
+                'notanumber,"bad id",en,src1,6',  # doc_id fails the schema
+                ',missing id,en,src1,10',  # required column null
+            ]
+        )
+    )
+    valid, rejects = read_csv_documents(spark, str(src))
+    v = {r.doc_id: r for r in valid.collect()}
+    assert set(v) == {1, 2}
+    assert v[2].text == "quoted, comma"  # quoted delimiter survives
+    assert "_corrupt_record" not in valid.columns
+    rej = rejects.collect()
+    assert len(rej) == 2
+    assert any(
+        r["_corrupt_record"] and "notanumber" in r["_corrupt_record"] for r in rej
+    )

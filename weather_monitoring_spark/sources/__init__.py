@@ -1,4 +1,6 @@
+from weather_monitoring_spark.sources.csv import read_csv, read_csv_documents
 from weather_monitoring_spark.sources.filestream import read_parquet_stream
+from weather_monitoring_spark.sources.jsonl import read_jsonl, read_jsonl_documents
 from weather_monitoring_spark.sources.generator import (
     synthetic_wire_batch,
     synthetic_wire_json_batch,
@@ -16,6 +18,10 @@ __all__ = [
     "kafka_available",
     "load_table",
     "load_tables",
+    "read_csv",
+    "read_csv_documents",
+    "read_jsonl",
+    "read_jsonl_documents",
     "read_kafka_stream",
     "read_parquet_stream",
     "register_views",
