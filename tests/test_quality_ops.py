@@ -110,3 +110,37 @@ def test_quality_annotations_run_in_structured_streaming(tmp_path, spark):
     rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
     assert rows[1]["clean_text"] == "ping <IP> ping ping"
     assert rows[2]["n_emails"] == 1 and rows[2]["clean_text"] == "mail <EMAIL> now"
+
+
+def test_compression_signals_flag_repetition(spark):
+    import hashlib
+
+    from weather_monitoring_spark.operators.quality import compression_signals
+
+    noise = " ".join(
+        hashlib.md5(f"n{i}".encode()).hexdigest() for i in range(60)
+    )
+    df = _docs(
+        spark,
+        [
+            (1, "repeat me " * 200),
+            (2, "the quick brown fox jumps over the lazy dog and then "
+                "wanders across the quiet meadow looking for something new "
+                "to chase before the evening settles in over the hills"),
+            (3, noise),
+            (4, ""),
+        ],
+    )
+    out = {r["doc_id"]: r for r in compression_signals(df).collect()}
+    # the signal that matters: repetition stands far out of the pack
+    # (hex "noise" still compresses ~2x — 16-symbol alphabet — and short
+    # prose pays the deflate header, so only the repetitive doc is
+    # separable by a wide margin)
+    assert out[1]["compression_ratio"] > 10
+    assert out[1]["compression_ratio"] > 3 * out[2]["compression_ratio"]
+    assert out[1]["compression_ratio"] > 3 * out[3]["compression_ratio"]
+    assert 1.0 < out[2]["compression_ratio"] < 3
+    assert 1.0 < out[3]["compression_ratio"] < 3
+    assert out[4]["n_bytes"] == 0 and out[4]["compression_ratio"] is not None
+    for r in out.values():
+        assert r["n_compressed"] > 0

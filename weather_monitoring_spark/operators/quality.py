@@ -24,6 +24,7 @@ extend the engine per the builder brief's LLM-pipeline scope.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -180,4 +181,52 @@ def quality_annotations(
         red["n_ips"],
         red["n_phones"],
         *rep.values(),
+    )
+
+
+#: zlib level for compression_signals — the standard default; the signal
+#: is a ratio, insensitive to small level changes.
+ZLIB_LEVEL = 6
+
+
+def compression_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Compression-ratio quality signal (Gopher/Dolma family): highly
+    repetitive or templated text compresses far better than natural
+    prose, and near-random noise compresses worse. Returns
+    (id, n_bytes, n_compressed, compression_ratio) with
+    ``compression_ratio = n_bytes / n_compressed`` (higher = more
+    redundant).
+
+    This is the one curation signal that genuinely needs Python (zlib
+    has no JVM-expression equivalent), so it runs as an Arrow-batched
+    ``pandas_udf`` — one projection, zero shuffle, the same
+    filter-before-Python discipline as the multimodal operators. No
+    DuckDB oracle on purpose: the ratio is a property of the compressor,
+    not a relational semantic; tests pin the orderings that matter
+    (repetitive > prose > noise) instead of byte counts."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _zlen(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), ZLIB_LEVEL))
+            if t is not None
+            else None
+        )
+
+    n_bytes = F.octet_length(F.col(text_col)).cast("long")
+    out = docs.select(
+        F.col(id_col),
+        n_bytes.alias("n_bytes"),
+        _zlen(F.col(text_col)).alias("n_compressed"),
+    )
+    return out.withColumn(
+        "compression_ratio",
+        F.when(
+            F.col("n_compressed").isNull() | (F.col("n_compressed") == 0), None
+        ).otherwise(F.col("n_bytes").cast("double") / F.col("n_compressed").cast("double")),
     )
