@@ -213,6 +213,13 @@ def main() -> None:
     )
     out["snapshot_diff_sec"] = round(time.perf_counter() - t0, 2)
 
+    # --- compression signal: the Python-boundary cost, honestly metered --
+    from weather_monitoring_spark.operators.quality import compression_signals
+
+    t0 = time.perf_counter()
+    out["compression_rows"] = compression_signals(docs).count()
+    out["compression_sec"] = round(time.perf_counter() - t0, 2)
+
     # --- JL reduction: one Arrow matmul per partition --------------------
     from weather_monitoring_spark.operators.embeddings import reduce_embeddings
 

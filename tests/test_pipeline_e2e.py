@@ -35,13 +35,47 @@ def test_corpus_pipeline_end_to_end(tmp_path, spark):
     ).localCheckpoint(eager=True)
     n_docs = docs.count()
 
+    # 0. wire normalization with a recovery invariant: plant deterministic
+    # transport dirt (BEL + tab runs + edge spaces), normalize, and the
+    # corpus must come back byte-identical — proving the normalizer
+    # removes exactly the dirt and nothing else on already-normal text.
+    from weather_monitoring_spark.operators.textops import normalize_text
+
+    dirty = docs.select(
+        "doc_id",
+        F.expr(
+            "concat(chr(7), replace(text, ' ', concat(' ', chr(9), ' ')), '  ')"
+        ).alias("text"),
+    )
+    recovered = normalize_text(dirty).select("doc_id", "text_norm")
+    not_recovered = (
+        recovered.join(docs, "doc_id")
+        .filter(F.col("text_norm") != F.col("text"))
+        .count()
+    )
+    assert not_recovered == 0
+
+    # 0b. distribution-tail gate: drop the shortest/longest 5% by token
+    # count before any content-based curation.
+    from weather_monitoring_spark.operators.training_prep import (
+        trim_distribution_tails,
+    )
+
+    gated = (
+        trim_distribution_tails(docs, F.size(tokens_expr("text")))
+        .select(*docs.columns)
+        .localCheckpoint(eager=True)
+    )
+    n_gated = gated.count()
+    assert 0 < n_gated <= n_docs
+
     # 1. curation gate: drop high-repetition documents (quality pass is
     # one zero-shuffle projection; the gate composes as a filter).
-    ann = quality_annotations(docs)
+    ann = quality_annotations(gated)
     kept_ids = ann.filter(F.col("dup_token_frac") <= 0.9).select("doc_id")
-    curated = docs.join(kept_ids, "doc_id", "left_semi").localCheckpoint(eager=True)
+    curated = gated.join(kept_ids, "doc_id", "left_semi").localCheckpoint(eager=True)
     n_curated = curated.count()
-    assert 0 < n_curated <= n_docs
+    assert 0 < n_curated <= n_gated
 
     # 2. exact dedup: min-id keeper per content hash.
     keepers = exact_dedup(curated).select(
