@@ -144,3 +144,26 @@ def test_compression_signals_flag_repetition(spark):
     assert out[4]["n_bytes"] == 0 and out[4]["compression_ratio"] is not None
     for r in out.values():
         assert r["n_compressed"] > 0
+
+
+def test_blocklist_filter_counts_and_verdicts(spark):
+    from weather_monitoring_spark.operators.quality import blocklist_filter
+
+    df = _docs(
+        spark,
+        [
+            (1, "clean words only"),
+            (2, "bad thing here"),
+            (3, "bad bad bad things badly"),  # 'badly' must NOT match \bbad\b
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in blocklist_filter(df, ("\\bbad\\b",), max_hits=1).collect()
+    }
+    assert out[1]["n_blocked_hits"] == 0 and not out[1]["blocked"]
+    assert out[2]["n_blocked_hits"] == 1 and not out[2]["blocked"]
+    assert out[3]["n_blocked_hits"] == 3 and out[3]["blocked"]
+    # empty pattern tuple: nothing blocked, every doc still gets a verdict
+    none = blocklist_filter(df, (), max_hits=0).collect()
+    assert len(none) == 3 and all(not r["blocked"] for r in none)

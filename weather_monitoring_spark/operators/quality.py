@@ -230,3 +230,34 @@ def compression_signals(
             F.col("n_compressed").isNull() | (F.col("n_compressed") == 0), None
         ).otherwise(F.col("n_bytes").cast("double") / F.col("n_compressed").cast("double")),
     )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    patterns: tuple[str, ...],
+    max_hits: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pattern-blocklist gate (the C4-style banned-terms filter): count
+    matches of each blocklist regex per document and flag documents whose
+    total exceeds ``max_hits``. Returns the input columns plus
+    (n_blocked_hits, blocked) — every document gets an explicit verdict;
+    the caller filters on ``blocked`` (dropping silently would hide the
+    gate's effect from audits).
+
+    Patterns must stay in the RE2 ∩ Java-regex common subset (same rule
+    as the PII patterns) so the DuckDB oracle runs the identical strings.
+    One zero-shuffle projection — regex counting is JVM codegen, stacked
+    per pattern inside the scan."""
+    hits = None
+    for pat in patterns:
+        h = F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint")
+        hits = h if hits is None else (hits + h)
+    if hits is None:
+        hits = F.lit(0).cast("bigint")
+    return docs.select(
+        "*",
+        hits.alias("n_blocked_hits"),
+        (hits > max_hits).alias("blocked"),
+    )

@@ -488,6 +488,22 @@ def _dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_source_matrix(docs, ngram_jaccard_pairs(docs))
 
 
+#: Blocklist for the x_blocklist_filter spec: word-boundary patterns in
+#: the RE2 ∩ Java common subset, hitting real testdata vocabulary.
+BLOCK_PATTERNS = ("\\bslow\\b", "\\bdup\\b")
+
+
+def _blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-blocklist gate (C4-style banned-terms filter): per-document
+    hit counts over shared-verbatim regexes + an explicit blocked verdict
+    for every document. One zero-shuffle regex projection."""
+    from weather_monitoring_spark.operators.quality import blocklist_filter
+
+    return blocklist_filter(
+        load_table(spark, sf_dir, "documents"), BLOCK_PATTERNS, max_hits=2
+    )
+
+
 EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec(
         name="x_rollup_aggregate",
@@ -1050,6 +1066,22 @@ EXTRA_SPECS: list[QuerySpec] = [
             FROM lab GROUP BY 1, 2
         """,
         tags=("extra", "dedup", "reporting"),
+    ),
+    QuerySpec(
+        name="x_blocklist_filter",
+        doc=_blocklist.__doc__ or "",
+        spark=_blocklist,
+        oracle=f"""
+            SELECT *,
+                   CAST(len(regexp_extract_all(text, '{BLOCK_PATTERNS[0]}'))
+                      + len(regexp_extract_all(text, '{BLOCK_PATTERNS[1]}'))
+                      AS BIGINT) AS n_blocked_hits,
+                   (len(regexp_extract_all(text, '{BLOCK_PATTERNS[0]}'))
+                      + len(regexp_extract_all(text, '{BLOCK_PATTERNS[1]}'))) > 2
+                      AS blocked
+            FROM documents
+        """,
+        tags=("extra", "text", "curation"),
     ),
     QuerySpec(
         name="x_snapshot_diff",
