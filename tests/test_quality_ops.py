@@ -167,3 +167,34 @@ def test_blocklist_filter_counts_and_verdicts(spark):
     # empty pattern tuple: nothing blocked, every doc still gets a verdict
     none = blocklist_filter(df, (), max_hits=0).collect()
     assert len(none) == 3 and all(not r["blocked"] for r in none)
+
+
+def test_curate_corpus_verdicts_and_single_projection(spark):
+    from weather_monitoring_spark.operators.quality import curate_corpus
+
+    df = _docs(
+        spark,
+        [
+            (1, "a perfectly ordinary document with enough distinct words"),
+            (2, "tiny"),
+            (3, " ".join(["spam"] * 20)),  # dup frac 19/20 > 0.9
+            (4, "now discussing the banned topic at length for many words"),
+            (5, "short\tbut\twide  enough after cleaning up the whitespace"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curate_corpus(df, blocklist=("\\bbanned\\b",)).collect()
+    }
+    assert out[1]["verdict"] == "kept"
+    assert out[2]["verdict"] == "too_short"
+    assert out[3]["verdict"] == "repetitive"
+    assert out[4]["verdict"] == "blocked" and out[4]["n_blocked_hits"] == 1
+    assert out[5]["verdict"] == "kept"
+    assert out[5]["text_norm"] == "short but wide enough after cleaning up the whitespace"
+    # first-failing-gate precedence: a short repetitive doc is too_short
+    tiny_spam = _docs(spark, [(9, "x x")])
+    assert curate_corpus(tiny_spam).collect()[0]["verdict"] == "too_short"
+    # the whole gate is one projection — no shuffle in the plan
+    plan = curate_corpus(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

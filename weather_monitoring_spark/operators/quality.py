@@ -261,3 +261,59 @@ def blocklist_filter(
         hits.alias("n_blocked_hits"),
         (hits > max_hits).alias("blocked"),
     )
+
+
+#: curate_corpus gate defaults.
+CURATE_MAX_DUP_FRAC = 0.9
+CURATE_MIN_TOKENS = 5
+
+
+def curate_corpus(
+    docs: DataFrame,
+    blocklist: tuple[str, ...] = (),
+    max_block_hits: int = 0,
+    max_dup_token_frac: float = CURATE_MAX_DUP_FRAC,
+    min_tokens: int = CURATE_MIN_TOKENS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The curation front door as ONE call: normalize the text, compute
+    the gate signals, and attach a per-document verdict — ``kept``, or
+    the name of the FIRST failing gate (``too_short``, ``repetitive``,
+    ``blocked``). Returns (id, text_norm, n_tokens, dup_token_frac,
+    n_blocked_hits, verdict); callers filter ``verdict = 'kept'`` and
+    publish the verdict distribution with the data drop (dropping
+    silently hides the gates' effect from audits).
+
+    Everything here is column algebra over one pass — normalization,
+    tokenization, repetition fold, and blocklist counting stack into a
+    single zero-shuffle projection (the test asserts no Exchange in the
+    physical plan), so the full gate runs at parquet-scan speed at any
+    corpus size."""
+    from weather_monitoring_spark.operators.textops import normalize_text
+
+    normed = normalize_text(docs, id_col=id_col, text_col=text_col).select(
+        id_col, "text_norm"
+    )
+    df = normed.withColumn("_tk", tokens_expr("text_norm"))
+    rep = _repetition_cols("_tk")
+    hits = None
+    for pat in blocklist:
+        h = F.regexp_count(F.col("text_norm"), F.lit(pat)).cast("bigint")
+        hits = h if hits is None else (hits + h)
+    if hits is None:
+        hits = F.lit(0).cast("bigint")
+    staged = df.select(
+        F.col(id_col),
+        F.col("text_norm"),
+        rep["n_tokens"],
+        rep["dup_token_frac"],
+        hits.alias("n_blocked_hits"),
+    )
+    verdict = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("dup_token_frac") > max_dup_token_frac, F.lit("repetitive"))
+        .when(F.col("n_blocked_hits") > max_block_hits, F.lit("blocked"))
+        .otherwise(F.lit("kept"))
+    )
+    return staged.withColumn("verdict", verdict)
