@@ -504,6 +504,18 @@ def _blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call curation front door (normalize -> repetition fold ->
+    blocklist -> first-failing-gate verdict) as a single zero-shuffle
+    projection — composition oracle built from the same normalize /
+    token / repetition / blocklist fragments the constituent specs use."""
+    from weather_monitoring_spark.operators.quality import curate_corpus
+
+    return curate_corpus(
+        load_table(spark, sf_dir, "documents"), blocklist=BLOCK_PATTERNS
+    )
+
+
 EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec(
         name="x_rollup_aggregate",
@@ -1141,6 +1153,42 @@ EXTRA_SPECS: list[QuerySpec] = [
 from weather_monitoring_spark.operators.embeddings import o_reduce_embeddings  # noqa: E402
 
 from weather_monitoring_spark.operators.textops import o_normalize_text  # noqa: E402
+from weather_monitoring_spark.operators.quality import (  # noqa: E402
+    o_repetition_cols,
+)
+
+_O_CUR_REP = o_repetition_cols("t")
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_curate_corpus",
+        doc=_curate_corpus.__doc__ or "",
+        spark=_curate_corpus,
+        oracle=f"""
+            WITH normed AS (
+                SELECT doc_id, {o_normalize_text('text')} AS text_norm
+                FROM documents
+            ), tk AS (
+                SELECT doc_id, text_norm, {o_tokens('text_norm')} AS t
+                FROM normed
+            ), sig AS (
+                SELECT doc_id, text_norm,
+                       {_O_CUR_REP['n_tokens']} AS n_tokens,
+                       {_O_CUR_REP['dup_token_frac']} AS dup_token_frac,
+                       CAST(len(regexp_extract_all(text_norm, '{BLOCK_PATTERNS[0]}'))
+                          + len(regexp_extract_all(text_norm, '{BLOCK_PATTERNS[1]}'))
+                          AS BIGINT) AS n_blocked_hits
+                FROM tk
+            )
+            SELECT doc_id, text_norm, n_tokens, dup_token_frac, n_blocked_hits,
+                   CASE WHEN n_tokens < 5 THEN 'too_short'
+                        WHEN dup_token_frac > 0.9 THEN 'repetitive'
+                        WHEN n_blocked_hits > 0 THEN 'blocked'
+                        ELSE 'kept' END AS verdict
+            FROM sig
+        """,
+        tags=("extra", "text", "curation", "composition"),
+    )
+)
 
 EXTRA_SPECS.append(
     QuerySpec(
