@@ -1216,3 +1216,109 @@ EXTRA_SPECS.append(
         tags=("extra", "embeddings", "dimensionality-reduction"),
     )
 )
+
+
+# ---- duplicated-span detection / masking (operators/spans.py) ------------
+
+from weather_monitoring_spark.operators.spans import (  # noqa: E402
+    DUP_SPAN_MIN_DOCS,
+    DUP_SPAN_N,
+    dup_spans,
+    strip_dup_spans,
+)
+
+
+def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup audit view: maximal duplicated token spans (word
+    8-grams shared by >= 2 documents, overlapping/adjacent occurrences
+    merged) with 1-based inclusive token coordinates. Gram extraction is
+    a map-side scan projection; only (gram, doc_id) pairs shuffle, and
+    the span merge windows over the (tiny) flagged-position set."""
+    return dup_spans(load_table(spark, sf_dir, "documents"))
+
+
+def _strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring dedup proper: mask every token covered by a duplicated
+    span, keeping the lowest-doc_id copy of each gram (exactly one copy
+    survives the corpus). The mask is a token-index lambda over the
+    per-document flagged-start array — the corpus is never exploded."""
+    return strip_dup_spans(load_table(spark, sf_dir, "documents"))
+
+
+_O_GRAM_POS = f"""
+            tk AS (
+                SELECT doc_id, {o_tokens('text')} AS t FROM documents
+            ), pos AS (
+                SELECT doc_id, t,
+                       unnest(range(1, len(t) - {DUP_SPAN_N} + 2)) AS pos
+                FROM tk WHERE len(t) >= {DUP_SPAN_N}
+            ), gp AS (
+                SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                       array_to_string(t[pos:pos + {DUP_SPAN_N} - 1], ' ') AS gram
+                FROM pos
+            )"""
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_dup_spans",
+        doc=_dup_spans.__doc__ or "",
+        spark=_dup_spans,
+        oracle=f"""
+            WITH {_O_GRAM_POS}, dup AS (
+                SELECT gram FROM gp GROUP BY gram
+                HAVING count(DISTINCT doc_id) >= {DUP_SPAN_MIN_DOCS}
+            ), fl AS (
+                SELECT doc_id, pos FROM gp JOIN dup USING (gram)
+            ), sess AS (
+                SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER w IS NULL
+                                 OR pos - lag(pos) OVER w > {DUP_SPAN_N}
+                            THEN 1 ELSE 0 END AS nf
+                FROM fl WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), sid AS (
+                SELECT doc_id, pos,
+                       sum(nf) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+                FROM sess
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + {DUP_SPAN_N} - 1 AS BIGINT) AS span_end,
+                   CAST(max(pos) + {DUP_SPAN_N} - min(pos) AS BIGINT) AS span_tokens
+            FROM sid GROUP BY doc_id, span_id
+        """,
+        tags=("extra", "dedup", "spans"),
+    )
+)
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_strip_dup_spans",
+        doc=_strip_dup_spans.__doc__ or "",
+        spark=_strip_dup_spans,
+        oracle=f"""
+            WITH {_O_GRAM_POS}, dup AS (
+                SELECT gram, min(doc_id) AS keeper FROM gp GROUP BY gram
+                HAVING count(DISTINCT doc_id) >= {DUP_SPAN_MIN_DOCS}
+            ), fl AS (
+                SELECT gp.doc_id, gp.pos
+                FROM gp JOIN dup USING (gram) WHERE gp.doc_id <> dup.keeper
+            ), st AS (
+                SELECT doc_id, list(pos ORDER BY pos) AS starts
+                FROM fl GROUP BY doc_id
+            ), kept AS (
+                SELECT tk.doc_id, t,
+                       list_filter(t, (x, i) -> len(list_filter(
+                           coalesce(starts, []),
+                           s -> s <= i AND i <= s + {DUP_SPAN_N} - 1)) = 0
+                       ) AS keep
+                FROM tk LEFT JOIN st ON tk.doc_id = st.doc_id
+            )
+            SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(len(t) - len(keep) AS BIGINT) AS n_masked,
+                   coalesce(array_to_string(keep, ' '), '') AS text_clean
+            FROM kept
+        """,
+        tags=("extra", "dedup", "spans"),
+    )
+)
