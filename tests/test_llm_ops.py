@@ -614,3 +614,21 @@ def test_trim_distribution_tails_known_frame(spark):
     one = spark.createDataFrame([(i, 7) for i in range(20)], "doc_id bigint, v bigint")
     kept = trim_distribution_tails(one, F.col("v")).collect()
     assert len(kept) == 20 and all(r["v_lo"] == r["v_hi"] == 7 for r in kept)
+
+
+def test_lm_score_known_fractions(spark):
+    from weather_monitoring_spark.operators.textops import bigram_lm, lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (3, "a b a b"), (4, "solo")],
+        ["doc_id", "text"],
+    )
+    lm = bigram_lm(docs.filter("doc_id = 1"))  # knows ab, bc, cd (count 1 each)
+    out = {r.doc_id: r for r in lm_score(docs, lm).collect()}
+    assert set(out) == {1, 2, 3}  # <2 tokens -> no bigrams -> excluded
+    assert (out[1].n_bigrams, out[1].n_known, out[1].c_evidence) == (3, 3, 3)
+    assert out[1].known_frac == 1.0
+    assert (out[2].n_bigrams, out[2].n_known, out[2].c_evidence) == (3, 1, 1)
+    assert out[2].known_frac == 1 / 3
+    # multiplicity counts: "a b a b" has bigrams ab, ba, ab
+    assert (out[3].n_bigrams, out[3].n_known, out[3].c_evidence) == (3, 2, 2)

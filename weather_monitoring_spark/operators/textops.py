@@ -410,6 +410,61 @@ def bigram_lm(
     )
 
 
+def lm_score(
+    docs: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a bigram LM count table (``bigram_lm``'s
+    output, typically built on a held-out reference corpus): the
+    perplexity-filter stage of corpus curation, kept in exact integer
+    arithmetic so it's bit-identical cross-engine. Per document:
+
+    - ``n_bigrams``  — adjacent token pairs, with multiplicity (BIGINT);
+    - ``n_known``    — pairs present in the LM table (BIGINT);
+    - ``known_frac`` — ``n_known / n_bigrams``, ONE IEEE divide of two
+      exact integers (correctly rounded, hence bit-stable — the reason
+      this scores coverage instead of summing log-probs, which would
+      accumulate order-dependent float error);
+    - ``c_evidence`` — total corpus count mass behind the document's
+      known pairs (BIGINT; higher = more conventional text).
+
+    Low ``known_frac`` ≈ high perplexity: gibberish, boilerplate markup,
+    or out-of-domain text. Documents with < 2 tokens have no bigrams and
+    are excluded (mirror of ``bigram_lm``'s own filter).
+
+    Scale shape: bigrams explode map-side inside the scan; ONE shuffle
+    join on (w1, w2) against the vocab-bounded LM table (AQE broadcasts
+    it when small — a web-scale vocabulary is not reliably
+    broadcastable, so the plan declares a plain equi-join); the per-doc
+    aggregation shuffles (doc_id, 1, flag, count) tuples with map-side
+    partials — documents themselves never cross the wire."""
+    bi = (
+        docs.select(F.col(id_col), tokens_expr(text_col).alias("_tk"))
+        .filter(F.size("_tk") > 1)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_tk) - 1),"
+                    " i -> struct(_tk[i-1] AS w1, _tk[i] AS w2))"
+                )
+            ).alias("_b"),
+        )
+        .select(id_col, "_b.w1", "_b.w2")
+    )
+    scored = bi.join(lm.select("w1", "w2", "c_pair"), ["w1", "w2"], "left")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.count("c_pair").cast("long").alias("n_known"),
+        (
+            F.count("c_pair").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("known_frac"),
+        F.sum(F.coalesce("c_pair", F.lit(0))).cast("long").alias("c_evidence"),
+    )
+
+
 #: Control characters stripped by normalize_text: C0 controls except
 #: tab/newline/carriage-return (which are whitespace-normalized instead),
 #: plus DEL. Hex escapes are in the RE2 ∩ Java-regex common subset, so

@@ -1322,3 +1322,57 @@ EXTRA_SPECS.append(
         tags=("extra", "dedup", "spans"),
     )
 )
+
+
+# ---- LM-novelty scoring (textops.lm_score) -------------------------------
+
+from weather_monitoring_spark.operators.textops import bigram_lm, lm_score  # noqa: E402
+
+
+def _lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy curation gate: score every document's bigram
+    coverage against an LM count table built from the even-doc_id half
+    of the corpus (a held-out reference, so odd documents exercise real
+    OOV). Exact integer counts + one final IEEE divide — no log-space
+    float accumulation, hence bit-identical cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    lm = bigram_lm(docs.filter("doc_id % 2 = 0"))
+    return lm_score(docs, lm)
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_lm_score",
+        doc=_lm_score.__doc__ or "",
+        spark=_lm_score,
+        oracle=f"""
+            WITH ref AS (
+                SELECT {o_tokens('text')} AS t FROM documents
+                WHERE doc_id % 2 = 0
+            ), ref_pairs AS (
+                SELECT unnest(list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i+1])) AS pair
+                FROM ref WHERE len(t) > 1
+            ), cp AS (
+                SELECT pair, CAST(count(*) AS BIGINT) AS c_pair
+                FROM ref_pairs GROUP BY pair
+            ), tk AS (
+                SELECT doc_id, {o_tokens('text')} AS t FROM documents
+            ), db AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i+1])) AS pair
+                FROM tk WHERE len(t) > 1
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(count(c_pair) AS BIGINT) AS n_known,
+                   CAST(count(c_pair) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS known_frac,
+                   CAST(sum(coalesce(c_pair, 0)) AS BIGINT) AS c_evidence
+            FROM db LEFT JOIN cp USING (pair)
+            GROUP BY doc_id
+        """,
+        tags=("extra", "text", "language-model", "curation"),
+    )
+)
