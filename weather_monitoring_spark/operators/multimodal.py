@@ -231,7 +231,11 @@ def sample_frames(assets: DataFrame, every_n: int = 4, max_frames: int = 8) -> D
     """Frame sampling for video assets: deterministic frame indices +
     per-frame digests (the real codec would decode at those offsets).
     Demonstrates the 1-to-N batch shape (one asset row -> many frame rows)
-    through mapInPandas."""
+    through mapInPandas.
+
+    The fake per-frame digest is ``sha256(payload + b":" + frame_no)``
+    with an ASCII ordinal suffix — deliberately NUL-free so a SQL oracle
+    can recompute it over text payloads (see x_sample_frames)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -243,7 +247,7 @@ def sample_frames(assets: DataFrame, every_n: int = 4, max_frames: int = 8) -> D
                     out["asset_id"].append(aid)
                     out["frame_idx"].append(i * every_n)
                     out["frame_sha256"].append(
-                        hashlib.sha256(payload + i.to_bytes(4, "big")).hexdigest()
+                        hashlib.sha256(payload + b":" + str(i).encode()).hexdigest()
                     )
             yield pd.DataFrame(out)
 

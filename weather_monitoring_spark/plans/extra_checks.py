@@ -1376,3 +1376,95 @@ EXTRA_SPECS.append(
         tags=("extra", "text", "language-model", "curation"),
     )
 )
+
+
+# ---- multimodal audio/video correctness standing -------------------------
+
+from weather_monitoring_spark.operators.multimodal import (  # noqa: E402
+    chunk_audio,
+    sample_frames,
+)
+
+
+def _mm_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q61's asset construction (payload = UTF-8 bytes of an ASCII
+    md5-chain string, kind = doc_id % 3), reused so audio/video operators
+    get the same oracle-computable payloads."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(
+            F.concat(F.md5("text"), F.md5(F.concat(F.col("text"), F.lit(":p")))),
+            "UTF-8",
+        ).alias("payload"),
+    )
+
+
+def _chunk_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-chunking correctness standing: fixed-byte chunks of each
+    audio payload with offsets, per-chunk sha256, and the mean byte level
+    — the mapInPandas 1-to-N batch shape, value-hash-checked because the
+    payload is ASCII text the oracle can slice and re-digest in SQL."""
+    return chunk_audio(_mm_assets(spark, sf_dir))
+
+
+def _sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling correctness standing: deterministic frame
+    indices + per-frame sha256 over the payload with an ASCII ordinal
+    suffix (NUL-free by design so the SQL oracle can recompute it)."""
+    return sample_frames(_mm_assets(spark, sf_dir))
+
+
+_O_MM_PAYLOAD = "md5(text) || md5(text || ':p')"
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_chunk_audio",
+        doc=_chunk_audio.__doc__ or "",
+        spark=_chunk_audio,
+        oracle=f"""
+            WITH a AS (
+                SELECT doc_id AS asset_id, {_O_MM_PAYLOAD} AS p
+                FROM documents WHERE doc_id % 3 = 1
+            ), c AS (
+                SELECT asset_id, CAST(unnest(range(0, 8)) AS INT) AS chunk_idx, p
+                FROM a
+            )
+            SELECT asset_id, chunk_idx,
+                   CAST(chunk_idx * 8 AS BIGINT) AS byte_start,
+                   CAST(8 AS BIGINT) AS byte_len,
+                   sha256(substr(p, chunk_idx * 8 + 1, 8)) AS chunk_sha256,
+                   CAST(list_aggregate(list_transform(range(1, 9),
+                            i -> ascii(substr(p, chunk_idx * 8 + CAST(i AS INT), 1))),
+                        'sum') AS DOUBLE) / CAST(8 AS DOUBLE) / 255.0 AS mean_level
+            FROM c
+        """,
+        tags=("extra", "multimodal", "pandas-udf"),
+    )
+)
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_sample_frames",
+        doc=_sample_frames.__doc__ or "",
+        spark=_sample_frames,
+        oracle=f"""
+            WITH a AS (
+                SELECT doc_id AS asset_id, {_O_MM_PAYLOAD} AS p
+                FROM documents WHERE doc_id % 3 = 2
+            ), f AS (
+                SELECT asset_id, CAST(unnest(range(0, 8)) AS INT) AS i, p
+                FROM a
+            )
+            SELECT asset_id,
+                   CAST(i * 4 AS INT) AS frame_idx,
+                   sha256(p || ':' || CAST(i AS VARCHAR)) AS frame_sha256
+            FROM f
+        """,
+        tags=("extra", "multimodal", "pandas-udf"),
+    )
+)
