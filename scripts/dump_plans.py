@@ -106,6 +106,23 @@ EXTRA_SHOWCASE = {
 }
 
 
+def _span_probe(spark, sf_dir):
+    from weather_monitoring_spark.operators.spans import strip_dup_spans
+    from weather_monitoring_spark.sources.tables import load_table
+
+    return strip_dup_spans(load_table(spark, sf_dir, "documents"))
+
+
+EXTRA_SHOWCASE["strip_dup_spans (library operator)"] = (
+    _span_probe,
+    "substring dedup without moving text: the pinned gram table (Scan "
+    "ExistingRDD in both branches) feeds the duplicate aggregation and a "
+    "BroadcastHashJoin flag join; the mask joins a per-document start "
+    "array back to the corpus behind a second broadcast — documents are "
+    "never exploded and the only corpus-shaped operation is the scan",
+)
+
+
 def main() -> None:
     from weather_monitoring_spark.plans.registry import all_queries
     from weather_monitoring_spark.session import get_spark

@@ -227,6 +227,39 @@ def main() -> None:
     out["reduce_rows"] = reduce_embeddings(emb).count()
     out["reduce_sec"] = round(time.perf_counter() - t0, 2)
 
+    # --- span dedup: 10% of docs share a planted 10-word tail ------------
+    from weather_monitoring_spark.operators.spans import strip_dup_spans
+
+    span_docs = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.lit("alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    t0 = time.perf_counter()
+    out["span_masked_tokens"] = (
+        strip_dup_spans(span_docs)
+        .agg(F.sum("n_masked").alias("m"))
+        .first()["m"]
+    )
+    out["strip_dup_spans_sec"] = round(time.perf_counter() - t0, 2)
+
+    # --- LM scoring: corpus joined against the (held-out) count table ----
+    from weather_monitoring_spark.operators.textops import lm_score
+
+    t0 = time.perf_counter()
+    out["lm_score_rows"] = lm_score(
+        docs, bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    ).count()
+    out["lm_score_sec"] = round(time.perf_counter() - t0, 2)
+
     print(json.dumps(out))
 
 

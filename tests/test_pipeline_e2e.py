@@ -111,6 +111,35 @@ def test_corpus_pipeline_end_to_end(tmp_path, spark):
     ).localCheckpoint(eager=True)
     assert flags.count() == train.count()  # every train doc got a verdict
 
+    # 4b. substring dedup on what survived doc-level dedup: mask
+    # duplicated 8-gram spans (keep-one-copy), then continue the
+    # pipeline on the masked text. Conservation: surviving token count
+    # == n_tokens - n_masked, and the duplicated-gram population must
+    # strictly shrink (seam-created grams keep "drop to zero" from
+    # being a stable guarantee, so the assert is monotone, not zero).
+    from weather_monitoring_spark.operators.spans import (
+        duplicated_grams,
+        strip_dup_spans,
+    )
+
+    n_dup_before = duplicated_grams(clean).count()
+    masked = strip_dup_spans(clean)
+    bad = masked.filter(
+        F.col("n_tokens") - F.col("n_masked")
+        != F.size(F.expr("filter(split(text_clean, ' '), t -> t != '')"))
+    )
+    assert bad.count() == 0
+    if n_dup_before > 0:
+        clean = clean.select(
+            "doc_id",
+            F.col("text"),
+        ).join(
+            masked.select("doc_id", F.col("text_clean")), "doc_id"
+        ).select("doc_id", F.col("text_clean").alias("text")).localCheckpoint(
+            eager=True
+        )
+        assert duplicated_grams(clean).count() < n_dup_before
+
     # 5. chunk into training samples; token mass is conserved:
     # sum(chunk tokens) - overlap per chunk seam == doc token count.
     chunks = chunk_documents(clean).localCheckpoint(eager=True)
