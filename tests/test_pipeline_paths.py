@@ -309,3 +309,41 @@ def test_csv_source_splits_valid_and_rejects(tmp_path, spark):
     assert any(
         r["_corrupt_record"] and "notanumber" in r["_corrupt_record"] for r in rej
     )
+
+
+def test_binary_asset_source_feeds_multimodal(tmp_path, spark):
+    """binaryFile scan -> asset contract -> decode operators: the real
+    multimodal ingestion path. Kind derives from extension, asset_id is
+    a path digest (stable across re-listing), glob prunes at listing."""
+    from weather_monitoring_spark.operators.multimodal import decode_images
+    from weather_monitoring_spark.sources.binary import read_binary_assets
+
+    d = tmp_path / "assets"
+    d.mkdir()
+    (d / "a.png").write_bytes(bytes(range(64)))
+    (d / "b.jpg").write_bytes(bytes(range(32)))
+    (d / "c.wav").write_bytes(b"audio-bytes-here")
+    (d / "d.txt").write_bytes(b"not media")
+
+    assets = read_binary_assets(spark, str(d))
+    rows = {r.meta.source.rsplit("/", 1)[-1]: r for r in assets.collect()}
+    assert set(rows) == {"a.png", "b.jpg", "c.wav", "d.txt"}
+    assert rows["a.png"].kind == "image" and rows["c.wav"].kind == "audio"
+    assert rows["d.txt"].kind == "other"
+    assert rows["b.jpg"].meta.n_bytes == 32
+    assert bytes(rows["a.png"].payload) == bytes(range(64))
+    # ids survive re-listing (content-addressed from path, no zipWithIndex)
+    again = {r.meta.source.rsplit("/", 1)[-1]: r.asset_id for r in
+             read_binary_assets(spark, str(d)).collect()}
+    assert all(again[k] == rows[k].asset_id for k in rows)
+
+    # glob prunes at listing time: only the png is read
+    only_png = read_binary_assets(spark, str(d), glob="*.png").collect()
+    assert [r.kind for r in only_png] == ["image"]
+
+    # the decode operator consumes the contract directly
+    decoded = decode_images(assets).collect()
+    assert {r.asset_id for r in decoded} == {
+        r.asset_id for r in assets.filter("kind = 'image'").collect()
+    }
+    assert all(64 <= r.width < 256 and len(r.feature) == 8 for r in decoded)

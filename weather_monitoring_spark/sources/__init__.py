@@ -1,3 +1,4 @@
+from weather_monitoring_spark.sources.binary import read_binary_assets
 from weather_monitoring_spark.sources.csv import read_csv, read_csv_documents
 from weather_monitoring_spark.sources.filestream import read_parquet_stream
 from weather_monitoring_spark.sources.jsonl import read_jsonl, read_jsonl_documents
@@ -18,6 +19,7 @@ __all__ = [
     "kafka_available",
     "load_table",
     "load_tables",
+    "read_binary_assets",
     "read_csv",
     "read_csv_documents",
     "read_jsonl",
