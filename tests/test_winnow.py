@@ -1,0 +1,96 @@
+"""Semantic tests for winnowing fingerprints (operators/winnow.py):
+independent Python reference, the winnowing window guarantee, and the
+shared-run matching guarantee. Corpus-scale oracle parity is covered by
+x_winnow_fingerprints / x_winnow_matches in plans/extra_checks.py."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+
+from weather_monitoring_spark.operators.winnow import (
+    WINNOW_K,
+    WINNOW_W,
+    winnow_fingerprints,
+    winnow_matches,
+)
+
+
+def _py_winnow(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> set[tuple[int, int]]:
+    """Reference winnowing: rightmost-min per window, 1-based positions."""
+    tk = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    if len(tk) < k + w - 1:
+        return set()
+    gh = [
+        int(hashlib.md5(f"wn:{' '.join(tk[i : i + k])}".encode()).hexdigest()[:8], 16)
+        for i in range(len(tk) - k + 1)
+    ]
+    out = set()
+    for j in range(len(gh) - w + 1):
+        win = gh[j : j + w]
+        m = min(win)
+        # rightmost occurrence of the min in the window
+        off = w - 1 - win[::-1].index(m)
+        out.add((j + off + 1, m))  # 1-based global gram position
+    return out
+
+
+SHARED = "q1 q2 q3 q4 q5 q6 q7"  # k+w-1 = 7 tokens: the guarantee threshold
+
+DOCS = [
+    (1, "apple river stone cloud metal forest garden window candle bridge"),
+    (2, f"zebra {SHARED} yellow xylophone"),
+    (3, f"violet umbrella trumpet {SHARED}"),
+    (4, "tiny doc"),  # below k+w-1: no complete window
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_fingerprints_match_python_reference(docs):
+    got = {
+        d: {(r.pos, r.fp) for r in rows}
+        for d, rows in (
+            (doc_id, winnow_fingerprints(docs).filter(f"doc_id = {doc_id}").collect())
+            for doc_id, _ in DOCS
+        )
+    }
+    for doc_id, text in DOCS:
+        assert got[doc_id] == _py_winnow(text), f"doc {doc_id}"
+
+
+def test_window_coverage_guarantee(docs):
+    """Every window of w consecutive grams contains a selected position."""
+    for doc_id, text in DOCS[:3]:
+        fps = _py_winnow(text)
+        sel = sorted(p for p, _ in fps)
+        tk = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        n_grams = len(tk) - WINNOW_K + 1
+        for j in range(1, n_grams - WINNOW_W + 2):  # 1-based window starts
+            assert any(j <= p <= j + WINNOW_W - 1 for p in sel), (doc_id, j)
+
+
+def test_shared_run_guarantee_produces_match(docs):
+    """Docs 2 and 3 share exactly k+w-1 tokens -> guaranteed >= 1 shared
+    fingerprint; with min_shared=1 the pair MUST be reported (no
+    probabilistic recall argument — this is winnowing's contract)."""
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_matches(docs, min_shared=1, max_fp_df=None).collect()
+    }
+    assert (2, 3) in pairs
+    # doc 1 shares nothing with anyone
+    assert not any(1 in p for p in pairs)
+
+
+def test_density_below_gram_count(docs):
+    """Winnowing selects ~2/(w+1) of grams — far fewer than all of them."""
+    fp_n = winnow_fingerprints(docs).filter("doc_id = 1").count()
+    tk = len(DOCS[0][1].split())
+    n_grams = tk - WINNOW_K + 1
+    assert 0 < fp_n < n_grams

@@ -1,0 +1,137 @@
+"""Winnowing fingerprints — windowed rightmost-min selection over k-gram
+hashes (the MOSS local fingerprinting algorithm, Schleimer/Wilkerson/
+Aiken SIGMOD'03 — public literature).
+
+A different near-dup family from MinHash/SimHash: *position-aware* and
+*locally complete*. The winnowing guarantee is that every window of ``w``
+consecutive k-gram hashes contributes at least one selected fingerprint,
+so any shared run of at least ``w + k - 1`` tokens between two documents
+is guaranteed to produce a shared fingerprint — no probabilistic recall
+argument needed (MinHash trades exactly that guarantee for a fixed-size
+signature). The price is a fingerprint set proportional to document
+length (~2/(w+1) of the grams), which is why both families coexist in
+real pipelines: winnowing for guaranteed overlap *detection* (plagiarism,
+license-text tracing, contamination audits), MinHash for corpus-scale
+clustering.
+
+Determinism: gram hashes are the shared md5-derived h32 family
+(functions/text.py) and tie-breaks select the RIGHTMOST minimal hash in
+the window (the standard density-optimal rule) — no RNG, no engine hash,
+fully oracle-checkable.
+
+Scale shape:
+
+- ``winnow_fingerprints`` is pure per-row array algebra (tokens → gram
+  hashes → per-window rightmost-min structs → distinct) inside one scan
+  projection — ZERO shuffle at any corpus size; the explode emits the
+  per-document fingerprint rows a production pipeline would persist as
+  its fingerprint index.
+- ``winnow_matches`` is the inverted-index join over that table (the
+  q32 shape): cost follows fingerprint co-occurrence, never n²; the
+  hot-fingerprint guard drops boilerplate fingerprints BEFORE the join
+  (df cutoff derived from corpus size, same policy as
+  ``dedup.shingle_df_cutoff``).
+
+Reference parity: the reference has no fingerprinting surface; this
+extends the engine per the builder brief's LLM-pipeline scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from weather_monitoring_spark.functions.text import h32_sql, tokens_expr
+from weather_monitoring_spark.operators.dedup import shingle_df_cutoff
+
+#: Gram length in tokens (noise threshold: shared runs shorter than this
+#: are never reported).
+WINNOW_K = 4
+
+#: Window of consecutive gram hashes per selection (guarantee threshold:
+#: shared runs of >= WINNOW_W + WINNOW_K - 1 tokens always match).
+WINNOW_W = 4
+
+#: Report pairs sharing at least this many distinct fingerprints.
+WINNOW_MIN_SHARED = 2
+
+
+def _fps_sql(k: int, w: int) -> tuple[str, str]:
+    """Spark SQL: distinct (pos, fp) winnowing selections over ``_tk``.
+
+    ``pos`` is the 1-based token index where the selected gram starts.
+    Rightmost-min: with the window slice s = _gh[j .. j+w-1] (1-based),
+    the selected in-window offset is w - array_position(reverse(s),
+    array_min(s)) + 1, hence global pos = j + w - array_position(...)."""
+    gram = h32_sql("wn", f"array_join(slice(_tk, i, {k}), ' ')")
+    gh = f"transform(sequence(1, size(_tk) - {k} + 1), i -> {gram})"
+    win = f"slice(_gh, j, {w})"
+    return (
+        f"array_distinct(transform(sequence(1, size(_gh) - {w} + 1), j -> "
+        f"struct(CAST(j + {w} - array_position(reverse({win}), "
+        f"array_min({win})) AS BIGINT) AS pos, array_min({win}) AS fp)))"
+    ), gh
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document winnowing fingerprint rows (id, pos, fp), distinct
+    per (pos-of-selected-gram, hash). Documents shorter than
+    ``k + w - 1`` tokens have no complete window and contribute no rows
+    (explicit filter — Spark's ``sequence(1, 0)`` is [1, 0], not [])."""
+    fps, gh = _fps_sql(k, w)
+    return (
+        docs.select(F.col(id_col), tokens_expr(text_col).alias("_tk"))
+        .filter(F.size("_tk") >= k + w - 1)
+        .select(id_col, F.expr(gh).alias("_gh"))
+        .select(id_col, F.explode(F.expr(fps)).alias("_s"))
+        .select(id_col, "_s.pos", "_s.fp")
+    )
+
+
+def winnow_matches(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = WINNOW_MIN_SHARED,
+    max_fp_df: int | str | None = "auto",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs sharing winnowed fingerprints:
+    (id_a, id_b, n_shared), ``id_a < id_b``, ``n_shared`` = distinct
+    shared fingerprint hashes (BIGINT), pairs with >= ``min_shared``.
+
+    ``max_fp_df``: ``"auto"`` derives a hot-fingerprint document-
+    frequency cutoff from corpus size (boilerplate guard — one
+    license-header fingerprint across 1M docs must not drive a df²
+    join), an int pins it, ``None`` disables (oracle cross-checks only).
+    """
+    fp = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    # distinct (id, fp): multiplicity within a doc is irrelevant to
+    # matching, and dropping it first shrinks the join input.
+    dfp = fp.select(F.col(id_col).alias("id"), "fp").distinct()
+    if max_fp_df == "auto":
+        max_fp_df = shingle_df_cutoff(docs.count())
+    if max_fp_df is not None:
+        hot = (
+            dfp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_fp_df)
+        )
+        dfp = dfp.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
+    dfp = dfp.localCheckpoint(eager=False)
+    a = dfp.select(F.col("id").alias("id_a"), "fp")
+    b = dfp.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

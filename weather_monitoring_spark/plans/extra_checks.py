@@ -1468,3 +1468,102 @@ EXTRA_SPECS.append(
         tags=("extra", "multimodal", "pandas-udf"),
     )
 )
+
+
+# ---- winnowing fingerprints (operators/winnow.py) ------------------------
+
+from weather_monitoring_spark.operators.dedup import (  # noqa: E402
+    SHINGLE_DF_FRAC,
+    SHINGLE_DF_MIN,
+)
+from weather_monitoring_spark.functions.text import o_h32  # noqa: E402
+from weather_monitoring_spark.operators.winnow import (  # noqa: E402
+    WINNOW_K,
+    WINNOW_MIN_SHARED,
+    WINNOW_W,
+    winnow_fingerprints,
+    winnow_matches,
+)
+
+
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints: rightmost-min of each window of W
+    consecutive k-gram hashes — the position-aware, guarantee-bearing
+    fingerprint family (any shared run of >= W+K-1 tokens must produce a
+    shared fingerprint). Pure per-row array algebra: zero shuffle."""
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def _winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint document matching: inverted-index join over
+    the fingerprint table (cost follows co-occurrence, never n²) with
+    the corpus-derived hot-fingerprint df cutoff applied before the
+    join — the q32 skew policy on a different fingerprint family."""
+    return winnow_matches(load_table(spark, sf_dir, "documents"))
+
+
+_O_WIN = f"g[j:j+{WINNOW_W - 1}]"
+_O_WINNOW_FPS = f"""
+            tk AS (
+                SELECT doc_id, {o_tokens('text')} AS t FROM documents
+            ), gh AS (
+                SELECT doc_id,
+                       list_transform(range(1, len(t) - {WINNOW_K} + 2),
+                           i -> {o_h32('wn', f"array_to_string(t[i:i+{WINNOW_K - 1}], ' ')")}) AS g
+                FROM tk WHERE len(t) >= {WINNOW_K + WINNOW_W - 1}
+            ), fps0 AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(g) - {WINNOW_W} + 2),
+                           j -> struct_pack(
+                               pos := j + {WINNOW_W}
+                                      - list_position(list_reverse({_O_WIN}),
+                                                      list_min({_O_WIN})),
+                               fp := list_min({_O_WIN})))) AS s
+                FROM gh
+            ), fps AS (
+                -- row-level DISTINCT: this DuckDB build can't
+                -- list_distinct a STRUCT list
+                SELECT DISTINCT doc_id, s FROM fps0
+            )"""
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_winnow_fingerprints",
+        doc=_winnow_fps.__doc__ or "",
+        spark=_winnow_fps,
+        oracle=f"""
+            WITH {_O_WINNOW_FPS}
+            SELECT doc_id, s.pos AS pos, s.fp AS fp FROM fps
+        """,
+        tags=("extra", "dedup", "fingerprints"),
+    )
+)
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_winnow_matches",
+        doc=_winnow_matches.__doc__ or "",
+        spark=_winnow_matches,
+        oracle=f"""
+            WITH {_O_WINNOW_FPS}, dfp AS (
+                SELECT DISTINCT doc_id AS id, s.fp AS fp FROM fps
+            ), cut AS (
+                SELECT greatest({SHINGLE_DF_MIN},
+                                CAST(ceil({SHINGLE_DF_FRAC} * count(*)) AS BIGINT)) AS c
+                FROM documents
+            ), hot AS (
+                SELECT fp FROM dfp GROUP BY fp
+                HAVING count(*) > (SELECT c FROM cut)
+            ), ok AS (
+                SELECT * FROM dfp WHERE fp NOT IN (SELECT fp FROM hot)
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM ok a JOIN ok b ON a.fp = b.fp AND a.id < b.id
+            GROUP BY 1, 2
+            HAVING count(*) >= {WINNOW_MIN_SHARED}
+        """,
+        tags=("extra", "dedup", "fingerprints"),
+    )
+)
