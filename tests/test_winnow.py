@@ -94,3 +94,56 @@ def test_density_below_gram_count(docs):
     tk = len(DOCS[0][1].split())
     n_grams = tk - WINNOW_K + 1
     assert 0 < fp_n < n_grams
+
+
+def test_winnow_fingerprints_run_in_structured_streaming(tmp_path, spark):
+    """Fingerprint selection is a pure per-row projection, so the SAME
+    operator runs unchanged as a streaming transformation — the
+    fingerprint index of a live crawl is just the streaming write of
+    this frame. Stream output must equal the batch run row-for-row."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch_docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    batch_docs.write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = (
+        winnow_fingerprints(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    streamed = {tuple(r) for r in spark.read.parquet(out).collect()}
+    batch = {tuple(r) for r in winnow_fingerprints(batch_docs).collect()}
+    assert streamed == batch and len(batch) > 0
+
+
+def test_lm_score_runs_as_stream_static_join(tmp_path, spark):
+    """lm_score against a STATIC LM table is a stream-static equi-join +
+    streaming aggregation — the live-scoring shape (LM artifact pinned,
+    documents streaming). Complete-mode output must equal the batch run."""
+    from weather_monitoring_spark.operators.textops import bigram_lm, lm_score
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    batch_docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    batch_docs.write.parquet(src)
+    lm = bigram_lm(batch_docs.filter("doc_id % 2 = 0")).localCheckpoint(eager=True)
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = (
+        lm_score(stream, lm)
+        .writeStream.format("memory")
+        .queryName("lm_scores")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM lm_scores").collect()}
+    batch = {tuple(r) for r in lm_score(batch_docs, lm).collect()}
+    assert streamed == batch and len(batch) > 0
