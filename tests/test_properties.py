@@ -204,3 +204,55 @@ def test_chunk_count_formula_matches_greedy(n, chunk, overlap):
         last_start = (formula - 1) * stride
         assert last_start < n
         assert last_start + chunk >= n
+
+
+def _ref_strip_spans(doc_tokens: list[list[str]], n: int, keep_first: bool):
+    """Brute-force duplicated-span masking reference."""
+    grams: dict[tuple, list[tuple[int, int]]] = {}
+    for did, tk in enumerate(doc_tokens):
+        for i in range(len(tk) - n + 1):
+            grams.setdefault(tuple(tk[i : i + n]), []).append((did, i + 1))
+    flagged: dict[int, set[int]] = {d: set() for d in range(len(doc_tokens))}
+    for occ in grams.values():
+        dset = {d for d, _ in occ}
+        if len(dset) >= 2:
+            keeper = min(dset)
+            for d, p in occ:
+                if not keep_first or d != keeper:
+                    flagged[d].add(p)
+    out = {}
+    for did, tk in enumerate(doc_tokens):
+        masked: set[int] = set()
+        for s in flagged[did]:
+            masked.update(range(s, s + n))
+        kept = [t for i, t in enumerate(tk, start=1) if i not in masked]
+        out[did] = (len(tk), len(tk) - len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    doc_tokens=st.lists(
+        st.lists(st.sampled_from("a b c d".split()), min_size=0, max_size=12),
+        min_size=2,
+        max_size=5,
+    ),
+    n=st.integers(min_value=2, max_value=3),
+    keep_first=st.booleans(),
+)
+def test_strip_dup_spans_matches_bruteforce(doc_tokens, n, keep_first):
+    """Span masking == brute-force reference on tiny colliding vocab
+    (4 letters, 2-3-grams: dense genuine duplication, overlap merges,
+    keeper exclusions, short docs — every edge at once)."""
+    from weather_monitoring_spark.operators.spans import strip_dup_spans
+
+    spark = _get_spark()
+    docs = spark.createDataFrame(
+        [(i, " ".join(tk)) for i, tk in enumerate(doc_tokens)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_masked, r.text_clean)
+        for r in strip_dup_spans(docs, n=n, keep_first=keep_first).collect()
+    }
+    assert got == _ref_strip_spans(doc_tokens, n, keep_first)

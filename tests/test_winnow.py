@@ -147,3 +147,10 @@ def test_lm_score_runs_as_stream_static_join(tmp_path, spark):
     streamed = {tuple(r) for r in spark.sql("SELECT * FROM lm_scores").collect()}
     batch = {tuple(r) for r in lm_score(batch_docs, lm).collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_winnow_fingerprints_plan_is_shuffle_free(docs):
+    """The scale claim, asserted on the physical plan: fingerprint
+    selection is one scan projection — NO Exchange anywhere."""
+    plan = winnow_fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
