@@ -154,3 +154,22 @@ def test_winnow_fingerprints_plan_is_shuffle_free(docs):
     selection is one scan projection — NO Exchange anywhere."""
     plan = winnow_fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_winnow_contamination_guarantee(spark):
+    """A train doc overlapping an eval doc on exactly w+k-1 tokens MUST
+    be flagged; disjoint train docs must not be."""
+    from weather_monitoring_spark.operators.winnow import winnow_contamination
+
+    train = spark.createDataFrame(
+        [(1, f"t11 t12 {SHARED} t13 t14"),  # contains the eval run
+         (2, "clean doc with entirely distinct wording all the way through")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, f"e1 e2 {SHARED} e3")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in winnow_contamination(train, bench).collect()}
+    assert set(out) == {1, 2}  # every train doc gets a verdict
+    assert out[1].contaminated and out[1].n_hits >= 1
+    assert not out[2].contaminated and out[2].n_hits == 0

@@ -116,6 +116,15 @@ def winnow_matches(
     # distinct (id, fp): multiplicity within a doc is irrelevant to
     # matching, and dropping it first shrinks the join input.
     dfp = fp.select(F.col(id_col).alias("id"), "fp").distinct()
+    return _match_pairs(docs, dfp, min_shared, max_fp_df)
+
+
+def _match_pairs(
+    docs: DataFrame,
+    dfp: DataFrame,
+    min_shared: int,
+    max_fp_df: int | str | None,
+) -> DataFrame:
     if max_fp_df == "auto":
         max_fp_df = shingle_df_cutoff(docs.count())
     if max_fp_df is not None:
@@ -134,4 +143,54 @@ def winnow_matches(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination WITH A GUARANTEE: flag every training
+    document sharing winnowed fingerprints with the held-out eval set.
+    Returns (id, n_hits, contaminated) for EVERY train document,
+    ``n_hits`` = distinct shared fingerprint hashes (BIGINT).
+
+    By the winnowing guarantee, any train document overlapping any eval
+    document on a run of >= ``w + k - 1`` tokens MUST be flagged — the
+    property an eval-integrity audit actually needs, where the shingle-
+    count heuristic (``training_prep.contamination_flags``) only argues
+    probabilistically. The price is the length-proportional fingerprint
+    index; run the heuristic for routine sweeps, this for the audit.
+
+    Scale shape: both fingerprint extractions are zero-shuffle
+    projections; the hit join carries (fp, id) pairs against the
+    (typically tiny, broadcast-eligible) eval fingerprint set; the flag
+    join returns one row per train doc."""
+    tf = (
+        winnow_fingerprints(train, k=k, w=w, id_col=id_col, text_col=text_col)
+        .select(F.col(id_col).alias("id"), "fp")
+        .distinct()
+    )
+    bf = (
+        winnow_fingerprints(bench, k=k, w=w, id_col=id_col, text_col=text_col)
+        .select("fp")
+        .distinct()
+    )
+    hits = (
+        tf.join(bf, "fp")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        train.select(F.col(id_col))
+        .join(hits, train[id_col] == hits.id, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            F.col("n_hits").isNotNull().alias("contaminated"),
+        )
     )

@@ -1567,3 +1567,45 @@ EXTRA_SPECS.append(
         tags=("extra", "dedup", "fingerprints"),
     )
 )
+
+
+from weather_monitoring_spark.operators.winnow import winnow_contamination  # noqa: E402
+
+
+def _winnow_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guarantee-bearing decontamination: train docs (doc_id % 20 != 0)
+    flagged when they share winnowed fingerprints with the eval split
+    (doc_id % 20 == 0). Any >= W+K-1-token overlap MUST be flagged (the
+    winnowing guarantee) — the audit-grade complement to the shingle-
+    count heuristic in x_decontaminate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_contamination(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+    )
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_winnow_decontaminate",
+        doc=_winnow_decontaminate.__doc__ or "",
+        spark=_winnow_decontaminate,
+        oracle=f"""
+            WITH {_O_WINNOW_FPS}, tf AS (
+                SELECT DISTINCT doc_id AS id, s.fp AS fp FROM fps
+                WHERE doc_id % 20 <> 0
+            ), bf AS (
+                SELECT DISTINCT s.fp AS fp FROM fps WHERE doc_id % 20 = 0
+            ), hits AS (
+                SELECT id, CAST(count(*) AS BIGINT) AS n_hits
+                FROM tf JOIN bf USING (fp) GROUP BY id
+            )
+            SELECT d.doc_id,
+                   coalesce(hits.n_hits, 0) AS n_hits,
+                   hits.n_hits IS NOT NULL AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+            LEFT JOIN hits ON d.doc_id = hits.id
+        """,
+        tags=("extra", "decontamination", "fingerprints"),
+    )
+)
