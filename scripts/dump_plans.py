@@ -123,6 +123,40 @@ EXTRA_SHOWCASE["strip_dup_spans (library operator)"] = (
 )
 
 
+def _winnow_probe(spark, sf_dir):
+    from weather_monitoring_spark.operators.winnow import winnow_matches
+    from weather_monitoring_spark.sources.tables import load_table
+
+    return winnow_matches(load_table(spark, sf_dir, "documents"))
+
+
+EXTRA_SHOWCASE["winnow_matches (library operator)"] = (
+    _winnow_probe,
+    "fingerprint selection is a zero-Exchange scan projection (asserted "
+    "by test); the match is the inverted-index shape — the only "
+    "exchanges carry (fp, id) pairs and the broadcast hot-fingerprint "
+    "anti-join drops boilerplate fingerprints before the self-join",
+)
+
+
+def _lm_score_probe(spark, sf_dir):
+    from weather_monitoring_spark.operators.textops import bigram_lm, lm_score
+    from weather_monitoring_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_score(docs, bigram_lm(docs.filter("doc_id % 2 = 0")))
+
+
+EXTRA_SHOWCASE["lm_score (library operator)"] = (
+    _lm_score_probe,
+    "document bigrams explode inside the scan projection and equi-join "
+    "the vocab-bounded LM table (AQE broadcasts it at this scale; plain "
+    "shuffle join by design at web scale); the per-doc aggregation "
+    "ships (doc_id, counts) with map-side partials — text never "
+    "crosses the wire",
+)
+
+
 def main() -> None:
     from weather_monitoring_spark.plans.registry import all_queries
     from weather_monitoring_spark.session import get_spark
