@@ -173,3 +173,26 @@ def test_winnow_contamination_guarantee(spark):
     assert set(out) == {1, 2}  # every train doc gets a verdict
     assert out[1].contaminated and out[1].n_hits >= 1
     assert not out[2].contaminated and out[2].n_hits == 0
+
+
+def test_contamination_spans_localize_planted_overlap(spark):
+    """The planted eval run sits at tokens 3..9 of the train doc; the
+    reported span must land inside it (edge slack bounded by w)."""
+    from weather_monitoring_spark.operators.winnow import (
+        WINNOW_K,
+        contamination_spans,
+    )
+
+    train = spark.createDataFrame(
+        [(1, f"t11 t12 {SHARED} t13 t14"),
+         (2, "clean doc with entirely distinct wording all the way through")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, f"e1 e2 {SHARED} e3")], ["doc_id", "text"])
+    spans = contamination_spans(train, bench).collect()
+    assert {r.doc_id for r in spans} == {1}
+    (s,) = spans
+    # run occupies tokens 3..9; in-run gram starts are 3..6 (k=4)
+    assert 3 <= s.span_start <= 6
+    assert s.span_start + WINNOW_K - 1 <= s.span_end <= 9
+    assert s.n_hits >= 1

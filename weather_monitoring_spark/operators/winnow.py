@@ -38,7 +38,7 @@ extends the engine per the builder brief's LLM-pipeline scope.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from weather_monitoring_spark.functions.text import h32_sql, tokens_expr
@@ -193,4 +193,60 @@ def winnow_contamination(
             F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
             F.col("n_hits").isNotNull().alias("contaminated"),
         )
+    )
+
+
+def contamination_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LOCALIZE eval-set contamination: for each flagged training
+    document, the token ranges overlapping the eval set —
+    (id, span_start, span_end, n_hits), 1-based inclusive gram-start
+    coordinates, all BIGINT. The actionable follow-up to
+    ``winnow_contamination``'s verdict: these spans are what an audit
+    excises (or a span-masking pass removes — compose with
+    ``spans.strip_dup_spans``-style masking downstream).
+
+    Precision note: winnowing selects ~2/(w+1) of gram positions, so a
+    contiguous shared run surfaces as hit positions spaced <= w apart;
+    hits merge while gaps are <= w + k - 1 and each span extends k - 1
+    tokens past its last hit. Localization is therefore exact to within
+    w tokens at span edges — the guarantee (every >= w+k-1-token
+    overlap produces >= 1 hit inside the span) is what matters for the
+    audit; edge slack is bounded and documented.
+
+    Scale shape: both fingerprint passes are zero-shuffle projections;
+    the hit join ships (fp, id, pos) against the eval fingerprint set;
+    the merge windows over per-document hit positions only."""
+    tf = winnow_fingerprints(train, k=k, w=w, id_col=id_col, text_col=text_col)
+    bf = (
+        winnow_fingerprints(bench, k=k, w=w, id_col=id_col, text_col=text_col)
+        .select("fp")
+        .distinct()
+    )
+    hits = tf.join(bf, "fp").select(id_col, "pos").distinct()
+    ww = Window.partitionBy(id_col).orderBy("pos")
+    new_span = F.when(
+        F.lag("pos").over(ww).isNull()
+        | (F.col("pos") - F.lag("pos").over(ww) > w + k - 1),
+        1,
+    ).otherwise(0)
+    sess = hits.select(id_col, "pos", new_span.alias("_nf")).select(
+        id_col,
+        "pos",
+        F.sum("_nf").over(Window.partitionBy(id_col).orderBy("pos")).alias("_span"),
+    )
+    return (
+        sess.groupBy(id_col, "_span")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k - 1).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+        .select(id_col, "span_start", "span_end", "n_hits")
     )

@@ -1609,3 +1609,53 @@ EXTRA_SPECS.append(
         tags=("extra", "decontamination", "fingerprints"),
     )
 )
+
+
+from weather_monitoring_spark.operators.winnow import contamination_spans  # noqa: E402
+
+
+def _contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination LOCALIZATION: token spans of eval-set overlap inside
+    flagged train docs (merged winnow-hit positions, exact to within w at
+    the edges) — what an audit excises, not just a boolean verdict."""
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_spans(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+    )
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_contamination_spans",
+        doc=_contamination_spans.__doc__ or "",
+        spark=_contamination_spans,
+        oracle=f"""
+            WITH {_O_WINNOW_FPS}, tp AS (
+                SELECT DISTINCT doc_id, s.pos AS pos, s.fp AS fp FROM fps
+                WHERE doc_id % 20 <> 0
+            ), bf AS (
+                SELECT DISTINCT s.fp AS fp FROM fps WHERE doc_id % 20 = 0
+            ), hits AS (
+                SELECT DISTINCT doc_id, pos FROM tp JOIN bf USING (fp)
+            ), sess AS (
+                SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER w2 IS NULL
+                                 OR pos - lag(pos) OVER w2
+                                    > {WINNOW_W + WINNOW_K - 1}
+                            THEN 1 ELSE 0 END AS nf
+                FROM hits WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+            ), sid AS (
+                SELECT doc_id, pos,
+                       sum(nf) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+                FROM sess
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + {WINNOW_K - 1} AS BIGINT) AS span_end,
+                   CAST(count(*) AS BIGINT) AS n_hits
+            FROM sid GROUP BY doc_id, span_id
+        """,
+        tags=("extra", "decontamination", "spans"),
+    )
+)
