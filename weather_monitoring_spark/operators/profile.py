@@ -37,11 +37,15 @@ from pyspark.sql.types import (
     LongType,
     ShortType,
     StringType,
+    TimestampNTZType,
     TimestampType,
 )
 
 _INT_TYPES = (LongType, IntegerType, ShortType)
 _NUM_TYPES = (DoubleType, FloatType)
+# Parquet timestamp[us] without a zone surfaces as TIMESTAMP_NTZ in Spark 4;
+# both kinds profile identically via unix_micros (session tz pinned to UTC).
+_TS_TYPES = (TimestampType, TimestampNTZType)
 
 
 def profile_table(
@@ -55,7 +59,7 @@ def profile_table(
         cols = [
             n
             for n, t in fields.items()
-            if isinstance(t, _INT_TYPES + _NUM_TYPES + (StringType, TimestampType))
+            if isinstance(t, _INT_TYPES + _NUM_TYPES + (StringType,) + _TS_TYPES)
         ]
     nd = F.count_distinct if exact_distinct else F.approx_count_distinct
 
@@ -64,8 +68,9 @@ def profile_table(
         t = fields[c]
         aggs.append(F.sum(F.isnull(c).cast("long")).cast("long").alias(f"{c}__nulls"))
         aggs.append(nd(F.col(c)).cast("long").alias(f"{c}__distinct"))
-        if isinstance(t, TimestampType):
-            lo, hi = F.min(F.unix_micros(F.col(c))), F.max(F.unix_micros(F.col(c)))
+        if isinstance(t, _TS_TYPES):
+            micros = F.unix_micros(F.col(c).cast("timestamp"))
+            lo, hi = F.min(micros), F.max(micros)
         else:
             lo, hi = F.min(F.col(c)), F.max(F.col(c))
         aggs.append(lo.alias(f"{c}__min"))
@@ -78,7 +83,7 @@ def profile_table(
         null_l = F.lit(None).cast("long")
         null_d = F.lit(None).cast("double")
         null_s = F.lit(None).cast("string")
-        if isinstance(t, _INT_TYPES + (TimestampType,)):
+        if isinstance(t, _INT_TYPES + _TS_TYPES):
             return [src.cast("long"), null_d, null_s]
         if isinstance(t, _NUM_TYPES):
             return [null_l, src.cast("double"), null_s]

@@ -111,9 +111,12 @@ def q40_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = ev.withColumn(
         "new_session",
         # Compare at microsecond precision: casting ts to long truncates to
-        # seconds and misclassifies sub-second boundary gaps.
+        # seconds and misclassifies sub-second boundary gaps. The cast to
+        # TIMESTAMP absorbs TIMESTAMP_NTZ parquet columns (session tz is
+        # pinned to UTC in load_table, so the epoch value is unchanged).
         F.when(
-            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(w))
             > SESSION_GAP_MIN * 60 * 1_000_000,
             1,
         )

@@ -86,7 +86,10 @@ def _per_group_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.row_number().over(w).alias("ordinal"),
-        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+        ).alias("gap_us"),
     )
 
 

@@ -47,13 +47,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # TZ-naive DuckDB oracle, so pin it at the loader boundary too.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name != "events":
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _normalize_ntz(df)
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to session-local TimestampType.
+
+    Parquet ``timestamp[us]`` without a zone annotation surfaces as
+    TIMESTAMP_NTZ under Spark 4's reader. With the session tz pinned to UTC
+    the cast is numerically a no-op, and it lets every downstream plan
+    (``unix_micros``, ``F.window``, ``date_trunc``) treat all testdata
+    timestamps uniformly as TimestampType — matching what DuckDB's oracle
+    sees for the same file.
+    """
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if not ntz_cols:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
