@@ -185,6 +185,25 @@ def test_contamination_flags_catch_planted_neardups(spark):
 
 
 def test_approx_sketches_accuracy(spark):
+    # The unregistered sketch surface itself (HLL++ / GK per event_type).
+    from weather_monitoring_spark.plans.analytics_queries import approx_sketches
+
+    sk = {r.event_type: r for r in approx_sketches(spark, SF_SMALL).collect()}
+    ev_small = load_table(spark, SF_SMALL, "events")
+    exact = {
+        r.event_type: r
+        for r in ev_small.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    assert sk.keys() == exact.keys()
+    for et, r in sk.items():
+        assert abs(r.approx_users - exact[et].users) / max(exact[et].users, 1) < 0.05
+        assert abs(r.approx_p50 - exact[et].p50) / max(abs(exact[et].p50), 1) < 0.05
+
     orders = load_table(spark, SF_SMALL, "orders")
     row = orders.agg(
         F.approx_count_distinct("o_custkey", 0.01).alias("approx"),

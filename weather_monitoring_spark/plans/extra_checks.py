@@ -15,7 +15,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from weather_monitoring_spark.functions.exact import dsum, o_dsum
 from weather_monitoring_spark.functions.text import o_shingles, o_tokens
 from weather_monitoring_spark.operators.dedup import simhash_signatures
 from weather_monitoring_spark.operators.dedup import JACCARD_THRESHOLD, LSH_BANDS
@@ -29,19 +28,6 @@ from weather_monitoring_spark.plans.llm_queries import (
 from weather_monitoring_spark.operators.training_prep import CHUNK_OVERLAP, CHUNK_TOKENS
 from weather_monitoring_spark.plans.registry import QuerySpec
 from weather_monitoring_spark.sources.tables import load_table, register_views
-
-
-def _rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP proper (the registered q13 uses CUBE, which subsumes its
-    grouping sets but is a different operator)."""
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            dsum(F.col("l_quantity")).alias("sum_qty"),
-        )
-    )
 
 
 def _sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,19 +506,6 @@ def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_SPECS: list[QuerySpec] = [
-    QuerySpec(
-        name="x_rollup_aggregate",
-        doc=_rollup.__doc__ or "",
-        spark=_rollup,
-        oracle=f"""
-            SELECT l_returnflag, l_linestatus,
-                   count(*) AS cnt,
-                   {o_dsum('l_quantity')} AS sum_qty
-            FROM lineitem
-            GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        """,
-        tags=("extra", "rollup"),
-    ),
     QuerySpec(
         name="x_sql_surface",
         doc=_sql_surface.__doc__ or "",
@@ -1445,6 +1418,57 @@ EXTRA_SPECS.append(
                             i -> ascii(substr(p, chunk_idx * 8 + CAST(i AS INT), 1))),
                         'sum') AS DOUBLE) / CAST(8 AS DOUBLE) / 255.0 AS mean_level
             FROM c
+        """,
+        tags=("extra", "multimodal", "pandas-udf"),
+    )
+)
+
+def _decode_images_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array-typed form of q61: identical decode pipeline, but the
+    8-dim feature stays one ``array<double>`` column. The driver's
+    canonicalizer cannot factorize list cells, so the registered q61
+    projects f0..f7 scalars; this variant keeps the array shape
+    oracle-checked (the local harness normalizes iterables)."""
+    from weather_monitoring_spark.operators.multimodal import decode_images
+
+    decoded = decode_images(_mm_assets(spark, sf_dir))
+    return decoded.select(
+        "asset_id",
+        "kind",
+        "width",
+        "height",
+        "channels",
+        "sha256",
+        F.col("feature").cast("array<double>").alias("feature"),
+    )
+
+
+def _o_mm_byte(hex_col: str, i: int) -> str:
+    """DuckDB: byte ``i`` (0-based) of the ASCII-hex payload text."""
+    return f"ascii(substr({hex_col}, {i + 1}, 1))"
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_multimodal_decode_array",
+        doc=_decode_images_array.__doc__ or "",
+        spark=_decode_images_array,
+        oracle=f"""
+            WITH a AS (
+                SELECT doc_id AS asset_id, md5(text) AS h1, md5(text || ':p') AS h2
+                FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT asset_id,
+                   'image' AS kind,
+                   CAST(64 + {_o_mm_byte('h1', 0)} % 192 AS INT) AS width,
+                   CAST(64 + {_o_mm_byte('h1', 1)} % 192 AS INT) AS height,
+                   CAST(1 + {_o_mm_byte('h1', 2)} % 3 AS INT) AS channels,
+                   sha256(h1 || h2) AS sha256,
+                   [{", ".join(
+                       f"CAST(CAST({_o_mm_byte('h1', i)} / 255.0 AS FLOAT) AS DOUBLE)"
+                       for i in range(8)
+                   )}] AS feature
+            FROM a
         """,
         tags=("extra", "multimodal", "pandas-udf"),
     )

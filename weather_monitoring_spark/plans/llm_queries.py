@@ -632,7 +632,10 @@ def _o_byte(hex_col: str, i: int) -> str:
     "dims/digest/features. The oracle recomputes the fake decode "
     "arithmetic (sha256 digest, byte-derived dims, float32-quantized "
     "features) from the same payload text in SQL, so even the Python "
-    "stage is value-hash-checked.",
+    "stage is value-hash-checked. The feature vector is projected into "
+    "scalar columns f0..f7 here because the driver's hash canonicalizer "
+    "cannot factorize list cells; the array-typed form keeps its own "
+    "oracle standing as x_multimodal_decode_array in extra_checks.py.",
     oracle=f"""
         WITH a AS (
             SELECT doc_id AS asset_id, md5(text) AS h1, md5(text || ':p') AS h2
@@ -644,10 +647,10 @@ def _o_byte(hex_col: str, i: int) -> str:
                CAST(64 + {_o_byte('h1', 1)} % 192 AS INT) AS height,
                CAST(1 + {_o_byte('h1', 2)} % 3 AS INT) AS channels,
                sha256(h1 || h2) AS sha256,
-               [{", ".join(
-                   f"CAST(CAST({_o_byte('h1', i)} / 255.0 AS FLOAT) AS DOUBLE)"
+               {", ".join(
+                   f"CAST(CAST({_o_byte('h1', i)} / 255.0 AS FLOAT) AS DOUBLE) AS f{i}"
                    for i in range(8)
-               )}] AS feature
+               )}
         FROM a
     """,
     tags=("llm", "multimodal", "pandas-udf"),
@@ -675,7 +678,10 @@ def q61_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "channels",
         "sha256",
-        F.col("feature").cast("array<double>").alias("feature"),
+        *[
+            F.col("feature")[i].cast("double").alias(f"f{i}")
+            for i in range(8)
+        ],
     )
 
 
