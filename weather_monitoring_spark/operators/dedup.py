@@ -101,8 +101,25 @@ def _filtered_shingles(
         .select(F.col(id_col).alias("id"), F.explode(shingles_expr("_tk")).alias("s"))
     )
     if max_shingle_df == "auto":
-        max_shingle_df = shingle_df_cutoff(docs.count())
-    if max_shingle_df is not None:
+        # Lazy corpus-size-derived cutoff: the n_docs aggregate rides
+        # inside the job as a broadcast 1-row frame instead of an eager
+        # docs.count() action — at 100 TB that action is a second full
+        # pass over the corpus before the real work starts. Same formula
+        # as shingle_df_cutoff(); the oracle's `cut` CTE mirrors it.
+        cut = docs.agg(
+            F.greatest(
+                F.lit(SHINGLE_DF_MIN).cast("long"),
+                F.ceil(F.lit(SHINGLE_DF_FRAC) * F.count(F.lit(1))),
+            ).alias("_cut")
+        )
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .crossJoin(F.broadcast(cut))
+            .filter(F.col("df") > F.col("_cut"))
+        )
+        sh = sh.join(F.broadcast(hot.select("s")), "s", "left_anti")
+    elif max_shingle_df is not None:
         hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
             F.col("df") > max_shingle_df
         )

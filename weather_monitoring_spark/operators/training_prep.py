@@ -406,15 +406,29 @@ def trim_distribution_tails(
     broadcast-cross-joins back; the corpus itself shuffles zero times
     beyond the histogram's partial aggregation."""
     feat = docs.withColumn("f", feature.cast("long"))
-    n = feat.count()
-    lo_rank = (n * lo_pct + 99) // 100
-    hi_rank = (n * hi_pct + 99) // 100
     hist = feat.groupBy("f").agg(F.count(F.lit(1)).cast("long").alias("_c"))
     w = Window.orderBy("f").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    w_tot = Window.orderBy("f").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # The corpus total comes from the histogram's own counts (a second
+    # tiny window over the same value-cardinality frame), not from an
+    # eager feat.count() action — which at 100 TB would be a full extra
+    # corpus pass before the gate runs. Rank test is rewritten
+    # multiplicatively: for integer _cum, _cum >= ceil(n*p/100)
+    # <=> 100*_cum >= n*p, so the bound stays BIGINT-exact.
+    cum = hist.select(
+        "f",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(w_tot).alias("_n"),
+    )
     bounds = cum.agg(
-        F.min(F.when(F.col("_cum") >= lo_rank, F.col("f"))).alias("v_lo"),
-        F.min(F.when(F.col("_cum") >= hi_rank, F.col("f"))).alias("v_hi"),
+        F.min(
+            F.when(F.col("_cum") * 100 >= F.col("_n") * lo_pct, F.col("f"))
+        ).alias("v_lo"),
+        F.min(
+            F.when(F.col("_cum") * 100 >= F.col("_n") * hi_pct, F.col("f"))
+        ).alias("v_hi"),
     )
     return (
         feat.crossJoin(F.broadcast(bounds))

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from weather_monitoring_spark.functions.text import h32_sql, tokens_expr
-from weather_monitoring_spark.operators.dedup import shingle_df_cutoff
+from weather_monitoring_spark.operators.dedup import SHINGLE_DF_FRAC, SHINGLE_DF_MIN
 
 #: Gram length in tokens (noise threshold: shared runs shorter than this
 #: are never reported).
@@ -126,8 +126,25 @@ def _match_pairs(
     max_fp_df: int | str | None,
 ) -> DataFrame:
     if max_fp_df == "auto":
-        max_fp_df = shingle_df_cutoff(docs.count())
-    if max_fp_df is not None:
+        # Lazy corpus-size-derived cutoff (same shape as
+        # dedup._filtered_shingles): the n_docs aggregate is a broadcast
+        # 1-row frame inside the job, not an eager docs.count() action —
+        # which at 100 TB would be a second full corpus pass. Formula
+        # mirrors shingle_df_cutoff() and the oracle's `cut` CTE.
+        cut = docs.agg(
+            F.greatest(
+                F.lit(SHINGLE_DF_MIN).cast("long"),
+                F.ceil(F.lit(SHINGLE_DF_FRAC) * F.count(F.lit(1))),
+            ).alias("_cut")
+        )
+        hot = (
+            dfp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .crossJoin(F.broadcast(cut))
+            .filter(F.col("df") > F.col("_cut"))
+        )
+        dfp = dfp.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
+    elif max_fp_df is not None:
         hot = (
             dfp.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("df"))

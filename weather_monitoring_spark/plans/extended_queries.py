@@ -311,16 +311,14 @@ def q46_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q49_pandas_per_group",
-    "applyInPandas per-group operator — a deliberate DEMO of the "
-    "grouped-map UDF surface, NOT the recommended plan for this job: the "
-    "same result is pure Catalyst (row_number + lag(unix_micros); see "
-    "extra_checks.x_per_group_builtin, ~10x faster in bench). Registered "
-    "in this form because the surface itself needs correctness standing: "
-    "outputs are exact integers, so even the Python path is "
-    "oracle-checked — the pattern for custom per-entity logic that "
-    "built-ins genuinely can't express. Arrow moves each group as one "
-    "columnar batch; one shuffle on the key.",
+    "q49_per_group_ordinal",
+    "Per-entity sequencing — ordinal + inter-event gap per user via "
+    "row_number() + lag(unix_micros): pure Catalyst, one shuffle on the "
+    "key, no Python boundary. This is the production plan for per-group "
+    "logic that window functions CAN express; the grouped-map "
+    "applyInPandas surface (for logic they can't) is the byte-identical "
+    "x_per_group_pandas demo in extra_checks.py, oracle-checked there "
+    "(~6x slower — the measured cost of crossing into Python).",
     oracle="""
         SELECT user_id, event_id,
                CAST(row_number() OVER w AS INTEGER) AS ordinal,
@@ -328,9 +326,30 @@ def q46_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
-    tags=("extended", "pandas-udf"),
+    tags=("extended", "window"),
 )
-def q49_pandas_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q49_per_group_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("ordinal"),
+        (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
+    )
+
+
+def pandas_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map surface demo — the same result as the
+    registered q49_per_group_ordinal computed in a per-group pandas
+    function (Arrow moves each group as one columnar batch; one shuffle
+    on the key). Kept as the pattern for custom per-entity logic that
+    window functions genuinely can't express; oracle-checked in
+    extra_checks.py as x_per_group_pandas (outputs are exact integers,
+    so even the Python path hash-matches)."""
     import pandas as pd
 
     def per_user(pdf: "pd.DataFrame") -> "pd.DataFrame":

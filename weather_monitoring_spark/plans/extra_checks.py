@@ -57,26 +57,15 @@ def _lateral_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _per_group_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Built-in twin of q49_pandas_per_group: ordinal + inter-event gap
-    via row_number() + lag(unix_micros) — pure Catalyst, no Python
-    boundary. q49 keeps the pandas version registered as the grouped-map
-    UDF *surface* demo; this is the plan you'd actually ship (same
-    result, ~5x faster — see bench), proving the Python stage is a
-    deliberate surface demo, not a necessity."""
-    from pyspark.sql import Window
+def _per_group_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas twin of the registered
+    q49_per_group_ordinal (which is the pure-Catalyst production plan).
+    This keeps the §2.7 grouped-map UDF surface oracle-checked — exact
+    integer outputs, so even the Python path hash-matches — as the
+    pattern for per-entity logic window functions can't express."""
+    from weather_monitoring_spark.plans.extended_queries import pandas_per_group
 
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.row_number().over(w).alias("ordinal"),
-        (
-            F.unix_micros(F.col("ts").cast("timestamp"))
-            - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
-        ).alias("gap_us"),
-    )
+    return pandas_per_group(spark, sf_dir)
 
 
 def _range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,9 +536,9 @@ EXTRA_SPECS: list[QuerySpec] = [
         tags=("extra", "join", "range"),
     ),
     QuerySpec(
-        name="x_per_group_builtin",
-        doc=_per_group_builtin.__doc__ or "",
-        spark=_per_group_builtin,
+        name="x_per_group_pandas",
+        doc=_per_group_pandas.__doc__ or "",
+        spark=_per_group_pandas,
         oracle="""
             SELECT user_id, event_id,
                    CAST(row_number() OVER w AS INTEGER) AS ordinal,
