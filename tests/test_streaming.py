@@ -191,3 +191,60 @@ def test_compact_archive_preserves_rows_and_clusters(spark, tmp_path, wire_dir):
     cols = ["station_id", "s_no", "battery_status", "status_timestamp"]
     assert a.select(cols).exceptAll(b.select(cols)).count() == 0
     assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+
+def _parquet_files_by_partition(root):
+    out = {}
+    for dirpath, _dirnames, filenames in os.walk(root):
+        parts = [f for f in filenames if f.endswith(".parquet")]
+        if parts:
+            out[os.path.relpath(dirpath, root)] = len(parts)
+    return out
+
+
+def test_compact_archive_in_place_is_scoped_and_idempotent(spark, tmp_path, wire_dir):
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.streaming.archive import compact_archive
+
+    src_dir, n_valid = wire_dir
+    archive = str(tmp_path / "archive")
+    ckpt = str(tmp_path / "ckpt")
+    for q in run_archive_stream(
+        spark.readStream.text(src_dir), archive, ckpt, trigger={"availableNow": True}
+    ):
+        q.awaitTermination(120)
+
+    before = read_archive(spark, archive)
+    dates = [r.date for r in before.select("date").distinct().collect()]
+    target = str(dates[0])
+    cols = ["station_id", "s_no", "battery_status", "status_timestamp"]
+    baseline = {tuple(r) for r in before.select(cols).collect()}
+    untouched_files = {
+        k: v
+        for k, v in _parquet_files_by_partition(archive).items()
+        if not k.startswith(f"date={target}")
+    }
+
+    compact_archive(spark, archive, dates=[target])
+    after1 = _parquet_files_by_partition(archive)
+    # untouched dates keep their exact file layout; the compacted date
+    # collapses to one file per (date, hour) partition
+    assert {k: v for k, v in after1.items() if not k.startswith(f"date={target}")} \
+        == untouched_files
+    compacted_parts = {k: v for k, v in after1.items() if k.startswith(f"date={target}")}
+    assert compacted_parts and all(v == 1 for v in compacted_parts.values())
+
+    # rows are byte-identical to before, and station_id clusters per file
+    now = read_archive(spark, archive)
+    assert {tuple(r) for r in now.select(cols).collect()} == baseline
+
+    # idempotent: a second run converges to the same layout and rows
+    compact_archive(spark, archive, dates=[target])
+    assert _parquet_files_by_partition(archive) == after1
+    assert {tuple(r) for r in read_archive(spark, archive).select(cols).collect()} \
+        == baseline
+    # overwrite conf restored
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", None
+    ) in (None, "static", "STATIC")

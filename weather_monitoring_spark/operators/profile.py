@@ -63,6 +63,17 @@ def profile_table(
         ]
     nd = F.count_distinct if exact_distinct else F.approx_count_distinct
 
+    # The NTZ->timestamp cast below resolves against the session timezone
+    # at action time; it is only a numeric no-op under UTC, so fail fast
+    # here instead of letting a non-UTC session shift profiled epochs.
+    if any(isinstance(fields[c], TimestampNTZType) for c in cols):
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise AssertionError(
+                f"profiling TIMESTAMP_NTZ columns requires "
+                f"spark.sql.session.timeZone=UTC (got {tz!r})"
+            )
+
     aggs: list = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for c in cols:
         t = fields[c]

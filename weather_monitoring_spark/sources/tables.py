@@ -48,8 +48,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # Scope the legacy conf to this one read: it is consumed when the
+        # relation is planned (verified: collects after restore still
+        # succeed), and leaving it set session-wide would make every later
+        # parquet read silently present TIMESTAMP(NANOS) columns as bigint
+        # instead of erroring.
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+    else:
+        df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return _normalize_ntz(df)
@@ -66,8 +80,27 @@ def _normalize_ntz(df: DataFrame) -> DataFrame:
     sees for the same file.
     """
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    # Top-level columns only by design: no testdata table nests
+    # timestamps inside struct/array/map. Guard that assumption loudly —
+    # a nested NTZ passing through un-cast would make unix_micros/window
+    # plans diverge from the oracle silently.
+    nested_ntz = [c for c, t in df.dtypes if t != "timestamp_ntz" and "timestamp_ntz" in t]
+    if nested_ntz:
+        raise NotImplementedError(
+            f"TIMESTAMP_NTZ nested inside {nested_ntz}: _normalize_ntz only "
+            "handles flat schemas; add a recursive cast before using this table"
+        )
     if not ntz_cols:
         return df
+    # The cast below resolves against the session timezone lazily (at
+    # action time, not here) — it is only a numeric no-op under UTC, so
+    # pin-and-check now rather than let a later tz mutation shift epochs.
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise AssertionError(
+            f"NTZ normalization requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}); load tables via load_table, which pins it"
+        )
     return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
 
 

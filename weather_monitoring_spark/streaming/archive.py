@@ -111,13 +111,43 @@ def run_archive_stream(
     return queries
 
 
-def read_archive(spark, archive_dir: str) -> DataFrame:
+def read_archive(spark, archive_dir: str, ignore_sink_log: bool = True) -> DataFrame:
     """Batch reader over the archive; WHERE date=/hour= prunes partitions,
-    station_id predicates prune row groups via the compacted sorted layout."""
-    return spark.read.parquet(archive_dir)
+    station_id predicates prune row groups via the compacted sorted layout.
+
+    ``ignore_sink_log=True`` (default) lists files from the filesystem
+    instead of the streaming sink's ``_spark_metadata`` log. The log is
+    the exactly-once read authority for an append-only sink directory,
+    but it can never learn about files that ``compact_archive`` rewrote
+    in place — reading through it after a compaction would silently
+    resurrect deleted files and miss compacted ones. Filesystem listing
+    is the contract here (a table format — Delta/Iceberg — is what makes
+    both properties hold at once; out of scope per SURVEY §4.3). Pass
+    ``False`` only for a never-compacted archive where read isolation
+    from in-flight micro-batches matters more than compactability.
+    """
+    if not ignore_sink_log:
+        return spark.read.parquet(archive_dir)
+    # Scoped like the loader's nanosAsLong: the conf is consulted when
+    # the relation resolves, so set-read-restore confines it to this read.
+    key = "spark.sql.streaming.fileStreamSink.ignoreMetadata"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        return spark.read.parquet(archive_dir)
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
 
 
-def compact_archive(spark, archive_dir: str, out_dir: str) -> None:
+def compact_archive(
+    spark,
+    archive_dir: str,
+    out_dir: str | None = None,
+    dates: list[str] | None = None,
+) -> None:
     """Periodic batch rewrite of the archive: coalesce small streaming
     files and cluster rows by ``station_id`` within each (date, hour)
     partition so parquet row-group min/max stats prune per-station scans.
@@ -125,17 +155,56 @@ def compact_archive(spark, archive_dir: str, out_dir: str) -> None:
     This is the engine's analogue of BitCask's 60 s compaction
     (``BitCask.java:188-254``) and the antidote to the reference's
     one-file-per-(batch x station) layout (``ParquetArchiver.java:98-120``):
-    run it on a schedule (e.g. once per closed date/hour partition), not
-    per micro-batch. Writes to ``out_dir``; swapping directories is the
-    caller's (atomic) move so readers never see a half-compacted archive.
+    run it on a schedule, scoped by ``dates`` to the partitions that just
+    closed — at 100 TB you compact yesterday, never the whole archive.
+
+    Two modes:
+
+    - ``out_dir=None`` (the production shape): in-place, dynamic
+      partition overwrite replaces ONLY the partitions present in the
+      selection; untouched dates keep their files. The selection is
+      pinned via ``localCheckpoint`` before the write so the plan no
+      longer reads the path it overwrites (and the rewrite is not
+      recomputed mid-overwrite from half-deleted inputs). Idempotent:
+      re-running rewrites the same partitions to the same content.
+    - ``out_dir=str``: full rewrite to a fresh directory; swapping
+      directories is the caller's (atomic) move so readers never see a
+      half-compacted archive.
+
+    ``repartition("date", "hour")`` hashes each partition's rows into one
+    task -> one output file per (date, hour), re-split only by
+    ``maxRecordsPerFile`` from the opposite direction.
     """
-    (
-        spark.read.parquet(archive_dir)
-        .repartition("date", "hour")
-        .sortWithinPartitions("station_id", "s_no")
-        .write.partitionBy("date", "hour")
-        .option("compression", "snappy")
-        .option("maxRecordsPerFile", MAX_RECORDS_PER_FILE)
-        .mode("overwrite")
-        .parquet(out_dir)
-    )
+    # The session shares a file-status cache across reads of the same
+    # path; after an earlier in-place compaction deleted files, a cached
+    # listing would surface FileNotFound mid-scan. Refresh before reading
+    # (and again after an in-place rewrite, for later readers). The read
+    # itself must bypass the streaming sink's _spark_metadata log — the
+    # log still lists pre-compaction files (see read_archive).
+    spark.catalog.refreshByPath(archive_dir)
+    df = read_archive(spark, archive_dir)
+    if dates is not None:
+        df = df.filter(F.col("date").cast("string").isin([str(d) for d in dates]))
+    df = df.repartition("date", "hour").sortWithinPartitions("station_id", "s_no")
+
+    writer_target = out_dir
+    if out_dir is None:
+        prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        df = df.localCheckpoint(eager=True)
+        writer_target = archive_dir
+    try:
+        (
+            df.write.partitionBy("date", "hour")
+            .option("compression", "snappy")
+            .option("maxRecordsPerFile", MAX_RECORDS_PER_FILE)
+            .mode("overwrite")
+            .parquet(writer_target)
+        )
+    finally:
+        if out_dir is None:
+            spark.catalog.refreshByPath(archive_dir)
+            if prior is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
