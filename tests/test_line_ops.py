@@ -137,6 +137,42 @@ def test_normalize_text_known_cases(spark):
     assert out[4]["n_chars_raw"] == 26 and out[4]["n_chars_norm"] == 16
 
 
+def test_normalize_text_unicode_form_opt_in(spark):
+    import unicodedata
+
+    from weather_monitoring_spark.operators.textops import normalize_text
+
+    # NFD-decomposed "café" + a combining mark next to whitespace, plus a
+    # compatibility ligature for the NFKC case.
+    nfd_cafe = "café"
+    df = spark.createDataFrame(
+        [(1, nfd_cafe + "  menu"), (2, "ﬁle")],  # ﬁ ligature
+        "doc_id bigint, text string",
+    )
+
+    # default path: zero-Python, text passes through un-canonicalized
+    out = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert out[1]["text_norm"] == nfd_cafe + " menu"
+    assert out[2]["text_norm"] == "ﬁle"
+
+    # NFC opt-in: combining mark composes; raw count still pre-NFC
+    nfc = {r["doc_id"]: r for r in normalize_text(df, unicode_form="NFC").collect()}
+    assert nfc[1]["text_norm"] == "café menu"
+    assert nfc[1]["text_norm"] == unicodedata.normalize("NFC", out[1]["text_norm"])
+    assert nfc[1]["n_chars_raw"] == len(nfd_cafe + "  menu")
+    assert nfc[2]["text_norm"] == "ﬁle"  # NFC keeps ligatures
+
+    # NFKC folds compatibility forms
+    nfkc = {r["doc_id"]: r for r in normalize_text(df, unicode_form="NFKC").collect()}
+    assert nfkc[2]["text_norm"] == "file"
+
+    # invalid form fails fast, before any job runs
+    import pytest
+
+    with pytest.raises(ValueError):
+        normalize_text(df, unicode_form="NFX")
+
+
 def test_normalize_text_is_idempotent(spark):
     from pyspark.sql import functions as F
 

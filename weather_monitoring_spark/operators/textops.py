@@ -476,8 +476,37 @@ CTRL_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
 HWS_RUN_RE = "[ \\t]+"
 
 
+def _unicode_normalize_udf(unicode_form: str):
+    """Arrow-batched pandas_udf applying ``unicodedata.normalize``.
+
+    Built lazily (only the opt-in path pays the pandas import); the form
+    name is validated eagerly so a typo fails before any job runs."""
+    import unicodedata
+
+    import pandas  # noqa: F401 — resolves the annotations below
+
+    from pyspark.sql.functions import pandas_udf
+
+    # Validate the form name eagerly (must be non-empty text: CPython
+    # short-circuits empty strings before checking the form).
+    unicodedata.normalize(unicode_form, "a")
+
+    def _norm(s: "pandas.Series") -> "pandas.Series":
+        return s.map(
+            lambda x: unicodedata.normalize(unicode_form, x)
+            if x is not None
+            else None
+        )
+
+    _norm.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
+    return pandas_udf(_norm, "string")
+
+
 def normalize_text(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unicode_form: str | None = None,
 ) -> DataFrame:
     """Crawl-text normalization — the first transform a raw corpus sees:
     strip C0/DEL control characters, normalize CR/CRLF to LF, collapse
@@ -486,11 +515,18 @@ def normalize_text(
     BIGINT. Line structure (LF) is preserved for the downstream line
     operators (operators/lines.py).
 
-    Unicode canonicalization (NFC/NFKC) is deliberately OUT of scope:
-    no JVM-side builtin exposes it, so it would cost a Python UDF on the
-    hottest path in the pipeline; the regex passes here are whole-stage
-    codegen. One projection, zero shuffle at any corpus size."""
+    Unicode canonicalization is OFF by default: no JVM-side builtin
+    exposes it, so it costs an Arrow-batched pandas_udf on the hottest
+    path in the pipeline — the default regex passes stay whole-stage
+    codegen, one projection, zero shuffle at any corpus size. A real
+    crawl pipeline usually wants NFC, so ``unicode_form="NFC"`` (or
+    NFKC/NFD/NFKD) opts in: the canonicalization runs FIRST (combining
+    marks can otherwise straddle the regex passes), vectorized per Arrow
+    batch, and ``n_chars_raw`` still counts the pre-normalization text.
+    """
     t = F.col(text_col)
+    if unicode_form is not None:
+        t = _unicode_normalize_udf(unicode_form)(t)
     cleaned = F.regexp_replace(t, "\\r\\n|\\r", "\n")
     cleaned = F.regexp_replace(cleaned, CTRL_RE, "")
     cleaned = F.regexp_replace(cleaned, HWS_RUN_RE, " ")
@@ -500,7 +536,7 @@ def normalize_text(
     return docs.select(
         F.col(id_col),
         cleaned.alias("text_norm"),
-        F.length(t).cast("long").alias("n_chars_raw"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_raw"),
         F.length(cleaned).cast("long").alias("n_chars_norm"),
     )
 

@@ -31,7 +31,12 @@ def kafka_available(spark: SparkSession) -> bool:
     deployment adds ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>``.
     """
     try:
-        spark._jvm.org.apache.spark.sql.kafka010.KafkaSourceProvider  # noqa: B018
+        # py4j returns a JavaPackage stub (no exception) for classes that
+        # are NOT on the classpath, so attribute access alone is a false
+        # positive; Class.forName actually loads or throws.
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
         return True
     except Exception:
         return False
