@@ -61,6 +61,59 @@ def fs_bulk_upsert(index_dir: str) -> Callable[[list[dict]], None]:
     return bulk
 
 
+def bulk_payload(docs: list[dict], index: str) -> bytes:
+    """The ES ``_bulk`` NDJSON wire format: an ``index`` action line
+    (upsert-by-id semantics — same outcome as the reference's
+    ``IndexRequest`` with an explicit id, ParquetToElasticsearch.java:193)
+    followed by the document source, one pair per doc, trailing newline
+    required by the protocol. Pure function so the wire shape is testable
+    without a server."""
+    lines: list[bytes] = []
+    for doc in docs:
+        action = {"index": {"_index": index, "_id": str(doc["doc_id"])}}
+        lines.append(json.dumps(action).encode("utf-8"))
+        lines.append(json.dumps(doc, sort_keys=True, default=str).encode("utf-8"))
+    return b"\n".join(lines) + b"\n"
+
+
+def http_bulk_upsert(
+    es_url: str, index: str, timeout_s: float = 10.0
+) -> Callable[[list[dict]], None]:
+    """Real Elasticsearch bulk client over stdlib ``urllib`` — no
+    ``elasticsearch-py`` dependency, so it works wherever a server does.
+    Same contract as ``fs_bulk_upsert``: idempotent upsert by doc id.
+    Raises on transport errors AND on per-item failures (the response's
+    ``errors`` flag), so ``index_partition``'s bounded retry wraps both.
+
+    Closure state is just (url, index) strings — safe to ship to
+    executors via ``foreachPartition``; each partition opens its own
+    connections (the reference's single shared client at
+    ParquetToElasticsearch.java:54-85 is the driver-side pattern this
+    sink exists to avoid)."""
+    import urllib.request
+
+    endpoint = f"{es_url.rstrip('/')}/_bulk"
+
+    def bulk(docs: list[dict]) -> None:
+        req = urllib.request.Request(
+            endpoint,
+            data=bulk_payload(docs, index),
+            headers={"Content-Type": "application/x-ndjson"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            body = json.loads(resp.read())
+        if body.get("errors"):
+            failed = [
+                item["index"].get("error")
+                for item in body.get("items", [])
+                if item.get("index", {}).get("error")
+            ]
+            raise RuntimeError(f"bulk: {len(failed)} item failures: {failed[:3]}")
+
+    return bulk
+
+
 def index_partition(
     rows: Iterator[Row],
     bulk_fn: Callable[[list[dict]], None],
