@@ -651,3 +651,22 @@ def test_lm_score_known_fractions(spark):
     assert out[2].known_frac == 1 / 3
     # multiplicity counts: "a b a b" has bigrams ab, ba, ab
     assert (out[3].n_bigrams, out[3].n_known, out[3].c_evidence) == (3, 2, 2)
+
+
+def test_mixture_weights_semantics(spark):
+    """p sums to 1 (up to fold rounding), small sources get boost > 1,
+    large sources < 1, and ordering by p follows ordering by n_tokens."""
+    from weather_monitoring_spark.operators.training_prep import mixture_weights
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    rows = mixture_weights(docs).collect()
+    assert len(rows) == docs.select("source").distinct().count()
+    assert abs(sum(r.p for r in rows) - 1.0) < 1e-12
+    by_tokens = sorted(rows, key=lambda r: r.n_tokens)
+    by_p = sorted(rows, key=lambda r: r.p)
+    assert [r.source for r in by_tokens] == [r.source for r in by_p]
+    if by_tokens[0].n_tokens != by_tokens[-1].n_tokens:
+        assert by_tokens[0].boost > 1.0 > by_tokens[-1].boost
+    tok_total = sum(r.n_tokens for r in rows)
+    for r in rows:
+        assert abs(r.boost - r.p / (r.n_tokens / tok_total)) < 1e-12

@@ -434,3 +434,70 @@ def trim_distribution_tails(
         feat.crossJoin(F.broadcast(bounds))
         .filter((F.col("f") >= F.col("v_lo")) & (F.col("f") <= F.col("v_hi")))
     )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Square-root temperature mixture weights — the alpha-sampling step
+    (alpha = 0.5, the multilingual-training default) that turns raw
+    per-source token counts into sampling probabilities, up-weighting
+    small sources relative to their share:
+    ``p_s = sqrt(n_tokens_s) / sum_i sqrt(n_tokens_i)``.
+
+    Returns one row per source: (source, n_docs, n_tokens, w, p,
+    boost) where ``w = sqrt(n_tokens)``, ``p`` the sampling probability,
+    and ``boost = p / (n_tokens / total_tokens)`` the up/down-weighting
+    factor vs proportional sampling (> 1 for small sources).
+
+    Bit-stable cross-engine by construction, which is why alpha is fixed
+    at 0.5: ``sqrt`` is a correctly-rounded IEEE op (a general
+    ``pow(n, alpha)`` is transcendental and NOT bit-stable), token counts
+    are exact BIGINTs, and the two denominators are sequential folds over
+    the per-source rows in source order (``array_sort`` + ``aggregate``
+    here, ``list(... ORDER BY source)`` + ``list_aggregate`` in the
+    oracle) — never a partial-agg double sum, whose combine order is
+    partition-dependent.
+
+    Scale shape: the corpus aggregates once into a |sources|-row table;
+    everything after (sorted fold, broadcast of the 1-row totals frame,
+    final projection) is arithmetic on that tiny frame. The corpus
+    itself shuffles only the per-source partial counts."""
+    per = (
+        docs.select(
+            F.col(group_col).alias("source"),
+            F.size(tokens_expr(text_col)).cast("long").alias("_toks"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_toks").cast("long").alias("n_tokens"),
+        )
+        .withColumn("w", F.sqrt(F.col("n_tokens").cast("double")))
+    )
+    # Deterministic denominators: fold the per-source rows in source
+    # order (left fold == DuckDB's list_aggregate over the sorted list).
+    totals = per.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "w"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("w_total"),
+        F.sum("n_tokens").cast("long").alias("tok_total"),  # BIGINT: order-free
+    )
+    return per.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "w",
+        (F.col("w") / F.col("w_total")).alias("p"),
+        (
+            (F.col("w") / F.col("w_total"))
+            / (
+                F.col("n_tokens").cast("double")
+                / F.col("tok_total").cast("double")
+            )
+        ).alias("boost"),
+    )

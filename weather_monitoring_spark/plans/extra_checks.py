@@ -417,6 +417,18 @@ def _trim_tails(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trim_distribution_tails(docs, F.size(tokens_expr("text")))
 
 
+def _mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-root temperature mixture weights (alpha=0.5 sampling): per
+    source, p = sqrt(n_tokens)/sum(sqrt(n_tokens)) plus the boost factor
+    vs proportional sampling. Bit-stable cross-engine: alpha pinned at
+    0.5 (sqrt is correctly-rounded IEEE; pow is not), exact BIGINT token
+    counts, and both engines compute the weight denominator as a
+    sequential fold over the per-source rows in source order."""
+    from weather_monitoring_spark.operators.training_prep import mixture_weights
+
+    return mixture_weights(load_table(spark, sf_dir, "documents"))
+
+
 #: x_pack_contexts parameters: non-overlapping 32-token chunks packed
 #: into 128-token training contexts.
 CTX_CHUNK = 32
@@ -951,6 +963,37 @@ EXTRA_SPECS: list[QuerySpec] = [
             LIMIT 100
         """,
         tags=("extra", "training-prep", "sampling"),
+    ),
+    QuerySpec(
+        name="x_mixture_weights",
+        doc=_mixture_weights.__doc__ or "",
+        spark=_mixture_weights,
+        oracle=f"""
+            WITH per AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(len({o_tokens('text')})) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source
+            ), w AS (
+                SELECT source, n_docs, n_tokens,
+                       sqrt(CAST(n_tokens AS DOUBLE)) AS w
+                FROM per
+            ), t AS (
+                SELECT list_reduce(
+                           list_prepend(CAST(0.0 AS DOUBLE),
+                                        list(w ORDER BY source)),
+                           (a, b) -> a + b) AS w_total,
+                       CAST(sum(n_tokens) AS BIGINT) AS tok_total
+                FROM w
+            )
+            SELECT source, n_docs, n_tokens, w,
+                   w / w_total AS p,
+                   (w / w_total)
+                       / (CAST(n_tokens AS DOUBLE) / CAST(tok_total AS DOUBLE))
+                       AS boost
+            FROM w CROSS JOIN t
+        """,
+        tags=("extra", "training-prep", "mixture"),
     ),
     QuerySpec(
         name="x_trim_tails",
