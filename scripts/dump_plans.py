@@ -42,6 +42,17 @@ SHOWCASE = {
         "BEFORE the repartition and the Python decode stage — non-image "
         "payload bytes never reach Arrow"
     ),
+    "q15_rollup_aggregate": (
+        "ROLLUP is one shuffle: Expand emits the 3 grouping sets "
+        "map-side, the partial HashAggregate combines before the single "
+        "Exchange on (keys, grouping_id)"
+    ),
+    "q49_per_group_ordinal": (
+        "per-entity sequencing, the production plan: one Exchange on "
+        "user_id, one Sort, and ONE Window computing both row_number and "
+        "lag over the shared frame — no Python boundary (the "
+        "applyInPandas twin in extras is the surface demo)"
+    ),
 }
 
 
@@ -154,6 +165,22 @@ EXTRA_SHOWCASE["lm_score (library operator)"] = (
     "shuffle join by design at web scale); the per-doc aggregation "
     "ships (doc_id, counts) with map-side partials — text never "
     "crosses the wire",
+)
+
+
+def _mixture_probe(spark, sf_dir):
+    from weather_monitoring_spark.operators.training_prep import mixture_weights
+    from weather_monitoring_spark.sources.tables import load_table
+
+    return mixture_weights(load_table(spark, sf_dir, "documents"))
+
+
+EXTRA_SHOWCASE["mixture_weights (library operator)"] = (
+    _mixture_probe,
+    "the corpus collapses to a |sources|-row aggregate in one "
+    "partial-agg shuffle; the deterministic denominator fold and the "
+    "1-row totals frame ride a BroadcastExchange back — everything "
+    "after the first aggregation is arithmetic on a tiny frame",
 )
 
 
