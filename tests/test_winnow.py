@@ -196,3 +196,43 @@ def test_contamination_spans_localize_planted_overlap(spark):
     assert 3 <= s.span_start <= 6
     assert s.span_start + WINNOW_K - 1 <= s.span_end <= 9
     assert s.n_hits >= 1
+
+
+def test_incremental_dedup_guarantee_and_index_append(spark):
+    """dedup_against_index inherits the winnowing guarantee: a batch doc
+    overlapping ANY indexed doc on >= w+k-1 tokens must be flagged when
+    it clears min_shared. The index side never shuffles: the batch
+    fingerprints arrive via broadcast. Appending an accepted batch's own
+    fingerprints makes the next run see it (the daily loop)."""
+    from weather_monitoring_spark.operators.winnow import (
+        dedup_against_index,
+        fingerprint_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, f"a1 a2 {SHARED} {SHARED} a3"),  # long planted run (2 windows)
+         (2, "historic doc with entirely distinct wording throughout here")],
+        ["doc_id", "text"],
+    )
+    idx = fingerprint_index(corpus)
+
+    batch = spark.createDataFrame(
+        [(100, f"n1 n2 {SHARED} {SHARED} n3"),  # near-copy of doc 1
+         (101, "fresh new content never seen before anywhere at all truly")],
+        ["doc_id", "text"],
+    )
+    verdicts = dedup_against_index(batch, idx, min_shared=1)
+    out = {r.doc_id: r for r in verdicts.collect()}
+    assert set(out) == {100, 101}  # every batch doc gets a verdict
+    assert out[100].is_dup and out[100].n_hits >= 1
+    assert not out[101].is_dup and out[101].n_hits == 0
+
+    # index side joins without shuffling: batch fingerprints broadcast
+    plan = verdicts._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    # accept the batch -> append its fingerprints -> re-running flags the
+    # batch against ITSELF (self-hits), proving tomorrow sees today
+    idx2 = idx.unionByName(fingerprint_index(batch))
+    again = {r.doc_id: r for r in dedup_against_index(batch, idx2, min_shared=1).collect()}
+    assert again[101].is_dup  # now indexed, so it matches itself

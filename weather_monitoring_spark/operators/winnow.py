@@ -267,3 +267,73 @@ def contamination_spans(
         )
         .select(id_col, "span_start", "span_end", "n_hits")
     )
+
+
+def fingerprint_index(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The (fp, id) fingerprint table of a corpus — the persisted
+    artifact incremental dedup joins new batches against. In production
+    this is written once per corpus snapshot via
+    ``storage.bucketing.write_bucketed(index, table, ["fp"])`` and only
+    APPENDED to as batches are accepted; extraction itself is the
+    zero-shuffle winnow projection."""
+    return (
+        winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+        .select("fp", F.col(id_col).alias("id"))
+        .distinct()
+    )
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    min_shared: int = WINNOW_MIN_SHARED,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental dedup: verdicts for a new batch of documents against
+    an EXISTING corpus's fingerprint index (``fingerprint_index``) —
+    the daily-crawl-vs-historical-corpus shape, where re-fingerprinting
+    or self-joining the whole corpus per batch is exactly what a 100 TB
+    pipeline cannot afford. Returns (id, n_hits, is_dup) for EVERY new
+    document: ``n_hits`` = distinct fingerprint hashes shared with ANY
+    indexed document (BIGINT), ``is_dup`` = n_hits >= min_shared.
+    Inherits the winnowing guarantee: a new document overlapping any
+    indexed document on >= ``w + k - 1`` consecutive tokens MUST share
+    a fingerprint.
+
+    Scale shape — the asymmetry IS the design: the index (TBs, the
+    whole history) is scanned in place and NEVER shuffled; the new
+    batch's fingerprint table (the small side by construction) ships as
+    a broadcast into a map-side hash join on fp. The per-new-doc
+    aggregate and the zero-fill flag join then touch only batch-sized
+    frames. Accepted batches append their own ``fingerprint_index``
+    rows to the store, so tomorrow's run sees today's corpus."""
+    nf = (
+        winnow_fingerprints(new_docs, k=k, w=w, id_col=id_col, text_col=text_col)
+        .select(F.col(id_col).alias("_nid"), "fp")
+        .distinct()
+    )
+    hits = (
+        index.join(F.broadcast(nf), "fp")
+        .groupBy("_nid")
+        .agg(F.count_distinct("fp").cast("long").alias("n_hits"))
+    )
+    return (
+        new_docs.select(F.col(id_col))
+        .join(hits, new_docs[id_col] == hits._nid, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0).cast("long")) >= min_shared).alias(
+                "is_dup"
+            ),
+        )
+    )

@@ -1718,3 +1718,48 @@ EXTRA_SPECS.append(
         tags=("extra", "decontamination", "spans"),
     )
 )
+
+
+# ---- incremental dedup against a persisted fingerprint index -------------
+
+from weather_monitoring_spark.operators.winnow import (  # noqa: E402
+    dedup_against_index,
+    fingerprint_index,
+)
+
+
+def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup, the daily-crawl shape: the corpus split
+    doc_id % 4 != 0 plays the historical index (its fingerprint table is
+    the persisted artifact), the % 4 == 0 split plays today's batch;
+    every batch doc gets (n_hits, is_dup) without the index ever
+    shuffling — the batch's fingerprints broadcast into a map-side join."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = fingerprint_index(docs.filter(F.col("doc_id") % 4 != 0))
+    return dedup_against_index(docs.filter(F.col("doc_id") % 4 == 0), idx)
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_incremental_dedup",
+        doc=_incremental_dedup.__doc__ or "",
+        spark=_incremental_dedup,
+        oracle=f"""
+            WITH {_O_WINNOW_FPS}, idx AS (
+                SELECT DISTINCT s.fp AS fp FROM fps WHERE doc_id % 4 <> 0
+            ), nf AS (
+                SELECT DISTINCT doc_id AS id, s.fp AS fp FROM fps
+                WHERE doc_id % 4 = 0
+            ), hits AS (
+                SELECT id, CAST(count(*) AS BIGINT) AS n_hits
+                FROM nf JOIN idx USING (fp) GROUP BY id
+            )
+            SELECT d.doc_id,
+                   coalesce(hits.n_hits, 0) AS n_hits,
+                   coalesce(hits.n_hits, 0) >= {WINNOW_MIN_SHARED} AS is_dup
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+            LEFT JOIN hits ON d.doc_id = hits.id
+        """,
+        tags=("extra", "dedup", "incremental", "fingerprints"),
+    )
+)
