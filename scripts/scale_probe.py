@@ -260,6 +260,54 @@ def main() -> None:
     ).count()
     out["lm_score_sec"] = round(time.perf_counter() - t0, 2)
 
+    # --- incremental dedup: 90% history index, 10% daily batch -----------
+    from weather_monitoring_spark.operators.winnow import (
+        dedup_against_index,
+        fingerprint_index,
+    )
+
+    hist = docs.filter(F.col("doc_id") % 10 != 0)
+    # 10% of batch docs are near-copies of history (planted via shared text)
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10 * n_docs).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 100 == 0,
+            # verbatim copy of HISTORY doc id+1 (id % 10 == 1 -> indexed):
+            # regenerate its deterministic text rather than self-copy a
+            # batch doc (batch docs are not in the index)
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, 60), i -> "
+                "substring(md5(concat(doc_id + 1, ':w', i)), 1, 8)))"
+            ),
+        )
+        .otherwise(
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, 60), i -> "
+                "substring(md5(concat(doc_id, ':fresh', i)), 1, 8)))"
+            )
+        )
+        .alias("text"),
+    )
+    t0 = time.perf_counter()
+    idx = fingerprint_index(hist).localCheckpoint(eager=True)
+    out["fp_index_rows"] = idx.count()
+    out["fp_index_sec"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    out["incremental_dedup_flagged"] = (
+        dedup_against_index(batch, idx).filter(F.col("is_dup")).count()
+    )
+    out["incremental_dedup_sec"] = round(time.perf_counter() - t0, 2)
+
+    # --- mixture weights: corpus -> |sources|-row arithmetic -------------
+    from weather_monitoring_spark.operators.training_prep import mixture_weights
+
+    sourced = docs.withColumn(
+        "source", F.concat(F.lit("src"), (F.col("doc_id") % 17).cast("string"))
+    )
+    t0 = time.perf_counter()
+    out["mixture_sources"] = mixture_weights(sourced).count()
+    out["mixture_sec"] = round(time.perf_counter() - t0, 2)
+
     print(json.dumps(out))
 
 
