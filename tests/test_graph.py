@@ -53,3 +53,36 @@ def test_dedup_clusters_one_survivor_per_cluster(spark):
         assert out[i]["cluster"] == i and out[i]["survivor"]
     survivors = [r for r in out.values() if r["survivor"]]
     assert len(survivors) == 5  # 2 cluster reps + 3 isolated
+
+
+def test_quality_survivors_keep_best_copy_not_min_id(spark):
+    """In a 3-doc chain cluster {1,2,3}, doc 2 has the highest quality ->
+    it survives (min-id dedup_clusters would keep 1). Quality ties break
+    toward the smaller id; singletons survive trivially."""
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.operators.graph import quality_survivors
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "the longest best copy"), (3, "mid copy"),
+         (4, "singleton"), (5, "tie a"), (6, "tie b")],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    out = {r.doc_id: r for r in quality_survivors(
+        docs, pairs, F.length("text")
+    ).collect()}
+    assert len(out) == 6  # every doc gets a verdict
+    assert {r.cluster for r in out.values() if r.doc_id in (1, 2, 3)} == {1}
+    assert out[2].survivor and not out[1].survivor and not out[3].survivor
+    assert out[4].survivor  # singleton
+    # equal quality (len("tie a") == len("tie b")) -> smaller id survives
+    assert out[5].survivor and not out[6].survivor
+    # exactly one survivor per cluster
+    from collections import Counter
+
+    per_cluster = Counter(r.cluster for r in out.values() if r.survivor)
+    assert all(v == 1 for v in per_cluster.values())
+    assert len(per_cluster) == 3

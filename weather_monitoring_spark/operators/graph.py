@@ -107,3 +107,44 @@ def dedup_clusters(
             (F.col(id_col) == F.coalesce("component", F.col(id_col))).alias("survivor"),
         )
     )
+
+
+def quality_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality,  # Column: higher = better
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware survivor selection: like ``dedup_clusters``, but the
+    kept copy of each near-dup cluster is the HIGHEST-``quality`` member
+    (ties -> smallest id), not the smallest id. This is the policy a
+    production pipeline actually wants — near-dup clusters usually mix a
+    clean original with truncated/boilerplate-wrapped copies, and min-id
+    keeps whichever was crawled first.
+
+    Returns (id, cluster, quality, survivor); exactly one survivor per
+    cluster. Deterministic: the argmax is ``max_by`` over the
+    lexicographic struct (quality, -id), so equal qualities break toward
+    the smaller id on any engine and any partitioning.
+
+    Scale shape: clustering (pointer-jumping components over the pair
+    set) dominates; selection adds one per-cluster aggregate over
+    (cluster, quality, id) triples and one join of the cluster-count-
+    sized keeper table back (AQE broadcasts it when small). Documents
+    never shuffle — only ids, labels, and scores."""
+    labeled = dedup_clusters(docs, pairs, id_col=id_col).select(id_col, "cluster")
+    scored = labeled.join(
+        docs.select(F.col(id_col), quality.cast("double").alias("quality")), id_col
+    )
+    keepers = scored.groupBy("cluster").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col("quality"), (-F.col(id_col)).alias("_nid")),
+        ).alias("_keeper")
+    )
+    return scored.join(keepers, "cluster").select(
+        id_col,
+        "cluster",
+        "quality",
+        (F.col(id_col) == F.col("_keeper")).alias("survivor"),
+    )

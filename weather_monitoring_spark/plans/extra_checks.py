@@ -165,6 +165,27 @@ def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(emb, pairs, id_col="vec_id")
 
 
+def _quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: the x_dedup_clusters pipeline
+    (LSH candidates -> candidate-bounded exact Jaccard -> connected
+    components), but keeping each cluster's HIGHEST-quality member
+    (quality = text length here; ties -> smallest id) instead of the
+    min-id copy — the policy that keeps the clean original rather than
+    whichever truncated duplicate was crawled first. Deterministic
+    argmax via max_by over the (quality, -id) struct."""
+    from weather_monitoring_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_verify,
+    )
+    from weather_monitoring_spark.operators.graph import quality_survivors
+
+    docs = load_table(spark, sf_dir, "documents")
+    verified = ngram_jaccard_verify(docs, minhash_lsh_pairs(docs))
+    return quality_survivors(
+        docs, verified.select("id_a", "id_b"), F.length("text")
+    )
+
+
 def _vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: token -> document frequency + total count, top
     200 by (count desc, token asc) — the deterministic tie-break makes a
@@ -1761,5 +1782,70 @@ EXTRA_SPECS.append(
             LEFT JOIN hits ON d.doc_id = hits.id
         """,
         tags=("extra", "dedup", "incremental", "fingerprints"),
+    )
+)
+
+
+# ---- quality-aware dedup survivor selection ------------------------------
+
+#: The dedup-cluster component CTE chain (same fragments as
+#: x_dedup_clusters / q50: band join -> candidate-bounded Jaccard ->
+#: recursive min-label closure).
+_O_CLUSTER_COMP = f"""sigs AS ({_o_minhash_sig()}),
+            bands AS (
+                {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band_{b} AS bh FROM sigs" for b in range(LSH_BANDS))}
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+            ),
+            {O_FILTERED_SH},
+            shared AS (
+                SELECT c.id_a, c.id_b, count(*) AS shared
+                FROM cand c
+                JOIN sh a ON a.id = c.id_a
+                JOIN sh b ON b.id = c.id_b AND b.s = a.s
+                GROUP BY 1, 2
+            ),
+            dup_pairs AS (
+                SELECT id_a, id_b
+                FROM shared JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
+                WHERE shared * 1.0 / (x.n + y.n - shared) >= {JACCARD_THRESHOLD}
+            ),
+            sym AS (
+                SELECT id_a AS a, id_b AS b FROM dup_pairs
+                UNION
+                SELECT id_b, id_a FROM dup_pairs
+            ),
+            reach(node, lbl) AS (
+                SELECT a, a FROM sym
+                UNION
+                SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+            ),
+            comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)"""
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_quality_survivors",
+        doc=_quality_survivors.__doc__ or "",
+        spark=_quality_survivors,
+        oracle=f"""
+            WITH RECURSIVE {_O_CLUSTER_COMP},
+            lab AS (
+                SELECT d.doc_id,
+                       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster,
+                       CAST(length(d.text) AS DOUBLE) AS quality
+                FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+            ),
+            rk AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY cluster ORDER BY quality DESC, doc_id ASC
+                ) AS rn
+                FROM lab
+            )
+            SELECT doc_id, cluster, quality, rn = 1 AS survivor FROM rk
+        """,
+        tags=("extra", "dedup", "graph", "quality"),
     )
 )
