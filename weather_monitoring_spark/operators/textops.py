@@ -290,7 +290,11 @@ def tfidf_topk(
     still convert it when the measured vocab is small."""
     from pyspark.sql import Window
 
-    n_docs = docs.count()
+    # N rides the job as a broadcast 1-row aggregate (same policy as the
+    # dedup/winnow df cutoffs): an eager docs.count() here would be an
+    # extra full corpus pass before the real work at 100 TB. The oracle's
+    # scalar subquery (SELECT count(*) FROM documents) is likewise lazy.
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     tok = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens_expr(text_col)).alias("token")
     )
@@ -303,10 +307,15 @@ def tfidf_topk(
         .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    scored = tf.join(dfreq, "token").withColumn(
-        "score",
-        F.col("tf").cast("double")
-        * (F.lit(float(n_docs)) / F.col("df").cast("double")),
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("_n_docs") / F.col("df").cast("double")),
+        )
+        .drop("_n_docs")
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
     return (
