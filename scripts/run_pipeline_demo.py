@@ -90,9 +90,27 @@ def main() -> None:
         for q in queries:
             q.awaitTermination(60)
 
-        archived = spark.read.parquet(f"{tmp}/archive")
+        # end-of-window maintenance: compact the closed partitions in
+        # place (one file per (date, hour); reads bypass the sink log —
+        # see streaming/archive.py)
+        from weather_monitoring_spark.streaming.archive import (
+            compact_archive,
+            read_archive,
+        )
+
+        def _parquet_file_count(root: str) -> int:
+            return sum(
+                len([f for f in files if f.endswith(".parquet")])
+                for _, _, files in os.walk(root)
+            )
+
+        files_before = _parquet_file_count(f"{tmp}/archive")
+        compact_archive(spark, f"{tmp}/archive")
+        archived = read_archive(spark, f"{tmp}/archive")
         summary = {
             "archived_rows": archived.count(),
+            "archive_files_before_compaction": files_before,
+            "archive_files_after_compaction": _parquet_file_count(f"{tmp}/archive"),
             "stations_in_view": view.get_all().count(),
             "alerts": spark.read.parquet(f"{tmp}/alerts").count(),
             "rollup_groups": rollup.read().count(),
