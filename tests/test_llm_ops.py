@@ -670,3 +670,54 @@ def test_mixture_weights_semantics(spark):
     tok_total = sum(r.n_tokens for r in rows)
     for r in rows:
         assert abs(r.boost - r.p / (r.n_tokens / tok_total)) < 1e-12
+
+
+def test_custom_lsh_meets_stock_ml_minhashlsh_baseline(spark):
+    """SURVEY §7.1 M6 named ml.feature.MinHashLSH as the stock route; the
+    engine ships a custom md5-derived MinHash instead because the stock
+    hash family is RNG-seeded (not oracle-checkable) and its
+    approxSimilarityJoin needs a vectorizer pipeline. This test proves
+    the custom path gives up nothing: both implementations must catch
+    every planted exact-Jaccard >= 0.9 near-dup pair on the fixture
+    corpus (the stock run pins its seed for reproducibility)."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.functions.text import shingles_expr, tokens_expr
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert truth, "fixture must contain planted near-duplicates"
+
+    # custom path (oracle-checkable md5 family)
+    custom = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect()}
+    assert truth <= custom
+
+    # stock path: shingle sets -> binary CountVectorizer -> MinHashLSH
+    sh = (
+        docs.withColumn("_tk", tokens_expr("text"))
+        .select("doc_id", F.array_distinct(shingles_expr("_tk")).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    cv = CountVectorizer(
+        inputCol="sh", outputCol="features", binary=True, minDF=1.0
+    ).fit(sh)
+    feat = cv.transform(sh)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=16, seed=7
+    ).fit(feat)
+    # jaccard distance threshold 0.1 == similarity 0.9
+    stock_pairs = (
+        lsh.approxSimilarityJoin(feat, feat, 0.100001, distCol="dist")
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .collect()
+    )
+    stock = {(r.id_a, r.id_b) for r in stock_pairs}
+    assert truth <= stock
