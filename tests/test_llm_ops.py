@@ -721,3 +721,136 @@ def test_custom_lsh_meets_stock_ml_minhashlsh_baseline(spark):
     )
     stock = {(r.id_a, r.id_b) for r in stock_pairs}
     assert truth <= stock
+
+
+# ---- round-4: threshold-matched LSH + hot-bucket/hot-block guards --------
+
+
+def _det_words(seed: str, n: int) -> list[str]:
+    """Deterministic unique 'words' — md5-derived, no RNG (the repo-wide
+    reproducibility rule)."""
+    import hashlib
+
+    return [hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8] for i in range(n)]
+
+
+def _planted_midband_corpus(spark):
+    """60 doc pairs with exact 3-gram Jaccard planted in [0.5, 0.6]: each
+    pair shares a 60-word base; the variant replaces m in {5, 6} words at
+    positions spaced >= 10 apart, killing exactly 3m shingles per side
+    (j = (58-3m)/(58+3m) -> 0.589 for m=5, 0.526 for m=6)."""
+    rows = []
+    for p in range(60):
+        base = _det_words(f"pair{p}", 60)
+        m = 5 if p % 2 == 0 else 6
+        variant = list(base)
+        for r_i in range(m):
+            variant[5 + 10 * r_i] = f"rep{p}x{r_i}"
+        rows.append((2 * p, " ".join(base)))
+        rows.append((2 * p + 1, " ".join(variant)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_recall_at_declared_threshold(spark):
+    """The round-3 verdict's finding #3 made concrete: with the S-curve
+    aligned to JACCARD_THRESHOLD (K=81, b=27, r=3 -> p(0.5)=0.973,
+    p(0.6)=0.9986), planted pairs with exact Jaccard in [0.5, 0.6] must
+    be caught at >= 90% recall (the old K=12/b=4/r=3 config caught
+    ~41-62% of this band). Deterministic: md5-derived corpus + md5 hash
+    family, so the measured recall is a fixed property of the code."""
+    docs = _planted_midband_corpus(spark)
+    truth = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, threshold=JACCARD_THRESHOLD, max_shingle_df=None
+        ).collect()
+        # keep only the planted (base, variant) pairs — cross-pair overlap
+        # is ~zero by construction but filter to be exact about the claim
+        if r.id_b == r.id_a + 1 and r.id_a % 2 == 0
+    }
+    assert len(truth) == 60, f"expected 60 planted pairs, got {len(truth)}"
+    assert all(0.5 <= j <= 0.65 for j in truth.values()), sorted(truth.values())
+    candidates = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect()}
+    recall = len(truth.keys() & candidates) / len(truth)
+    assert recall >= 0.9, f"mid-band recall {recall} below 0.9"
+
+
+def _identical_plus_background(spark, n_dup: int, n_bg: int):
+    """n_dup byte-identical docs (ids 0..n_dup-1) + n_bg unique-word docs."""
+    from pyspark.sql import functions as F
+
+    dup_text = " ".join(_det_words("boilerplate", 60))
+    dup = spark.range(n_dup).select(
+        F.col("id").alias("doc_id"), F.lit(dup_text).alias("text")
+    )
+    bg = spark.range(n_dup, n_dup + n_bg).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 60), i -> "
+            "substring(md5(concat('bg', id, ':', i)), 1, 8)))"
+        ).alias("text"),
+    )
+    return dup.unionByName(bg)
+
+
+def test_minhash_hot_bucket_cap_bounds_candidates(spark):
+    """Verdict finding #2: mass-duplicated boilerplate puts thousands of
+    docs into identical band buckets across all bands; the band self-join
+    must NOT produce m^2 rows. With the hot-bucket guard the 10k
+    identical docs yield exactly the 9,999 star pairs (min-id keeper) —
+    not the ~5*10^7 of the uncapped join — and every background doc
+    stays un-paired."""
+    docs = _identical_plus_background(spark, n_dup=10_000, n_bg=500)
+    pairs = minhash_lsh_pairs(docs).collect()
+    assert len(pairs) == 9_999, f"expected 9,999 star pairs, got {len(pairs)}"
+    assert all(p.id_a == 0 and 1 <= p.id_b <= 9_999 for p in pairs)
+
+
+def test_minhash_hot_bucket_cap_preserves_survivors(spark):
+    """On a corpus small enough to run the uncapped join, capped and
+    uncapped candidate sets must induce IDENTICAL dedup survivors (a doc
+    is dropped iff it appears as id_b): the star routing loses only
+    pair-set shape, never the survivor semantics, for the
+    identical-document case that creates hot buckets."""
+    docs = _identical_plus_background(spark, n_dup=200, n_bg=100)
+    capped = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, max_band_df=50).collect()}
+    uncapped = {
+        (r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, max_band_df=None).collect()
+    }
+    assert capped <= uncapped
+    assert len(capped) == 199 and len(uncapped) == 199 * 200 // 2
+    assert {b for _, b in capped} == {b for _, b in uncapped}  # same dropped set
+
+
+def test_simhash_hot_block_cap_bounds_and_preserves_survivors(spark):
+    """The SimHash scale-mode guard (max_block_df): identical docs flood
+    every Manku table block; capped mode diverts them to exact-signature
+    star pairs (hamming 0) — linear, same dropped set as the exact plan,
+    and a strict subset of its pairs."""
+    from weather_monitoring_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = _identical_plus_background(spark, n_dup=200, n_bg=100)
+    capped = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_neardup_pairs(docs, max_block_df=50).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_neardup_pairs(docs).collect()
+    }
+    assert set(capped) <= set(exact)
+    assert len(capped) == 199 and all(h == 0 for h in capped.values())
+    assert len(exact) == 199 * 200 // 2
+    assert {b for _, b in capped} == {b for _, b in exact}
+    # a no-hot-blocks corpus: cap high enough -> bit-identical to exact
+    bg_only = _identical_plus_background(spark, n_dup=1, n_bg=150)
+    assert (
+        {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_neardup_pairs(bg_only, max_block_df=5000).collect()
+        }
+        == {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_neardup_pairs(bg_only).collect()
+        }
+    )

@@ -44,6 +44,13 @@ def h32_sql(seed: str, s: str) -> str:
     return f"CAST(conv(substring(md5(concat('{seed}', ':', {s})), 1, 8), 16, 10) AS BIGINT)"
 
 
+def h32_from_hex_sql(hex_col: str, offset: int = 1) -> str:
+    """Spark SQL: 32 hash bits from 8 hex chars of an already-computed md5
+    digest column — lets a 64-bit consumer (SimHash) take two independent
+    32-bit words (offsets 1 and 9) from ONE md5 evaluation per token."""
+    return f"CAST(conv(substring({hex_col}, {offset}, 8), 16, 10) AS BIGINT)"
+
+
 #: Universal-hash family for MinHash: h_k(x) = (A_k * x + B_k) mod P over
 #: the md5-derived 32-bit base hash. One md5 per shingle total (the
 #: expensive string hash), K cheap integer remixes — ~K x faster than
@@ -85,6 +92,10 @@ def o_shingles(tokens_col: str) -> str:
 
 def o_h32(seed: str, s: str) -> str:
     return f"CAST(('0x' || substr(md5('{seed}' || ':' || {s}), 1, 8)) AS BIGINT)"
+
+
+def o_h32_from_hex(hex_col: str, offset: int = 1) -> str:
+    return f"CAST(('0x' || substr({hex_col}, {offset}, 8)) AS BIGINT)"
 
 
 def o_shingle_hashes(shingles_col: str) -> str:

@@ -17,13 +17,13 @@ from pyspark.sql import functions as F
 
 from weather_monitoring_spark.functions.text import o_shingles, o_tokens
 from weather_monitoring_spark.operators.dedup import simhash_signatures
-from weather_monitoring_spark.operators.dedup import JACCARD_THRESHOLD, LSH_BANDS
+from weather_monitoring_spark.operators.dedup import JACCARD_THRESHOLD
 from weather_monitoring_spark.operators.similarity import COSINE_NEARDUP_THRESHOLD
 from weather_monitoring_spark.plans.llm_queries import (
     O_FILTERED_SH,
     _o_cosine,
-    _o_minhash_sig,
     _o_simhash,
+    o_band_candidates,
 )
 from weather_monitoring_spark.operators.training_prep import CHUNK_OVERLAP, CHUNK_TOKENS
 from weather_monitoring_spark.plans.registry import QuerySpec
@@ -641,15 +641,7 @@ EXTRA_SPECS: list[QuerySpec] = [
         doc=_dedup_clusters.__doc__ or "",
         spark=_dedup_clusters,
         oracle=f"""
-            WITH RECURSIVE sigs AS ({_o_minhash_sig()}),
-            bands AS (
-                {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band_{b} AS bh FROM sigs" for b in range(LSH_BANDS))}
-            ),
-            cand AS (
-                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM bands a JOIN bands b
-                  ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
-            ),
+            WITH RECURSIVE {o_band_candidates()},
             {O_FILTERED_SH},
             shared AS (
                 SELECT c.id_a, c.id_b, count(*) AS shared
@@ -1791,15 +1783,7 @@ EXTRA_SPECS.append(
 #: The dedup-cluster component CTE chain (same fragments as
 #: x_dedup_clusters / q50: band join -> candidate-bounded Jaccard ->
 #: recursive min-label closure).
-_O_CLUSTER_COMP = f"""sigs AS ({_o_minhash_sig()}),
-            bands AS (
-                {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band_{b} AS bh FROM sigs" for b in range(LSH_BANDS))}
-            ),
-            cand AS (
-                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM bands a JOIN bands b
-                  ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
-            ),
+_O_CLUSTER_COMP = f"""{o_band_candidates()},
             {O_FILTERED_SH},
             shared AS (
                 SELECT c.id_a, c.id_b, count(*) AS shared

@@ -18,12 +18,15 @@ from pyspark.sql import functions as F
 
 from weather_monitoring_spark.functions.text import (
     o_h32,
+    o_h32_from_hex,
     o_minhash,
     o_shingle_hashes,
     o_shingles,
     o_tokens,
 )
 from weather_monitoring_spark.operators.dedup import (
+    BAND_DF_FRAC,
+    BAND_DF_MIN,
     HAMMING_THRESHOLD,
     JACCARD_THRESHOLD,
     LSH_BANDS,
@@ -242,19 +245,50 @@ def q30_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def o_band_candidates(docs_table: str = "documents") -> str:
+    """Shared DuckDB CTE chain ending in ``cand(id_a, id_b)`` — the exact
+    mirror of minhash_lsh_pairs INCLUDING the hot-bucket guard, generated
+    from the same constants (BAND_DF_MIN/FRAC): band self-join over
+    non-hot buckets, exact-signature star pairs (min-id keeper per
+    identical full signature) for members of over-cap buckets. Used by
+    q31, q50, and the cluster extras so the four compositions cannot
+    drift from the operator."""
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, md5(sig) AS fp, {b} AS band_idx, band_{b} AS bh FROM sigs"
+        for b in range(LSH_BANDS)
+    )
+    return f"""sigs AS ({_o_minhash_sig()}),
+        bands AS ({bands_union}),
+        bcut AS (SELECT greatest({BAND_DF_MIN},
+                                 CAST(ceil({BAND_DF_FRAC} * count(*)) AS BIGINT)) AS c
+                 FROM {docs_table}),
+        hotb AS (SELECT band_idx, bh FROM bands
+                 GROUP BY 1, 2 HAVING count(*) > (SELECT c FROM bcut)),
+        coldb AS (SELECT b.* FROM bands b WHERE NOT EXISTS (
+            SELECT 1 FROM hotb h WHERE h.band_idx = b.band_idx AND h.bh = b.bh)),
+        hotm AS (SELECT DISTINCT doc_id, fp FROM bands b WHERE EXISTS (
+            SELECT 1 FROM hotb h WHERE h.band_idx = b.band_idx AND h.bh = b.bh)),
+        keepg AS (SELECT fp, min(doc_id) AS keeper FROM hotm GROUP BY fp),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM coldb a JOIN coldb b
+              ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+            UNION
+            SELECT k.keeper, m.doc_id FROM hotm m JOIN keepg k USING (fp)
+            WHERE m.doc_id > k.keeper
+        )"""
+
+
 @query(
     "q31_minhash_lsh_pairs",
     f"MinHash-LSH candidate pairs: documents sharing >=1 of {LSH_BANDS} "
-    f"band buckets (r={LSH_ROWS}). Catches Jaccard>=0.9 pairs with "
-    "p>0.999; the join shuffles only (band_hash, id) pairs.",
+    f"band buckets (r={LSH_ROWS}; S-curve midpoint 1/3, p(j=0.5)=0.973). "
+    "Hot band buckets (> max(50, 10% of corpus) docs — mass boilerplate) "
+    "divert to exact-signature star pairs instead of an m^2 self-join; "
+    "the cold join shuffles only (band_hash, id, sig-digest) rows.",
     oracle=f"""
-        WITH sigs AS ({_o_minhash_sig()}),
-        bands AS (
-            {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band_{b} AS bh FROM sigs" for b in range(LSH_BANDS))}
-        )
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+        WITH {o_band_candidates()}
+        SELECT id_a, id_b FROM cand
     """,
     tags=("llm", "dedup", "minhash", "join"),
 )
@@ -303,18 +337,27 @@ def q32_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _o_simhash() -> str:
     votes = ", ".join(
-        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
+        f"sum(CASE WHEN ({'h_lo' if b < 32 else 'h_hi'} >> {b % 32}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) AS v_{b}"
         for b in range(SIMHASH_BITS)
     )
+
+    def weight(b: int) -> str:
+        # Bit 63 = the BIGINT sign bit; (-max - 1) keeps the literal (and
+        # hence the sum) in BIGINT arithmetic, never HUGEINT.
+        return "(-9223372036854775807 - 1)" if b == 63 else str(1 << b)
+
     sim = " + ".join(
-        f"CASE WHEN v_{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        f"CASE WHEN v_{b} > 0 THEN CAST({weight(b)} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         for b in range(SIMHASH_BITS)
     )
     return f"""
         SELECT doc_id, {sim} AS simhash FROM (
             SELECT doc_id, {votes} FROM (
-                SELECT doc_id, {o_h32('sh', 't')} AS h
-                FROM (SELECT doc_id, unnest(tk) AS t FROM ({O_DOC_TOKENS}))
+                SELECT doc_id, {o_h32_from_hex('m', 1)} AS h_lo,
+                       {o_h32_from_hex('m', 9)} AS h_hi
+                FROM (SELECT doc_id, md5('sh' || ':' || t) AS m
+                      FROM (SELECT doc_id, unnest(tk) AS t FROM ({O_DOC_TOKENS})))
             ) GROUP BY doc_id
         )
     """
@@ -327,12 +370,13 @@ def _o_simhash() -> str:
 
 @query(
     "q34_simhash_neardup_pairs",
-    f"SimHash near-dup pairs (Hamming <= {HAMMING_THRESHOLD}) via "
-    f"pigeonhole blocking: {HAMMING_THRESHOLD + 1} disjoint signature "
-    "blocks, equi-join on (block_idx, block_value), exact Hamming verify "
-    "— lossless for the <= d predicate and linear in collisions instead "
-    "of n^2. The oracle is the all-pairs formulation, so the check "
-    "proves blocked == all-pairs.",
+    f"SimHash near-dup pairs (Hamming <= {HAMMING_THRESHOLD}, 64-bit "
+    "signatures) via Manku-style multi-table blocking: C(5,2)=10 tables "
+    "keyed on ~26-bit two-block concatenations, equi-join per table, "
+    "exact Hamming verify — lossless for the <= d predicate with "
+    "n/2^25 expected bucket sizes (collision-bounded, not n^2/64). The "
+    "oracle is the all-pairs formulation, so the check proves "
+    "blocked == all-pairs.",
     oracle=f"""
         WITH s AS ({_o_simhash()})
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -478,15 +522,7 @@ def q37_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same pipeline (band CTEs + candidate-bounded verification), so the "
     "check covers the composition semantics, not just the end state.",
     oracle=f"""
-        WITH sigs AS ({_o_minhash_sig()}),
-        bands AS (
-            {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band_{b} AS bh FROM sigs" for b in range(LSH_BANDS))}
-        ),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a JOIN bands b
-              ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
-        ),
+        WITH {o_band_candidates()},
         {O_FILTERED_SH},
         shared AS (
             SELECT c.id_a, c.id_b, count(*) AS shared
