@@ -51,6 +51,27 @@ def test_bulk_payload_wire_shape():
     assert s1["s_no"] == 9
 
 
+def test_bulk_payload_serializes_timestamps_iso8601():
+    """Datetime fields must hit the wire as ISO-8601 WITH the 'T'
+    separator — ES dynamic date detection's default patterns
+    (strict_date_optional_time) do not match str(datetime)'s space-
+    separated rendering, which would map the field as text."""
+    import datetime
+
+    docs = [
+        {
+            "doc_id": "st1_5",
+            "status_timestamp": datetime.datetime(2026, 8, 13, 12, 30, 45, 123000),
+            "date": datetime.date(2026, 8, 13),
+        }
+    ]
+    payload = bulk_payload(docs, "weather")
+    src = json.loads(payload.decode().strip().split("\n")[1])
+    assert src["status_timestamp"] == "2026-08-13T12:30:45.123000"
+    assert "T" in src["status_timestamp"]
+    assert src["date"] == "2026-08-13"
+
+
 class _FakeBulkHandler:
     """Minimal in-process ES-shaped endpoint: accepts /_bulk NDJSON,
     records docs by id (upsert), can fail the first N requests to

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -244,7 +245,89 @@ def test_compact_archive_in_place_is_scoped_and_idempotent(spark, tmp_path, wire
     assert _parquet_files_by_partition(archive) == after1
     assert {tuple(r) for r in read_archive(spark, archive).select(cols).collect()} \
         == baseline
-    # overwrite conf restored
+    # overwrite mode is a per-write option now — session conf untouched
     assert spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode", None
     ) in (None, "static", "STATIC")
+
+
+def test_compact_archive_refuses_while_stream_writes(spark, tmp_path, wire_dir):
+    """The concurrent-writer guard: in-place compaction would silently
+    delete rows a live stream appends between snapshot and commit, so it
+    must refuse while ANY active query is (or may be) writing to the
+    archive dir; out-of-place compaction and post-shutdown in-place runs
+    proceed."""
+    import pytest
+
+    from weather_monitoring_spark.streaming.archive import compact_archive
+
+    src_dir, n_valid = wire_dir
+    archive = str(tmp_path / "archive")
+    ckpt = str(tmp_path / "ckpt")
+    queries = run_archive_stream(
+        spark.readStream.text(src_dir), archive, ckpt,
+        trigger={"processingTime": "1 seconds"},
+    )
+    try:
+        # wait until the archive query has committed at least one batch
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if queries[0].lastProgress and os.path.isdir(archive):
+                break
+            time.sleep(0.5)
+        assert queries[0].isActive
+        with pytest.raises(RuntimeError, match="active streaming"):
+            compact_archive(spark, archive)
+        # out-of-place mode never deletes source files -> not guarded
+        compact_archive(spark, archive, out_dir=str(tmp_path / "compacted"))
+    finally:
+        for q in queries:
+            q.stop()
+        for q in queries:
+            q.awaitTermination(60)
+    # writer stopped -> in-place compaction proceeds
+    compact_archive(spark, archive)
+    assert read_archive(spark, archive).count() == n_valid
+
+
+def test_batch_reader_survives_concurrent_compaction_of_closed_date(
+    spark, tmp_path, wire_dir
+):
+    """The concurrent-READER contract, stated precisely: a DataFrame
+    RESOLVED before an in-place compaction pins the old file listing and
+    goes stale (Spark's path-based relations snapshot their file index at
+    resolution — refreshByPath cannot reach into an existing plan); a
+    reader RE-OPENED after the compaction (which refreshes the path in
+    its finally block) sees the identical row multiset with no
+    FileNotFound and no resurrected pre-compaction files. Batch
+    consumers of a compacted archive must therefore re-call
+    read_archive per job — the normal batch pattern — rather than hold
+    DataFrames across maintenance windows."""
+    import pytest
+
+    from weather_monitoring_spark.streaming.archive import compact_archive
+
+    src_dir, n_valid = wire_dir
+    archive = str(tmp_path / "archive")
+    ckpt = str(tmp_path / "ckpt")
+    for q in run_archive_stream(
+        spark.readStream.text(src_dir), archive, ckpt, trigger={"availableNow": True}
+    ):
+        q.awaitTermination(120)
+
+    stale = read_archive(spark, archive)  # resolved pre-compaction
+    cols = ["station_id", "s_no", "battery_status", "status_timestamp"]
+    baseline = {tuple(r) for r in stale.select(cols).collect()}
+    assert len(baseline) == n_valid
+
+    compact_archive(spark, archive)  # all dates are closed (stream done)
+
+    # the documented workflow: re-open -> identical rows, no error
+    fresh = read_archive(spark, archive)
+    assert {tuple(r) for r in fresh.select(cols).collect()} == baseline
+    assert fresh.count() == n_valid
+
+    # and the stale pre-compaction plan fails LOUDLY (pinned listing now
+    # points at deleted files) instead of silently returning stale rows
+    with pytest.raises(Exception, match="FILE_NOT_EXIST|does not exist"):
+        stale.select(cols).collect()

@@ -289,6 +289,14 @@ def fingerprint_index(
     )
 
 
+#: Batch-fingerprint count above which dedup_against_index stops forcing
+#: a broadcast join: ~5e7 (fp bigint, id) rows is roughly a 1 GiB hash
+#: relation — past Spark's executor-side broadcast comfort zone. Larger
+#: batches fall back to a shuffle join where a fp-bucketed index
+#: (storage.bucketing.write_bucketed) still avoids shuffling the history.
+BROADCAST_FP_LIMIT = 50_000_000
+
+
 def dedup_against_index(
     new_docs: DataFrame,
     index: DataFrame,
@@ -297,6 +305,7 @@ def dedup_against_index(
     w: int = WINNOW_W,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_limit: int | None = BROADCAST_FP_LIMIT,
 ) -> DataFrame:
     """Incremental dedup: verdicts for a new batch of documents against
     an EXISTING corpus's fingerprint index (``fingerprint_index``) —
@@ -315,14 +324,30 @@ def dedup_against_index(
     a broadcast into a map-side hash join on fp. The per-new-doc
     aggregate and the zero-fill flag join then touch only batch-sized
     frames. Accepted batches append their own ``fingerprint_index``
-    rows to the store, so tomorrow's run sees today's corpus."""
+    rows to the store, so tomorrow's run sees today's corpus.
+
+    The broadcast hint is GATED, not unconditional: an unbounded batch
+    would ride the hint past Spark's autoBroadcast size guard and OOM
+    executors. The batch's distinct fingerprints are pinned
+    (localCheckpoint) and probed with an early-exit
+    ``limit(broadcast_limit + 1).count()``; at or under the limit the
+    hint applies (map-side join, index untouched), above it the hint is
+    dropped and AQE picks the strategy — against a fp-bucketed index
+    the history side still avoids its shuffle. ``broadcast_limit=None``
+    skips the probe and never hints."""
     nf = (
         winnow_fingerprints(new_docs, k=k, w=w, id_col=id_col, text_col=text_col)
         .select(F.col(id_col).alias("_nid"), "fp")
         .distinct()
+        # Pinned: the size probe and the join reuse one evaluation.
+        .localCheckpoint(eager=False)
     )
+    build = nf
+    if broadcast_limit is not None:
+        if nf.limit(broadcast_limit + 1).count() <= broadcast_limit:
+            build = F.broadcast(nf)
     hits = (
-        index.join(F.broadcast(nf), "fp")
+        index.join(build, "fp")
         .groupBy("_nid")
         .agg(F.count_distinct("fp").cast("long").alias("n_hits"))
     )

@@ -125,6 +125,13 @@ def read_archive(spark, archive_dir: str, ignore_sink_log: bool = True) -> DataF
     both properties hold at once; out of scope per SURVEY §4.3). Pass
     ``False`` only for a never-compacted archive where read isolation
     from in-flight micro-batches matters more than compactability.
+
+    NOTE: the ``ignoreMetadata`` conf has no per-read DataFrameReader
+    option, so it is set-and-restored on the session around relation
+    resolution. Another thread resolving a parquet relation in the same
+    session inside that window would observe the temporary value — call
+    this from single-threaded maintenance/analysis contexts (the same
+    contract as ``sources.tables.load_table``'s nanosAsLong toggle).
     """
     if not ignore_sink_log:
         return spark.read.parquet(archive_dir)
@@ -142,11 +149,41 @@ def read_archive(spark, archive_dir: str, ignore_sink_log: bool = True) -> DataF
             spark.conf.set(key, prior)
 
 
+def active_archive_writers(spark, archive_dir: str) -> list[tuple[str, str]]:
+    """Active StreamingQueries that are (or may be) writing to
+    ``archive_dir``: matched by the file sink description in their
+    progress events. A query that has not yet produced progress reports
+    an unknown sink and is treated as a potential writer — the
+    conservative reading, since in-place compaction under a concurrent
+    writer silently deletes rows appended between snapshot and commit."""
+    import os as _os
+
+    target = _os.path.abspath(archive_dir)
+    hits: list[tuple[str, str]] = []
+    for q in spark.streams.active:
+        try:
+            descs = []
+            progresses = list(q.recentProgress or [])
+            if q.lastProgress:
+                progresses.append(q.lastProgress)
+            for p in progresses:
+                descs.append(str((p.get("sink") or {}).get("description", "")))
+            if not descs:
+                hits.append((q.name or str(q.id), "<no progress yet - sink unknown>"))
+            elif any(archive_dir in d or target in d for d in descs):
+                hits.append((q.name or str(q.id), descs[-1]))
+        except Exception:
+            # The query may have terminated between listing and probing.
+            continue
+    return hits
+
+
 def compact_archive(
     spark,
     archive_dir: str,
     out_dir: str | None = None,
     dates: list[str] | None = None,
+    force: bool = False,
 ) -> None:
     """Periodic batch rewrite of the archive: coalesce small streaming
     files and cluster rows by ``station_id`` within each (date, hour)
@@ -161,20 +198,48 @@ def compact_archive(
     Two modes:
 
     - ``out_dir=None`` (the production shape): in-place, dynamic
-      partition overwrite replaces ONLY the partitions present in the
-      selection; untouched dates keep their files. The selection is
-      pinned via ``localCheckpoint`` before the write so the plan no
-      longer reads the path it overwrites (and the rewrite is not
-      recomputed mid-overwrite from half-deleted inputs). Idempotent:
-      re-running rewrites the same partitions to the same content.
+      partition overwrite (a per-write ``DataFrameWriter`` option — no
+      session-global conf is touched, so concurrent readers in the same
+      session never observe a temporary overwrite mode) replaces ONLY
+      the partitions present in the selection; untouched dates keep
+      their files. The selection is pinned via ``localCheckpoint``
+      before the write so the plan no longer reads the path it
+      overwrites (and the rewrite is not recomputed mid-overwrite from
+      half-deleted inputs); the checkpoint blocks are unpersisted once
+      the write commits. Idempotent: re-running rewrites the same
+      partitions to the same content.
     - ``out_dir=str``: full rewrite to a fresh directory; swapping
       directories is the caller's (atomic) move so readers never see a
       half-compacted archive.
+
+    **Concurrent-writer guard (in-place mode):** rows appended to a
+    targeted partition between the snapshot and the write commit would
+    be silently deleted, so in-place compaction REFUSES to run while any
+    active StreamingQuery is (or may be — unknown sinks count) writing
+    to ``archive_dir`` (``active_archive_writers``). Compact only CLOSED
+    dates, after the writer has stopped or moved past them;
+    ``force=True`` overrides for callers that can prove the active
+    writer targets other partitions. Concurrent *batch readers*: a
+    DataFrame resolved BEFORE the compaction pins the old file listing
+    and fails loudly afterwards (path relations snapshot their file
+    index at resolution); re-opening via ``read_archive`` after the
+    compaction — which refreshes the path in its finally block — sees
+    the identical row multiset. Both behaviors are pinned by tests in
+    tests/test_streaming.py.
 
     ``repartition("date", "hour")`` hashes each partition's rows into one
     task -> one output file per (date, hour), re-split only by
     ``maxRecordsPerFile`` from the opposite direction.
     """
+    if out_dir is None and not force:
+        writers = active_archive_writers(spark, archive_dir)
+        if writers:
+            raise RuntimeError(
+                "in-place compact_archive refused: active streaming "
+                f"queries may be writing to {archive_dir!r}: {writers}; "
+                "stop them (or pass force=True if they provably target "
+                "other partitions)"
+            )
     # The session shares a file-status cache across reads of the same
     # path; after an earlier in-place compaction deleted files, a cached
     # listing would surface FileNotFound mid-scan. Refresh before reading
@@ -188,23 +253,25 @@ def compact_archive(
     df = df.repartition("date", "hour").sortWithinPartitions("station_id", "s_no")
 
     writer_target = out_dir
+    pinned = None
     if out_dir is None:
-        prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        df = df.localCheckpoint(eager=True)
+        pinned = df = df.localCheckpoint(eager=True)
         writer_target = archive_dir
     try:
-        (
+        writer = (
             df.write.partitionBy("date", "hour")
             .option("compression", "snappy")
             .option("maxRecordsPerFile", MAX_RECORDS_PER_FILE)
-            .mode("overwrite")
-            .parquet(writer_target)
         )
+        if out_dir is None:
+            # Scoped to THIS write: only partitions in the selection are
+            # replaced; a session-level conf flip would leak to others.
+            writer = writer.option("partitionOverwriteMode", "dynamic")
+        writer.mode("overwrite").parquet(writer_target)
     finally:
         if out_dir is None:
             spark.catalog.refreshByPath(archive_dir)
-            if prior is None:
-                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-            else:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+        if pinned is not None:
+            # Release the checkpoint blocks — a scheduled maintenance job
+            # in a long-lived session must not accumulate pinned RDDs.
+            pinned.unpersist()

@@ -26,6 +26,19 @@ from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+
+def _json_default(o):
+    """JSON fallback serializer: date/datetime/time -> ISO-8601 with the
+    'T' separator, which Elasticsearch dynamic date detection recognizes
+    (str(datetime) yields 'YYYY-MM-DD HH:MM:SS' — no 'T' — and the field
+    would dynamic-map as text, not date; the reference indexer ships
+    ISO strings, ParquetToElasticsearch.java:193)."""
+    import datetime
+
+    if isinstance(o, (datetime.datetime, datetime.date, datetime.time)):
+        return o.isoformat()
+    return str(o)
+
 BULK_SIZE = 100  # ParquetToElasticsearch.java:273
 MAX_RETRIES = 3  # SparkParquetStreamingToElasticsearch.java:177
 RETRY_DELAY_S = 0.5  # :178
@@ -55,7 +68,7 @@ def fs_bulk_upsert(index_dir: str) -> Callable[[list[dict]], None]:
             path = os.path.join(index_dir, f"{doc['doc_id']}.json")
             tmp = path + ".tmp"
             with open(tmp, "w") as f:
-                json.dump(doc, f, sort_keys=True, default=str)
+                json.dump(doc, f, sort_keys=True, default=_json_default)
             os.replace(tmp, path)
 
     return bulk
@@ -72,7 +85,7 @@ def bulk_payload(docs: list[dict], index: str) -> bytes:
     for doc in docs:
         action = {"index": {"_index": index, "_id": str(doc["doc_id"])}}
         lines.append(json.dumps(action).encode("utf-8"))
-        lines.append(json.dumps(doc, sort_keys=True, default=str).encode("utf-8"))
+        lines.append(json.dumps(doc, sort_keys=True, default=_json_default).encode("utf-8"))
     return b"\n".join(lines) + b"\n"
 
 
