@@ -95,3 +95,66 @@ def test_ivf_topk_recall_oracle_vs_duckdb(spark):
     assert recall >= 0.5, f"recall@{k} vs DuckDB exact baseline: {recall}"
     rows2 = ivf_topk(emb, qids, k=k).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_ivf_pq_topk_recall_oracle_vs_duckdb(spark):
+    """The IVF + int8-coarse-scan composition under the same cross-engine
+    harness as plain IVF: every returned cosine must bit-match DuckDB's
+    sequential fold (quantization is only allowed to affect WHICH
+    candidates reach exact re-scoring, never the reported score), its
+    recall@10 vs the DuckDB brute-force baseline clears 0.5, the
+    pipeline is deterministic, and the quantized coarse ranking costs at
+    most a small recall delta vs plain IVF on this corpus (the shortlist
+    absorbs int8 jitter)."""
+    from tests.oracle_harness import duck_connection
+    from weather_monitoring_spark.operators.similarity import ivf_pq_topk, ivf_topk
+    from weather_monitoring_spark.plans.llm_queries import _o_cosine
+    from weather_monitoring_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    k = 10
+    rows = ivf_pq_topk(emb, qids, k=k).collect()
+
+    con = duck_connection(SF_SMALL)
+    try:
+        exact = con.sql(f"""
+            WITH q AS (
+                SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+                WHERE vec_id IN ({", ".join(map(str, qids))})
+            ), scored AS (
+                SELECT qid, vec_id, {_o_cosine('embedding', 'qvec')} AS cosine,
+                       row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY {_o_cosine('embedding', 'qvec')} DESC, vec_id
+                       ) AS rnk
+                FROM embeddings, q WHERE vec_id <> qid
+            )
+            SELECT qid, vec_id, cosine FROM scored WHERE rnk <= {k}
+        """).fetchall()
+        pairs = [(r.qid, r.vec_id) for r in rows]
+        pair_sql = ", ".join(f"({a}, {b})" for a, b in pairs)
+        returned = con.sql(f"""
+            WITH p(qid, vid) AS (VALUES {pair_sql})
+            SELECT p.qid, p.vid, {_o_cosine('a.embedding', 'b.embedding')} AS cosine
+            FROM p JOIN embeddings a ON a.vec_id = p.qid
+                   JOIN embeddings b ON b.vec_id = p.vid
+        """).fetchall()
+    finally:
+        con.close()
+
+    duck_cos = {(q, v): c for q, v, c in returned}
+    for r in rows:
+        assert r.cosine.hex() == duck_cos[(r.qid, r.vec_id)].hex(), (
+            f"IVF+PQ cosine for {(r.qid, r.vec_id)} diverges from DuckDB"
+        )
+    exact_keys = {(q, v) for q, v, _ in exact}
+    recall = len(exact_keys & set(pairs)) / len(exact_keys)
+    assert recall >= 0.5, f"recall@{k} vs DuckDB exact baseline: {recall}"
+    ivf_keys = {(r.qid, r.vec_id) for r in ivf_topk(emb, qids, k=k).collect()}
+    ivf_recall = len(exact_keys & ivf_keys) / len(exact_keys)
+    assert recall >= ivf_recall - 0.1, (
+        f"quantized coarse scan lost too much recall: {recall} vs IVF {ivf_recall}"
+    )
+    rows2 = ivf_pq_topk(emb, qids, k=k).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))

@@ -88,19 +88,24 @@ SIMHASH_BLOCKS = 5
 SHINGLE_DF_FRAC = 0.1
 SHINGLE_DF_MIN = 20
 
-#: Hot-BUCKET cutoff for the LSH band self-join — the same policy as the
-#: shingle df cutoff, one level up: a band bucket holding more than
-#: max(MIN, ceil(FRAC * n_docs)) documents is mass-duplicated boilerplate
-#: (the most common degenerate input in a real crawl), and self-joining
-#: it produces m^2 rows. Over-cap buckets are diverted to exact-signature
-#: dedup (star pairs around the min-id doc per identical MinHash
-#: signature) — linear in members, and survivor-preserving for the
-#: identical-document case that creates hot buckets in the first place.
-BAND_DF_FRAC = 0.1
+#: Hot-BUCKET cutoff for the LSH band self-join — the shingle-df-cutoff
+#: policy one level up, but with a SUB-LINEAR (sqrt) auto rule: band
+#: buckets are md5-keyed, so under uniformity their expected size is ~1
+#: at ANY corpus size (unlike shingle document frequencies, which scale
+#: with the corpus — hence the df cutoff's linear FRAC rule). A bucket
+#: materially above sqrt(n) is mass-duplicated boilerplate, and a
+#: cap-size bucket's self-join costs ~C(sqrt(n), 2) ~= n/2 rows, so even
+#: many cap-size buckets keep the join near-linear in the corpus — where
+#: a 10%-of-corpus cap would wave a 10M-doc boilerplate bucket (10^14
+#: join rows) through at 10^9 docs. Over-cap buckets are diverted to
+#: exact-signature dedup (star pairs around the min-id doc per identical
+#: MinHash signature) — linear in members, and survivor-preserving for
+#: the identical-document case that creates hot buckets in the first
+#: place.
 BAND_DF_MIN = 50
 
 #: Hot-BLOCK cutoff floor for SimHash blocked search (scale mode only —
-#: see simhash_neardup_pairs).
+#: see simhash_neardup_pairs). Same sqrt auto rule as the band cap.
 SIMHASH_BLOCK_DF_MIN = 64
 
 
@@ -111,7 +116,7 @@ def shingle_df_cutoff(n_docs: int) -> int:
 
 def band_df_cutoff(n_docs: int) -> int:
     """Corpus-size-derived bucket-size cutoff for hot LSH band buckets."""
-    return max(BAND_DF_MIN, math.ceil(BAND_DF_FRAC * n_docs))
+    return max(BAND_DF_MIN, math.ceil(math.sqrt(n_docs)))
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -338,7 +343,7 @@ def minhash_lsh_pairs(
             cut = docs.agg(
                 F.greatest(
                     F.lit(BAND_DF_MIN).cast("long"),
-                    F.ceil(F.lit(BAND_DF_FRAC) * F.count(F.lit(1))),
+                    F.ceil(F.sqrt(F.count(F.lit(1)))),
                 ).alias("_cut")
             )
             hot = (
@@ -485,7 +490,7 @@ def simhash_neardup_pairs(
     ``max_block_df`` (default ``None`` = exact) is the scale-mode
     hot-block guard, same policy as minhash_lsh_pairs' hot-bucket cap:
     blocks holding more docs than the cap (``"auto"`` derives
-    max(SIMHASH_BLOCK_DF_MIN, ceil(0.1 * n_docs)) lazily; an int pins
+    max(SIMHASH_BLOCK_DF_MIN, ceil(sqrt(n_docs))) lazily; an int pins
     it) are diverted to exact-signature star pairs (hamming 0, min-id
     keeper) instead of the m^2 self-join. The default stays ``None``
     because this operator's contract — unlike the inherently-approximate
@@ -525,7 +530,7 @@ def simhash_neardup_pairs(
             cut = docs.agg(
                 F.greatest(
                     F.lit(SIMHASH_BLOCK_DF_MIN).cast("long"),
-                    F.ceil(F.lit(BAND_DF_FRAC) * F.count(F.lit(1))),
+                    F.ceil(F.sqrt(F.count(F.lit(1)))),
                 ).alias("_cut")
             )
             hot = (

@@ -553,3 +553,95 @@ def ivf_topk(
         .select("qid", id_col)
     )
     return _pairs_exact_topk(pair_ids, emb, query_ids, k, id_col, vec_col)
+
+
+#: ivf_pq_topk coarse-stage shortlist: how many quantized-scored
+#: candidates per query survive into exact full-precision re-scoring,
+#: as a multiple of k. 4x absorbs int8 ranking jitter near the k-th
+#: cosine (max elementwise error <= scale/2 ~= 0.4% of max |x|).
+PQ_SHORTLIST_FACTOR = 4
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = ANN_TOP_K,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBES,
+    n_iters: int = IVF_ITERS,
+    shortlist_factor: int = PQ_SHORTLIST_FACTOR,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + scalar-quantized coarse scan — the 100 TB composition of the
+    two existing index structures: ``ivf_train``/``_ivf_assign`` bound
+    which CELLS are read (n_probe/n_cells of the corpus), and the int8
+    symmetric quantizer (operators/embeddings.quantize_embeddings) bounds
+    the BYTES per row the coarse stage reads: (cell, scale, 64 int8
+    codes) is ~70 B against 256 B of float32 — at scale the quantized
+    code table, partitioned by cell, IS the stored ANN index, and the
+    full-precision vectors are only fetched by id for the shortlist.
+
+    Three stages, all candidate-bounded:
+
+    1. probe: each query's ``n_probe`` nearest centroids (driver-side —
+       the centroid model is k rows, same premise as ``ivf_topk``);
+    2. coarse: cosine of the query's FULL vector against each probed
+       cell member's quantized code — the per-vector scale cancels in
+       the cosine, so the coarse score is cosine(code, query) with
+       elementwise error <= scale/2; per-query window keeps the top
+       ``shortlist_factor * k``;
+    3. exact: shortlist ids rejoin the full vectors and the sequential
+       double fold (bit-identical to the DuckDB oracle) produces the
+       final ranking — so every RETURNED cosine is exact, and
+       quantization can only affect WHICH candidates reach stage 3.
+
+    Deterministic end-to-end (md5-seeded k-means, floor-based quantizer,
+    no RNG); recall vs the exact baseline is asserted cross-engine in
+    tests/test_oracle_parity.py alongside the plain-IVF oracle, and the
+    scale probe records both variants' wall-clock on the same corpus."""
+    import numpy as np
+
+    from weather_monitoring_spark.operators.embeddings import quantize_embeddings
+
+    cent = ivf_train(emb, n_cells, n_iters, id_col, vec_col)
+    # The persisted-index analogue: cell assignment + quantized codes,
+    # one row per corpus vector. Pinned — the probe join is its only
+    # consumer here, but at scale this is the bucketed stored table.
+    codes = (
+        _ivf_assign(emb, cent, id_col, vec_col)
+        .join(quantize_embeddings(emb, id_col, vec_col), id_col)
+        .select(id_col, "cell", "qvec")
+        .localCheckpoint(eager=False)
+    )
+    qrows = (
+        emb.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
+    )
+    probe: list[tuple[int, int]] = []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        n = np.linalg.norm(qv)
+        scores = (qv / (n if n > 0 else 1.0)) @ cent.T
+        for c in np.argsort(-scores, kind="stable")[:n_probe]:
+            probe.append((int(r[0]), int(c)))
+    probe_df = emb.sparkSession.createDataFrame(probe, "qid long, cell int")
+    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec_full")
+    )
+    coarse = (
+        codes.join(F.broadcast(probe_df), "cell")
+        .filter(F.col("qid") != F.col(id_col))
+        .join(F.broadcast(queries), "qid")
+        .withColumn(
+            "acos",
+            dot_expr("qvec", "qvec_full")
+            / (norm_expr("qvec") * norm_expr("qvec_full")),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("acos").desc(), F.col(id_col))
+    shortlist = (
+        coarse.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= shortlist_factor * k)
+        .select("qid", id_col)
+    )
+    return _pairs_exact_topk(shortlist, emb, query_ids, k, id_col, vec_col)

@@ -25,7 +25,6 @@ from weather_monitoring_spark.functions.text import (
     o_tokens,
 )
 from weather_monitoring_spark.operators.dedup import (
-    BAND_DF_FRAC,
     BAND_DF_MIN,
     HAMMING_THRESHOLD,
     JACCARD_THRESHOLD,
@@ -260,7 +259,7 @@ def o_band_candidates(docs_table: str = "documents") -> str:
     return f"""sigs AS ({_o_minhash_sig()}),
         bands AS ({bands_union}),
         bcut AS (SELECT greatest({BAND_DF_MIN},
-                                 CAST(ceil({BAND_DF_FRAC} * count(*)) AS BIGINT)) AS c
+                                 CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c
                  FROM {docs_table}),
         hotb AS (SELECT band_idx, bh FROM bands
                  GROUP BY 1, 2 HAVING count(*) > (SELECT c FROM bcut)),
@@ -283,7 +282,7 @@ def o_band_candidates(docs_table: str = "documents") -> str:
     "q31_minhash_lsh_pairs",
     f"MinHash-LSH candidate pairs: documents sharing >=1 of {LSH_BANDS} "
     f"band buckets (r={LSH_ROWS}; S-curve midpoint 1/3, p(j=0.5)=0.973). "
-    "Hot band buckets (> max(50, 10% of corpus) docs — mass boilerplate) "
+    "Hot band buckets (> max(50, sqrt(n)) docs — mass boilerplate) "
     "divert to exact-signature star pairs instead of an m^2 self-join; "
     "the cold join shuffles only (band_hash, id, sig-digest) rows.",
     oracle=f"""
