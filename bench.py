@@ -8,23 +8,31 @@ Each query is executed to completion via a count-style action that forces
 full materialization of the result (collect for small results) — wall-clock
 includes Catalyst planning + execution but excludes session startup.
 
-Timings are STEADY-STATE: before the timed pass, every query runs once
+Timings are STEADY-STATE: before the timed passes, every query runs once
 untimed at sf0.001 (env SPARK_GRAFT_WARM_DIR) so whole-stage-codegen
 compilation, JIT, and parquet-footer caches are warm — the timed numbers
 measure the plans, not one-time JVM warm-up, mirroring a long-running
 cluster. Set SPARK_GRAFT_WARM_DIR="" to benchmark cold.
+
+Each query is timed over SPARK_GRAFT_BENCH_RUNS (default 5) interleaved
+full passes; the reported per-query number — and the total — is the
+MEDIAN, with per-query [min, max] spread alongside. Round 3 showed
+single-shot numbers move +-40-65% on unchanged code purely from host
+load; medians of 5 separate noise from drift.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     from weather_monitoring_spark.plans.registry import all_queries
     from weather_monitoring_spark.session import get_spark
 
@@ -46,18 +54,34 @@ def main() -> None:
             except Exception:
                 pass
 
+    # Interleaved passes: pass i runs every query once, so a transient
+    # host-load spike lands on ONE sample of many queries rather than all
+    # samples of one query — exactly what the median then rejects.
+    samples: dict[str, list[float]] = {name: [] for name in specs}
+    for _ in range(n_runs):
+        for name, spec in sorted(specs.items()):
+            t0 = time.perf_counter()
+            try:
+                df = spec.spark(spark, sf_dir)
+                # noop sink: full distributed execution of every result
+                # row, no driver-side transfer — measures the engine,
+                # not Arrow IPC.
+                df.write.format("noop").mode("overwrite").save()
+                samples[name].append(time.perf_counter() - t0)
+            except Exception as e:  # pragma: no cover
+                print(f"bench: {name} failed: {e}", file=sys.stderr)
+                samples[name].append(-1.0)
+
     timings: dict[str, float] = {}
-    for name, spec in sorted(specs.items()):
-        t0 = time.perf_counter()
-        try:
-            df = spec.spark(spark, sf_dir)
-            # noop sink: full distributed execution of every result row,
-            # no driver-side transfer — measures the engine, not Arrow IPC.
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as e:  # pragma: no cover
-            print(f"bench: {name} failed: {e}", file=sys.stderr)
+    spread: dict[str, list[float]] = {}
+    for name, ts in samples.items():
+        ok = [t for t in ts if t >= 0]
+        if not ok:
             timings[name] = -1.0
+            spread[name] = [-1.0, -1.0]
+        else:
+            timings[name] = round(statistics.median(ok), 4)
+            spread[name] = [round(min(ok), 4), round(max(ok), 4)]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -65,6 +89,8 @@ def main() -> None:
         "value": round(sum(t for t in timings.values() if t > 0), 4),
         "unit": "sec",
         "queries": timings,
+        "runs": n_runs,
+        "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(result))

@@ -71,7 +71,11 @@ def shingle_hashes_sql(shingles_col: str) -> str:
 
 
 def minhash_sql(hashes_col: str, k: int) -> str:
-    """Spark SQL: k-th MinHash as an affine remix of the base hashes."""
+    """Spark SQL: k-th MinHash as an affine remix of the base hashes.
+    (Documentation form — the operator computes the same values via
+    explode + min() aggregate, which codegens; see
+    operators/dedup.minhash_signatures. Kept as the 1:1 structural
+    mirror of the DuckDB oracle fragment o_minhash below.)"""
     a, b = minhash_params(k)
     return f"array_min(transform({hashes_col}, h -> (h * {a} + {b}) % {MINHASH_P}))"
 
