@@ -20,7 +20,12 @@ SHOWCASE = {
     "q11_dim_enrich_join": "all-broadcast dim tree: zero sort-merge joins",
     "q18_pricing_summary": "column pruning (7/11 columns) + partial aggregation",
     "q19_shipping_priority": "filtered build sides + TakeOrderedAndProject top-k",
-    "q31_minhash_lsh_pairs": "LSH band join shuffles only (band hash, id) pairs",
+    "q31_minhash_lsh_pairs": (
+        "LSH band join shuffles only (band hash, id, sig-digest) rows; "
+        "the hot-bucket guard (sqrt(n) cap, broadcast 1-row cutoff) "
+        "routes boilerplate buckets to a star-pair aggregate instead of "
+        "an m^2 self-join"
+    ),
     "q38_time_windows": "event-time windows as plain hash aggregation",
     "q50_dedup_survivors": (
         "LSH candidates bound the exact-Jaccard verification: the "
@@ -28,9 +33,10 @@ SHOWCASE = {
         "all-docs self-join"
     ),
     "q34_simhash_neardup_pairs": (
-        "pigeonhole blocking turns the near-dup search into a hash "
-        "EQUI-join on (block_idx, block_value) — no cartesian product "
-        "anywhere in the plan"
+        "Manku multi-table blocking turns the near-dup search into a "
+        "hash EQUI-join on (table, ~26-bit block key) — 10 tables from "
+        "C(5,2) block subsets, no cartesian product anywhere in the "
+        "plan, candidates bounded by real collisions"
     ),
     "q36_cosine_neardup_pairs": (
         "distributed blocked-GEMM prefilter: block-pair grid joins + "
