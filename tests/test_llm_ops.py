@@ -822,6 +822,49 @@ def test_minhash_hot_bucket_cap_preserves_survivors(spark):
     assert {b for _, b in capped} == {b for _, b in uncapped}  # same dropped set
 
 
+def test_cosine_lsh_threshold_matched_params_and_hot_bucket_cap(spark):
+    """Round-4 hardening of the embedding near-dup self-join: (p, L)
+    derive from the threshold (sharp thresholds get sharp buckets —
+    0.95 -> 24-bit tables, vs the ANN path's fixed 4-bit tables whose
+    n/16 buckets made the self-join constant-factor quadratic), and
+    mass-identical vectors divert to star candidates through the exact
+    re-scorer. Planted: 300 byte-identical vectors + 200 distinct; the
+    identical cluster must come back as exactly 299 star pairs at
+    cosine 1.0, not C(300,2)."""
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.operators.similarity import (
+        cosine_neardup_lsh,
+        lsh_neardup_params,
+    )
+
+    p_sharp, _ = lsh_neardup_params(0.95)
+    p_weak, _ = lsh_neardup_params(0.4)
+    assert p_sharp > p_weak >= 4  # sharper threshold -> sharper buckets
+
+    dup = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), i -> CAST(1.0 + i * 0.25 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    bg = spark.range(300, 500).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), i -> "
+            "CAST(CAST(conv(substring(md5(concat(id, ':', i)), 1, 8), 16, 10) AS DOUBLE)"
+            " / 4294967296.0 - 0.5 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    emb = dup.unionByName(bg)
+    pairs = cosine_neardup_lsh(emb, threshold=0.95, max_bucket_df=50).collect()
+    dup_pairs = [p for p in pairs if p.id_a < 300 and p.id_b < 300]
+    assert len(dup_pairs) == 299, f"expected 299 star pairs, got {len(dup_pairs)}"
+    assert all(p.id_a == 0 and abs(p.cosine - 1.0) < 1e-12 for p in dup_pairs)
+    # random background vectors are ~orthogonal: none clear 0.95
+    assert all(p.id_a < 300 for p in pairs)
+
+
 def test_simhash_hot_block_cap_bounds_and_preserves_survivors(spark):
     """The SimHash scale-mode guard (max_block_df): identical docs flood
     every Manku table block; capped mode diverts them to exact-signature
