@@ -38,11 +38,17 @@ def main() -> None:
     )
     from weather_monitoring_spark.session import get_spark
 
-    # Probe corpora are 10-40x the bench tables; give the single local JVM
-    # an executor-realistic heap (the default 1g driver heap is a test
-    # setting, not a scale statement).
+    # Probe corpora are 10-100x the bench tables; give the single local
+    # JVM an executor-realistic heap (the default 1g driver heap is a
+    # test setting, not a scale statement). 32 executor threads share
+    # this heap — the 2M-doc wide hash aggregates need the headroom
+    # (SPARK_GRAFT_PROBE_MEM overrides; 8g measured UNABLE_TO_ACQUIRE_MEMORY
+    # at the 10x sizes).
     spark = get_spark(
-        app_name="scale-probe", extra_conf={"spark.driver.memory": "8g"}
+        app_name="scale-probe",
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_PROBE_MEM", "48g")
+        },
     )
     out: dict[str, float | int] = {"n_embeddings": n_emb, "n_docs": n_docs}
 

@@ -55,14 +55,29 @@ def h32_from_hex_sql(hex_col: str, offset: int = 1) -> str:
 #: the md5-derived 32-bit base hash. One md5 per shingle total (the
 #: expensive string hash), K cheap integer remixes — ~K x faster than
 #: hashing K times, and still exact integer arithmetic in both engines
-#: (products < 2^63). Constants are fixed odd multipliers (Knuth-style).
+#: (h < 2^32, A < 2^31 -> products < 2^63).
 MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime)
 
 
 def minhash_params(k: int) -> tuple[int, int]:
-    a = (2_654_435_761 * (k + 1)) % MINHASH_P
-    b = (40_503 * (k + 7) + 1) % MINHASH_P
-    return (a or 1), b
+    """Per-function coefficients (A_k, B_k), md5-derived so they are
+    INDEPENDENT across k. The previous family A_k = c*(k+1) mod P was
+    linear in k, which correlates the hash functions catastrophically:
+    consecutive remixes of the same base hash differ by the constant
+    (h*c mod P), so an adversarial h for which that step is small stays
+    the minimum across dozens of k's — measured 76/81 minhash agreement
+    between two UNRELATED documents sharing a single 32-bit base-hash
+    collision (band false-positive rate ~3.7e-9/pair, i.e. ~2*10^9
+    spurious candidate pairs at 10^9 documents). md5-derived
+    coefficients restore pairwise independence; the banding S-curve
+    p(j) = 1-(1-j^r)^b then actually holds. Deterministic and baked
+    into both engines' SQL as literals, so cross-engine parity is
+    unaffected."""
+    import hashlib
+
+    a = int(hashlib.md5(f"mha:{k}".encode()).hexdigest()[:15], 16) % (MINHASH_P - 1) + 1
+    b = int(hashlib.md5(f"mhb:{k}".encode()).hexdigest()[:15], 16) % MINHASH_P
+    return a, b
 
 
 def shingle_hashes_sql(shingles_col: str) -> str:
