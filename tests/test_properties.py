@@ -79,6 +79,43 @@ def test_archive_roundtrip_exactly_once(rows):
         assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
 
 
+def test_minhash_family_is_decorrelated():
+    """Regression for the round-4 hash-family fix: with A_k linear in k,
+    consecutive remixes of a base hash differed by the constant
+    (h*c mod P), and this exact document pair — unrelated texts sharing
+    ONE 32-bit base-hash birthday collision, found by the scale probe at
+    2M docs — agreed on 76/81 minhashes. Independent (md5-derived)
+    coefficients must keep agreement at chance level, and the
+    coefficient pairs themselves must all be distinct. Pure Python: the
+    property under test is the constant family both engines bake into
+    SQL, no Spark needed."""
+    import hashlib
+
+    from weather_monitoring_spark.functions.text import MINHASH_P, minhash_params
+    from weather_monitoring_spark.operators.dedup import MINHASH_K
+
+    coeffs = [minhash_params(k) for k in range(MINHASH_K)]
+    assert len(set(coeffs)) == MINHASH_K
+    assert all(1 <= a < MINHASH_P and 0 <= b < MINHASH_P for a, b in coeffs)
+
+    def mhs(doc_id):
+        words = [
+            hashlib.md5(f"{doc_id}:w{i}".encode()).hexdigest()[:8]
+            for i in range(1, 61)
+        ]
+        sh = {" ".join(words[j : j + 3]) for j in range(58)}
+        hs = {
+            int(hashlib.md5(f"mh:{s}".encode()).hexdigest()[:8], 16) for s in sh
+        }
+        return [min((h * a + b) % MINHASH_P for h in hs) for a, b in coeffs]
+
+    agreement = sum(x == y for x, y in zip(mhs(11984), mhs(191557)))
+    assert agreement <= 5, (
+        f"unrelated docs agree on {agreement}/{MINHASH_K} minhashes — "
+        "the hash family is correlated again"
+    )
+
+
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     base=st.lists(st.sampled_from("abcdefghij"), min_size=20, max_size=40),
