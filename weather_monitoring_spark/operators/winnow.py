@@ -320,36 +320,57 @@ def dedup_against_index(
 
     Scale shape — the asymmetry IS the design: the index (TBs, the
     whole history) is scanned in place and NEVER shuffled; the new
-    batch's fingerprint table (the small side by construction) ships as
-    a broadcast into a map-side hash join on fp. The per-new-doc
-    aggregate and the zero-fill flag join then touch only batch-sized
-    frames. Accepted batches append their own ``fingerprint_index``
-    rows to the store, so tomorrow's run sees today's corpus.
+    batch's fingerprint set (the small side by construction) ships as a
+    broadcast into a map-side SEMI join against the index. Two-step
+    semi-join formulation, because ``n_hits`` only needs fingerprint
+    EXISTENCE in the index, never per-index-document matches:
+
+    1. ``matched_fps`` = index fps present in the batch — a broadcast
+       left-semi over the streaming index scan, then a map-side-combined
+       distinct (each task emits each fp once, so even a boilerplate
+       fingerprint shared by 1M index docs crosses the exchange as one
+       row per task);
+    2. per-batch-doc counts — batch fps semi-joined against the (tiny,
+       broadcast) matched set.
+
+    The previous inner-join + count_distinct formulation materialized
+    df_index(fp) x df_batch(fp) rows per fingerprint before the
+    aggregate collapsed them — a mass-boilerplate fp in 1M index docs
+    shared by 10k batch docs meant 10^10 intermediate rows. No step
+    here multiplies the two dfs.
 
     The broadcast hint is GATED, not unconditional: an unbounded batch
     would ride the hint past Spark's autoBroadcast size guard and OOM
     executors. The batch's distinct fingerprints are pinned
     (localCheckpoint) and probed with an early-exit
     ``limit(broadcast_limit + 1).count()``; at or under the limit the
-    hint applies (map-side join, index untouched), above it the hint is
-    dropped and AQE picks the strategy — against a fp-bucketed index
+    hint applies (map-side joins, index untouched), above it the hint
+    is dropped and AQE picks the strategy — against a fp-bucketed index
     the history side still avoids its shuffle. ``broadcast_limit=None``
     skips the probe and never hints."""
     nf = (
         winnow_fingerprints(new_docs, k=k, w=w, id_col=id_col, text_col=text_col)
         .select(F.col(id_col).alias("_nid"), "fp")
         .distinct()
-        # Pinned: the size probe and the join reuse one evaluation.
+        # Pinned: the size probe and both joins reuse one evaluation.
         .localCheckpoint(eager=False)
     )
-    build = nf
-    if broadcast_limit is not None:
-        if nf.limit(broadcast_limit + 1).count() <= broadcast_limit:
-            build = F.broadcast(nf)
+    batch_fps = nf.select("fp").distinct()
+    hint = (
+        broadcast_limit is not None
+        and nf.limit(broadcast_limit + 1).count() <= broadcast_limit
+    )
+    if hint:
+        batch_fps = F.broadcast(batch_fps)
+    matched_fps = (
+        index.select("fp").join(batch_fps, "fp", "left_semi").distinct()
+    )
+    if hint:
+        matched_fps = F.broadcast(matched_fps)
     hits = (
-        index.join(build, "fp")
+        nf.join(matched_fps, "fp", "left_semi")
         .groupBy("_nid")
-        .agg(F.count_distinct("fp").cast("long").alias("n_hits"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )
     return (
         new_docs.select(F.col(id_col))
