@@ -92,16 +92,20 @@ class StreamingDocDedup:
         ).localCheckpoint(eager=False)
         # 2a. batch-internal: two near-dups arriving in the same batch must
         # not both survive — keep the min doc_id of each colliding band
-        # group (mirrors the batch-internal exact-dedup step).
-        a, b = bands.alias("a"), bands.alias("b")
+        # group (mirrors the batch-internal exact-dedup step). Drop
+        # semantics need no pair ENUMERATION: "collides with a smaller id
+        # in some bucket" == "id > its bucket's min id" — one aggregate +
+        # a fan-out-1 join, where the band self-join this replaces was
+        # m^2 per bucket for a burst of near-identical boilerplate
+        # arriving in one micro-batch (byte-identical copies are already
+        # collapsed by step 1, but near-identical ones were not).
+        keepers = bands.groupBy("band_idx", "bh").agg(
+            F.min("doc_id").alias("_keeper")
+        )
         batch_drops = (
-            a.join(
-                b,
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.bh") == F.col("b.bh"))
-                & (F.col("a.doc_id") > F.col("b.doc_id")),
-            )
-            .select(F.col("a.doc_id").alias("doc_id"))
+            bands.join(keepers, ["band_idx", "bh"])
+            .filter(F.col("doc_id") > F.col("_keeper"))
+            .select("doc_id")
             .distinct()
         )
         fresh = fresh.join(batch_drops, "doc_id", "left_anti")
