@@ -897,3 +897,61 @@ def test_simhash_hot_block_cap_bounds_and_preserves_survivors(spark):
             for r in simhash_neardup_pairs(bg_only).collect()
         }
     )
+
+
+# ---- round-4: URL / domain curation --------------------------------------
+
+
+def test_url_canonicalization_known_cases(spark):
+    """Each canonicalization rule against a hand-checked table: case,
+    www., default ports, tracker params, param ordering, trailing
+    slash, fragments, ccTLD second-level domains."""
+    from weather_monitoring_spark.operators.urlops import canonicalize_urls
+
+    cases = [
+        (1, "HTTPS://WWW.Foo.Example.co.uk:443/en/doc/5/?b=2&a=1&utm_source=x#f",
+         "https://foo.example.co.uk/en/doc/5?a=1&b=2", "example.co.uk"),
+        (2, "https://foo.example.com/", "https://foo.example.com/", "example.com"),
+        (3, "http://A.B.com:80/x?utm_campaign=z&z=9&ref=h",
+         "http://a.b.com/x?z=9", "b.com"),
+        (4, "https://example.com", "https://example.com/", "example.com"),
+        (5, "https://sub.example.com/a?fbclid=1&gclid=2&msclkid=3",
+         "https://sub.example.com/a", "example.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _, _ in cases], "doc_id long, url string"
+    )
+    got = {r.doc_id: (r.canon_url, r.domain) for r in canonicalize_urls(df).collect()}
+    for i, _, canon, dom in cases:
+        assert got[i] == (canon, dom), (i, got[i], canon, dom)
+
+
+def test_url_dedup_and_domain_filter(spark):
+    """Distinct raw URLs that canonicalize identically form one dedup
+    group (min-id keeper); filter_by_domains drops exactly the
+    block-listed registrable domain's docs via a broadcast anti join."""
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.operators.urlops import (
+        filter_by_domains,
+        url_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (10, "https://WWW.news.example.com/a/?utm_source=feed"),
+            (11, "https://news.example.com/a"),
+            (12, "https://news.example.com:443/a/#top"),
+            (20, "https://spam.bad-domain.com/x"),
+            (21, "https://other.bad-domain.com/y"),
+            (30, "https://keep.example.org/z"),
+        ],
+        "doc_id long, url string",
+    )
+    groups = {r.keeper_doc_id: r.n_copies for r in url_dedup(df).collect()}
+    assert groups[10] == 3  # 10, 11, 12 collapse onto one canonical URL
+    assert groups[20] == 1 and groups[21] == 1 and groups[30] == 1
+
+    blocked = spark.createDataFrame([("bad-domain.com",)], "domain string")
+    kept = {r.doc_id for r in filter_by_domains(df, blocked).collect()}
+    assert kept == {10, 11, 12, 30}

@@ -1833,3 +1833,130 @@ EXTRA_SPECS.append(
         tags=("extra", "dedup", "graph", "quality"),
     )
 )
+
+
+# ---- URL / domain curation (round 4) -------------------------------------
+
+#: Deterministic planted URL per document, exercising every
+#: canonicalization rule: mixed-case scheme/host, www. prefix, default
+#: port, ccTLD second-level suffixes, trailing slash, unsorted +
+#: tracker-polluted query strings, fragments. Path uses doc_id % 50 so
+#: distinct raw URLs collapse to shared canonical URLs (url_dedup has
+#: real groups). Spark and DuckDB generators are literal mirrors.
+_PLANT_URL_SPARK = """concat(
+    CASE WHEN doc_id % 7 = 0 THEN 'HTTPS' ELSE 'https' END, '://',
+    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+    CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END,
+    '.Example',
+    CASE WHEN doc_id % 11 = 0 THEN '.co.uk' ELSE '.com' END,
+    CASE WHEN doc_id % 13 = 0 THEN ':443' ELSE '' END,
+    '/', lang, '/doc/', CAST(doc_id % 50 AS STRING),
+    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+    CASE WHEN doc_id % 2 = 0
+         THEN concat('?b=2&a=1&utm_source=x&fbclid=', CAST(doc_id AS STRING))
+         ELSE '?a=1&b=2' END,
+    CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)"""
+
+_O_PLANT_URL = """(
+    CASE WHEN doc_id % 7 = 0 THEN 'HTTPS' ELSE 'https' END || '://' ||
+    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+    CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END ||
+    '.Example' ||
+    CASE WHEN doc_id % 11 = 0 THEN '.co.uk' ELSE '.com' END ||
+    CASE WHEN doc_id % 13 = 0 THEN ':443' ELSE '' END ||
+    '/' || lang || '/doc/' || CAST(doc_id % 50 AS VARCHAR) ||
+    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+    CASE WHEN doc_id % 2 = 0
+         THEN '?b=2&a=1&utm_source=x&fbclid=' || CAST(doc_id AS VARCHAR)
+         ELSE '?a=1&b=2' END ||
+    CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)"""
+
+
+def _with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_PLANT_URL_SPARK)
+    )
+
+
+def _url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/urlops.py): lowercase scheme/host,
+    strip www./default ports/fragments/tracking params, sort surviving
+    query params, normalize trailing slash; registrable domain via the
+    documented eTLD+1 heuristic. Zero-shuffle projection; every rule is
+    mirrored 1:1 in the DuckDB oracle."""
+    from weather_monitoring_spark.operators.urlops import canonicalize_urls
+
+    return canonicalize_urls(_with_urls(spark, sf_dir))
+
+
+def _url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact URL-identity dedup after canonicalization — the cheapest
+    dedup stage of a crawl (distinct raw URLs collapse onto shared
+    canonical forms; planted paths guarantee real multi-copy groups).
+    Shuffles only (16-byte canon digest, id) rows."""
+    from weather_monitoring_spark.operators.urlops import url_dedup
+
+    return url_dedup(_with_urls(spark, sf_dir))
+
+
+def _domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain curation rollup: doc count, distinct
+    canonical URLs (the count/distinct gap = within-domain URL
+    duplication), total chars — the table a crawl operator ranks and
+    blocklists from. |domains| rows, one aggregate."""
+    from weather_monitoring_spark.operators.urlops import domain_stats
+
+    return domain_stats(_with_urls(spark, sf_dir))
+
+
+from weather_monitoring_spark.operators.urlops import (  # noqa: E402
+    o_canonical_url,
+    o_domain,
+)
+
+EXTRA_SPECS.extend(
+    [
+        QuerySpec(
+            name="x_url_canonicalize",
+            doc=_url_canonicalize.__doc__ or "",
+            spark=_url_canonicalize,
+            oracle=f"""
+                WITH u AS (SELECT doc_id, {_O_PLANT_URL} AS url FROM documents)
+                SELECT doc_id, url,
+                       {o_canonical_url("url")} AS canon_url,
+                       {o_domain("url")} AS domain
+                FROM u
+            """,
+            tags=("extra", "url", "curation"),
+        ),
+        QuerySpec(
+            name="x_url_dedup",
+            doc=_url_dedup.__doc__ or "",
+            spark=_url_dedup,
+            oracle=f"""
+                WITH u AS (SELECT doc_id, {_O_PLANT_URL} AS url FROM documents)
+                SELECT md5({o_canonical_url("url")}) AS url_fp,
+                       min(doc_id) AS keeper_doc_id,
+                       CAST(count(*) AS BIGINT) AS n_copies
+                FROM u GROUP BY 1
+            """,
+            tags=("extra", "url", "dedup"),
+        ),
+        QuerySpec(
+            name="x_domain_stats",
+            doc=_domain_stats.__doc__ or "",
+            spark=_domain_stats,
+            oracle=f"""
+                WITH u AS (SELECT doc_id, length(text) AS len,
+                                  {_O_PLANT_URL} AS url
+                           FROM documents)
+                SELECT {o_domain("url")} AS domain,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(count(DISTINCT {o_canonical_url("url")}) AS BIGINT) AS n_urls,
+                       CAST(sum(len) AS BIGINT) AS total_chars
+                FROM u GROUP BY 1
+            """,
+            tags=("extra", "url", "curation"),
+        ),
+    ]
+)
