@@ -1,0 +1,123 @@
+"""HTML -> text extraction — the step a crawl pipeline runs before ANY
+text curation (quality gates, dedup, lang-id all assume plain text).
+CommonCrawl-style corpora arrive as markup; this family strips it with
+pure column algebra so extraction stays a zero-shuffle, whole-stage-
+codegen projection at 100 TB.
+
+Pipeline (order matters and is part of the contract):
+
+1. drop ``<script>``/``<style>`` ELEMENTS including their content (their
+   bodies are code, not prose — and contain ``<`` that would defeat a
+   naive tag strip);
+2. drop HTML comments (``<!-- ... -->``);
+3. strip remaining tags (``<[^>]*>``);
+4. decode the common entities (``&lt; &gt; &quot; &#39; &nbsp;`` first,
+   ``&amp;`` LAST so ``&amp;lt;`` decodes to the literal ``&lt;`` —
+   single-pass semantics, the html.unescape ordering);
+5. collapse whitespace runs to one space and trim.
+
+Every pattern is in the cross-engine regex subset (RE2 ∩ Java — no
+lookaround, no backreferences; inline ``(?is)`` flags only), so the
+DuckDB oracle fragments below run the SAME patterns verbatim (DuckDB
+needs the explicit ``'g'`` option where Spark's regexp_replace is
+global by default).
+
+Also emits the curation signals extraction makes available for free:
+markup size vs text size (boilerplate-heavy pages have low text ratio)
+and anchor count (link farms have high link density).
+
+Reference parity: the reference has no HTML surface; this extends the
+engine per the builder brief's LLM-pipeline scope (web crawl -> training
+text starts with markup removal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Element-content patterns: the element AND its body go. Non-greedy so
+#: adjacent elements don't merge; (?is) = case-insensitive + DOTALL
+#: (script bodies span lines). Shared verbatim with the oracle.
+SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script\s*>"
+STYLE_RE = r"(?is)<style\b[^>]*>.*?</style\s*>"
+COMMENT_RE = r"(?s)<!--.*?-->"
+TAG_RE = r"<[^>]*>"
+WS_RE = r"\s+"
+ANCHOR_RE = r"(?i)<a\s"
+
+#: (entity, replacement) in decode order — ``&amp;`` LAST (see module doc).
+ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def html_text_expr(html_col: str) -> Column:
+    """Extracted plain text of one HTML document as a single Spark
+    expression (steps 1-5 above). Zero shuffle, codegen-friendly.
+
+    Built with the Column API (not ``F.expr``) so the regex constants
+    reach the engine verbatim — Spark's SQL string-literal parser treats
+    ``\\b``/``\\s`` as escapes and would corrupt them; the function API
+    has no such layer, keeping the constants shareable with the DuckDB
+    fragments below byte-for-byte."""
+    c = F.col(html_col)
+    for pat in (SCRIPT_RE, STYLE_RE, COMMENT_RE, TAG_RE):
+        c = F.regexp_replace(c, pat, " ")
+    for ent, rep in ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, WS_RE, " "))
+
+
+def extract_html_text(
+    docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, text, html_chars, text_chars, n_anchors, text_ratio) — the
+    extraction projection a crawl pipeline persists; downstream curation
+    reads ``text`` and gates on the signals. One zero-shuffle projection.
+
+    ``text_ratio`` = text_chars / html_chars (0.0 for empty markup):
+    boilerplate/chrome-heavy pages score low. ``n_anchors`` counts
+    ``<a`` opening tags in the RAW markup (link farms score high) —
+    counted before extraction since extraction erases the evidence.
+    """
+    text = html_text_expr(html_col)
+    return docs.select(
+        F.col(id_col),
+        text.alias("text"),
+        F.length(html_col).cast("long").alias("html_chars"),
+        F.length(text).cast("long").alias("text_chars"),
+        F.regexp_count(F.col(html_col), F.lit(ANCHOR_RE))
+        .cast("long")
+        .alias("n_anchors"),
+    ).withColumn(
+        "text_ratio",
+        F.when(F.col("html_chars") == 0, F.lit(0.0)).otherwise(
+            F.col("text_chars").cast("double") / F.col("html_chars").cast("double")
+        ),
+    )
+
+
+# ---------------- DuckDB oracle fragments (1:1 rule mirror) ---------------
+
+
+def o_html_text(html_col: str) -> str:
+    """DuckDB mirror of html_text_expr — same patterns verbatim; DuckDB
+    regexp_replace needs the explicit 'g' (global) option."""
+    e = f"regexp_replace({html_col}, '{SCRIPT_RE}', ' ', 'g')"
+    e = f"regexp_replace({e}, '{STYLE_RE}', ' ', 'g')"
+    e = f"regexp_replace({e}, '{COMMENT_RE}', ' ', 'g')"
+    e = f"regexp_replace({e}, '{TAG_RE}', ' ', 'g')"
+    for ent, rep in ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        e = f"replace({e}, '{ent}', '{rep_sql}')"
+    return f"trim(regexp_replace({e}, '{WS_RE}', ' ', 'g'))"
+
+
+def o_n_anchors(html_col: str) -> str:
+    return f"CAST(len(regexp_extract_all({html_col}, '{ANCHOR_RE}')) AS BIGINT)"

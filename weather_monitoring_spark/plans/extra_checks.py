@@ -1960,3 +1960,89 @@ EXTRA_SPECS.extend(
         ),
     ]
 )
+
+
+# --------------- HTML -> text extraction (crawl front door) ---------------
+
+#: Deterministic planted HTML per document, exercising every extraction
+#: rule: script elements whose BODIES contain '<' (defeats a naive tag
+#: strip unless elements are removed first), style blocks, comments,
+#: mixed-case tags, the full entity set including the single-pass
+#: '&amp;amp;' case, and a doc_id-dependent anchor count. Spark and
+#: DuckDB generators are literal mirrors.
+_HTML_SCRIPT = '<script type="text/javascript">var i=1; if(i<2){go("<p>")}</script>'
+_HTML_A1 = '<a href="/a">one</a>'
+_HTML_A2 = '<A HREF="/b">two</A>'
+
+
+def _plant_html() -> F.Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("<html><head><title>"),
+        F.col("source"),
+        F.lit(" &amp;amp; "),
+        F.col("lang"),
+        F.lit("</title>"),
+        F.when(d % 3 == 0, F.lit(_HTML_SCRIPT)).otherwise(F.lit("")),
+        F.lit("<style>.m{x:1}</style></head><body>"),
+        F.when(d % 4 == 0, F.lit("<!-- chrome -->")).otherwise(F.lit("")),
+        F.lit("<h1>Doc &#39;"),
+        d.cast("string"),
+        F.lit("&#39;</h1><p>"),
+        F.col("text"),
+        F.lit(" &lt;EOF&gt;&nbsp;</p>"),
+        F.when(d % 2 == 0, F.lit(_HTML_A1 + _HTML_A2)).otherwise(F.lit(_HTML_A1)),
+        F.lit("</body></html>"),
+    )
+
+
+_O_PLANT_HTML = f"""(
+    '<html><head><title>' || source || ' &amp;amp; ' || lang || '</title>' ||
+    CASE WHEN doc_id % 3 = 0 THEN '{_HTML_SCRIPT}' ELSE '' END ||
+    '<style>.m{{x:1}}</style></head><body>' ||
+    CASE WHEN doc_id % 4 = 0 THEN '<!-- chrome -->' ELSE '' END ||
+    '<h1>Doc &#39;' || CAST(doc_id AS VARCHAR) || '&#39;</h1><p>' ||
+    text || ' &lt;EOF&gt;&nbsp;</p>' ||
+    CASE WHEN doc_id % 2 = 0 THEN '{_HTML_A1}{_HTML_A2}' ELSE '{_HTML_A1}' END ||
+    '</body></html>')"""
+
+
+def _html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (operators/htmlops.py): drop script/style
+    ELEMENTS (bodies included — they contain '<' that would defeat a
+    naive tag strip), drop comments, strip tags, decode entities
+    (single-pass html.unescape ordering: '&amp;' last), collapse
+    whitespace; emits markup-vs-text size and anchor-count curation
+    signals. One zero-shuffle whole-stage-codegen projection; every
+    pattern is RE2-and-Java-safe and mirrored verbatim in the oracle."""
+    from weather_monitoring_spark.operators.htmlops import extract_html_text
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("html", _plant_html())
+    return extract_html_text(docs)
+
+
+from weather_monitoring_spark.operators.htmlops import (  # noqa: E402
+    o_html_text,
+    o_n_anchors,
+)
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_html_extract",
+        doc=_html_extract.__doc__ or "",
+        spark=_html_extract,
+        oracle=f"""
+            WITH h AS (SELECT doc_id, {_O_PLANT_HTML} AS html FROM documents),
+                 t AS (SELECT doc_id, html, {o_html_text("html")} AS text FROM h)
+            SELECT doc_id, text,
+                   CAST(length(html) AS BIGINT) AS html_chars,
+                   CAST(length(text) AS BIGINT) AS text_chars,
+                   {o_n_anchors("html")} AS n_anchors,
+                   CASE WHEN length(html) = 0 THEN 0.0
+                        ELSE CAST(length(text) AS DOUBLE) / CAST(length(html) AS DOUBLE)
+                   END AS text_ratio
+            FROM t
+        """,
+        tags=("extra", "html", "curation"),
+    )
+)
