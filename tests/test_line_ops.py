@@ -243,3 +243,48 @@ def test_normalize_and_dedup_lines_run_in_structured_streaming(tmp_path, spark):
     assert streamed[1] == (4, 2, "nav\nbody one")
     assert streamed[2] == (1, 1, "only line")
     assert streamed[3] == (0, 0, "")
+
+
+# ---------------- corpus-wide paragraph dedup ----------------
+
+
+def _paras_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, paras array<string>")
+
+
+def test_paragraph_dedup_keeps_first_global_occurrence(spark):
+    from weather_monitoring_spark.operators.lines import dedup_paragraphs
+
+    df = _paras_df(
+        spark,
+        [
+            (1, ["alpha", "shared", "beta"]),
+            (2, ["shared", "gamma"]),  # 'shared' keeper is doc 1 pos 1
+            (3, ["gamma", "delta"]),  # 'gamma' keeper is doc 2 pos 1
+        ],
+    )
+    got = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+    assert got[1]["text_clean"] == "alpha\n\nshared\n\nbeta"
+    assert got[2]["text_clean"] == "gamma"
+    assert got[3]["text_clean"] == "delta"
+    assert (got[2]["n_paras"], got[2]["n_kept"]) == (2, 1)
+
+
+def test_paragraph_dedup_subsumes_intra_doc_repeats(spark):
+    from weather_monitoring_spark.operators.lines import dedup_paragraphs
+
+    df = _paras_df(spark, [(1, ["x", "x", "y", "x"])])
+    row = dedup_paragraphs(df).collect()[0]
+    assert row["text_clean"] == "x\n\ny"
+    assert row["n_kept"] == 2
+
+
+def test_paragraph_dedup_all_duplicate_doc_survives_empty(spark):
+    from weather_monitoring_spark.operators.lines import dedup_paragraphs
+
+    df = _paras_df(spark, [(1, ["only"]), (2, ["only"])])
+    got = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+    assert got[1]["text_clean"] == "only"
+    assert got[2]["text_clean"] == "" and got[2]["n_kept"] == 0
+    # exactly one copy survives corpus-wide
+    assert sum(r["n_kept"] for r in got.values()) == 1

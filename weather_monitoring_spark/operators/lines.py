@@ -45,6 +45,9 @@ BOILERPLATE_MIN_DOCS = 50
 #: Canonical line delimiter for re-assembled text.
 LINE_DELIM = "\n"
 
+#: Canonical paragraph delimiter for re-assembled text.
+PARA_DELIM = "\n\n"
+
 
 def _first_occurrence_sql(lines: str) -> str:
     """Spark SQL: keep each line's first occurrence, preserving order."""
@@ -150,4 +153,64 @@ def strip_boilerplate(
             "n_kept",
             "text_clean",
         )
+    )
+
+
+def dedup_paragraphs(
+    docs: DataFrame, id_col: str = "doc_id", paras_col: str = "paras"
+) -> DataFrame:
+    """Corpus-WIDE paragraph dedup (the Dolma pipeline's paragraph
+    stage): every distinct paragraph keeps exactly ONE copy — its first
+    occurrence in (doc_id, position) order — and every other copy, in
+    any document, is dropped. Subsumes intra-document paragraph dedup
+    (a repeat inside one document is also a later occurrence).
+
+    Input needs an ``array<string>`` column of paragraphs; returns
+    (id, n_paras, n_kept, text_clean) with kept paragraphs re-joined by
+    ``PARA_DELIM`` in original order.
+
+    Scale shape — the dedup decision is made on digests alone:
+
+    1. map-side: explode to (id, pos, md5(para)) — 16-byte digests;
+    2. one digest-keyed aggregate picks each paragraph's keeper
+       min-struct(id, pos);
+    3. the (id, pos, fp) rows join the keeper table on fp (digest-only
+       shuffle), and surviving positions re-aggregate to one
+       sorted-positions array per document — a row per document, tiny;
+    4. the original docs join that positions table on id and slice
+       their own paragraph arrays map-side
+       (``transform(keep, i -> paras[i])``).
+
+    Document text crosses the wire exactly ONCE (step 4's equi-join on
+    id hash-exchanges the corpus unless it is already bucketed by id —
+    at 100 TB store the corpus bucketBy(id) and the join is
+    shuffle-free on the text side). The explode/election/position legs
+    move only digests and integers; the per-paragraph explode-join
+    alternative would shuffle paragraph text twice.
+
+    Distinct from strip_boilerplate: no threshold — EVERY duplicate
+    beyond the first copy goes, and one copy always survives.
+    """
+    fps = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(paras_col)).alias("_pos", "_para"),
+    ).select("_id", "_pos", F.md5(F.col("_para")).alias("_fp"))
+    keepers = fps.groupBy("_fp").agg(
+        F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_k")
+    )
+    kept_pos = (
+        fps.join(keepers, "_fp")
+        .filter((F.col("_k._id") == F.col("_id")) & (F.col("_k._pos") == F.col("_pos")))
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("_pos")).alias("_keep"))
+    )
+    joined = docs.join(
+        kept_pos, docs[id_col] == kept_pos["_id"], "left"
+    ).withColumn("_keep", F.coalesce(F.col("_keep"), F.array()))
+    kept_paras = F.expr(f"transform(_keep, i -> {paras_col}[i])")
+    return joined.select(
+        F.col(id_col),
+        F.size(paras_col).cast("long").alias("n_paras"),
+        F.size("_keep").cast("long").alias("n_kept"),
+        F.array_join(kept_paras, PARA_DELIM).alias("text_clean"),
     )

@@ -2046,3 +2046,72 @@ EXTRA_SPECS.append(
         tags=("extra", "html", "curation"),
     )
 )
+
+
+# ------------- corpus-wide paragraph dedup (Dolma paragraph stage) -------------
+
+
+def _with_paras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Three planted paragraphs per document: two text slices (which
+    # collide exactly where the testdata plants duplicate documents) and
+    # a SHARED-k paragraph with doc_id % 7 collision groups so every
+    # document participates in cross-document dedup.
+    return load_table(spark, sf_dir, "documents").withColumn(
+        "paras",
+        F.array(
+            F.expr("substring(text, 1, 40)"),
+            F.concat(F.lit("SHARED-"), (F.col("doc_id") % 7).cast("string")),
+            F.expr("substring(text, 41, 40)"),
+        ),
+    )
+
+
+def _dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-WIDE paragraph dedup (operators/lines.py::dedup_paragraphs,
+    the Dolma paragraph stage): every distinct paragraph keeps exactly
+    one copy — its first (doc_id, position) occurrence — all other
+    copies in any document are dropped. Paragraph text never shuffles:
+    16-byte digests elect keepers, surviving positions come back as one
+    sorted array per document, and documents slice their own arrays
+    map-side."""
+    from weather_monitoring_spark.operators.lines import dedup_paragraphs
+
+    return dedup_paragraphs(_with_paras(spark, sf_dir))
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_dedup_paragraphs",
+        doc=_dedup_paragraphs.__doc__ or "",
+        spark=_dedup_paragraphs,
+        oracle="""
+            WITH p AS (
+                SELECT doc_id,
+                       [substring(text, 1, 40),
+                        'SHARED-' || CAST(doc_id % 7 AS VARCHAR),
+                        substring(text, 41, 40)] AS paras
+                FROM documents),
+            px AS (
+                SELECT doc_id,
+                       unnest(paras) AS para,
+                       unnest(range(len(paras))) AS pos
+                FROM p),
+            flag AS (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY md5(para)
+                                          ORDER BY doc_id, pos) AS rn
+                FROM px),
+            kept AS (
+                SELECT doc_id, list(pos ORDER BY pos) AS keep
+                FROM flag WHERE rn = 1 GROUP BY doc_id)
+            SELECT p.doc_id,
+                   CAST(len(p.paras) AS BIGINT) AS n_paras,
+                   CAST(coalesce(len(k.keep), 0) AS BIGINT) AS n_kept,
+                   coalesce(array_to_string(
+                       list_transform(coalesce(k.keep, []), i -> p.paras[i + 1]),
+                       chr(10) || chr(10)), '') AS text_clean
+            FROM p LEFT JOIN kept k ON p.doc_id = k.doc_id
+        """,
+        tags=("extra", "dedup", "curation"),
+    )
+)
