@@ -190,6 +190,37 @@ EXTRA_SHOWCASE["mixture_weights (library operator)"] = (
 )
 
 
+def _html_probe(spark, sf_dir):
+    from weather_monitoring_spark.plans.extra_checks import _html_extract
+
+    return _html_extract(spark, sf_dir)
+
+
+EXTRA_SHOWCASE["extract_html_text (library operator)"] = (
+    _html_probe,
+    "markup removal is ONE Project over the scan — no Exchange anywhere "
+    "in the plan; the whole regex/entity chain stays inside whole-stage "
+    "codegen, so HTML extraction is pure data-parallel scan work at any "
+    "corpus size",
+)
+
+
+def _para_probe(spark, sf_dir):
+    from weather_monitoring_spark.plans.extra_checks import _dedup_paragraphs
+
+    return _dedup_paragraphs(spark, sf_dir)
+
+
+EXTRA_SHOWCASE["dedup_paragraphs (library operator)"] = (
+    _para_probe,
+    "keeper election runs on (id, pos, md5) rows — the exchanges up to "
+    "the position table carry 16-byte digests and integers only; "
+    "document text appears in exactly one exchange (the final id-join "
+    "re-slicing each doc's own array), which bucketBy(id) storage "
+    "eliminates at scale",
+)
+
+
 def main() -> None:
     from weather_monitoring_spark.plans.registry import all_queries
     from weather_monitoring_spark.session import get_spark

@@ -410,6 +410,64 @@ def main() -> None:
     out["mixture_sources"] = mixture_weights(sourced).count()
     out["mixture_sec"] = round(time.perf_counter() - t0, 2)
 
+    # --- HTML -> text extraction: pure projection, should track scan ----
+    from weather_monitoring_spark.operators.htmlops import extract_html_text
+
+    html_docs = docs.select(
+        "doc_id",
+        F.expr(
+            "concat('<html><head><title>t</title>"
+            "<script>var i=1; if(i<2){x(\"<p>\")}</script>"
+            "<style>.m{c:1}</style></head><body><p>', text, "
+            "' &amp; &lt;x&gt;</p><a href=\"/a\">l</a></body></html>')"
+        ).alias("html"),
+    )
+    t0 = time.perf_counter()
+    out["html_extract_rows"] = extract_html_text(html_docs).count()
+    out["html_extract_sec"] = round(time.perf_counter() - t0, 2)
+
+    # --- corpus-wide paragraph dedup: digests elect keepers --------------
+    from weather_monitoring_spark.operators.lines import dedup_paragraphs
+
+    para_docs = docs.select(
+        "doc_id",
+        F.expr(
+            "array(substring(text, 1, 120), "
+            "concat('SHARED-', CAST(doc_id % 1000 AS STRING)), "
+            "substring(text, 121, 120))"
+        ).alias("paras"),
+    )
+    t0 = time.perf_counter()
+    out["para_dedup_dropped"] = int(
+        dedup_paragraphs(para_docs)
+        .agg(F.sum(F.col("n_paras") - F.col("n_kept")).alias("d"))
+        .first()["d"]
+    )
+    out["para_dedup_sec"] = round(time.perf_counter() - t0, 2)
+
+    # --- heavy hitters: shuffle bounded by partitions x k ----------------
+    from weather_monitoring_spark.operators.sketches import (
+        heavy_hitters,
+        heavy_hitters_threshold,
+    )
+
+    keyed = docs.select(
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit("hot"), (F.col("doc_id") % 3).cast("string")),
+        )
+        .otherwise(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12))
+        .alias("key")
+    )
+    t0 = time.perf_counter()
+    out["heavy_hitters_candidates"] = heavy_hitters(keyed, "key", k=100).count()
+    out["heavy_hitters_sec"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    out["heavy_hitters_exact_rows"] = heavy_hitters_threshold(
+        keyed, "key", min_frac=0.01
+    ).count()
+    out["heavy_hitters_exact_sec"] = round(time.perf_counter() - t0, 2)
+
     print(json.dumps(out))
 
 
