@@ -955,3 +955,54 @@ def test_url_dedup_and_domain_filter(spark):
     blocked = spark.createDataFrame([("bad-domain.com",)], "domain string")
     kept = {r.doc_id for r in filter_by_domains(df, blocked).collect()}
     assert kept == {10, 11, 12, 30}
+
+
+def test_distributed_cumsum_partitioning_is_pinned(spark):
+    """Regression pin for the range-boundary consistency bug: Spark's
+    RangePartitioner seeds its boundary sampling with the RDD id, so
+    the offsets leg and the join leg of distributed_cumsum can land
+    DIFFERENT boundaries whenever exchange reuse does not fire (seen as
+    manifest/file disagreement in the shard writer at local[32]). The
+    fix pins the post-exchange frame with a lazy localCheckpoint; this
+    asserts the pin is present (a LogicalRDD node replaces the live
+    range exchange in the analyzed plan)."""
+    import pyspark.sql.functions as F
+
+    from weather_monitoring_spark.operators.training_prep import distributed_cumsum
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+    cum = distributed_cumsum(df, "k", "v")
+    analyzed = cum._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in analyzed, "cumsum exchange is no longer pinned"
+
+
+def test_training_shard_writer_roundtrip_shuffled_many_partitions(tmp_path, spark):
+    """The shuffle=True (md5-ordered) packing path, stressed with a
+    32-way range partitioning: manifest and written files must agree
+    exactly — the original boundary-consistency failure surfaced on
+    precisely this write-then-verify shape."""
+    import pyspark.sql.functions as F
+
+    from weather_monitoring_spark.operators.training_prep import (
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    docs = spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 20), i -> "
+            "substring(md5(concat(id, ':w', i)), 1, 8)))"
+        ).alias("text"),
+    )
+    out = str(tmp_path / "shards")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        manifest = write_training_shards(docs, out, budget=10_000, shuffle=True)
+        assert manifest.count() > 3
+        assert verify_training_shards(spark, out).count() == 0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

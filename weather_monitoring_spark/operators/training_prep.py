@@ -66,16 +66,32 @@ def distributed_cumsum(
     frame and is broadcast back. Rows shuffle once (the range exchange);
     the sort is per-partition; nothing quadratic, nothing single-task.
 
-    The result is independent of where the (sampled) range boundaries
-    land — offsets correct the partials for any boundary placement — so
-    the output is deterministic even though the partitioner samples.
+    The result is independent of where the range boundaries land —
+    offsets correct the partials for any boundary placement — PROVIDED
+    the offsets and the row-level legs see the SAME boundaries. That
+    consistency is not free: Spark's RangePartitioner seeds its
+    boundary sampling with the RDD id, so two physical instantiations
+    of the same repartitionByRange (the offsets leg and the join leg,
+    when exchange reuse does not fire; or a manifest job re-running the
+    DAG a write job already ran) can land DIFFERENT boundaries — with
+    per-partition offsets keyed by ``_pid``, mismatched boundaries
+    silently corrupt the running total (caught as manifest/file
+    disagreement in the shard writer at local[32]). The post-exchange
+    frame is therefore pinned with a lazy ``localCheckpoint``: every
+    consumer — offsets, join, and any later action — reads the one
+    materialized partitioning. The pinned frame is the NARROW
+    (order, value) projection, never documents, so the cost stays a
+    few tens of bytes per row at any corpus size.
+
     ``order_col`` must be unique (it is a key in every caller here).
     """
     n_parts = n_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
     )
-    part = df.repartitionByRange(int(n_parts), F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    part = (
+        df.repartitionByRange(int(n_parts), F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     local_w = (
         Window.partitionBy("_pid")
@@ -83,7 +99,7 @@ def distributed_cumsum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = part.withColumn("_local", F.sum(value_col).over(local_w).cast("long"))
-    totals = local.groupBy("_pid").agg(F.sum(value_col).cast("long").alias("_tot"))
+    totals = part.groupBy("_pid").agg(F.sum(value_col).cast("long").alias("_tot"))
     # Running sum over <= n_partitions rows: the single-partition window
     # is fine HERE because its input is one row per partition, not data.
     off_w = Window.orderBy("_pid").rowsBetween(
