@@ -60,22 +60,33 @@ def main() -> None:
         return df_count
 
     try:
-        # --- synthetic crawl: ~10% exact-duplicate bodies (doc_id % 0.9n),
-        # URL-level duplicates (path collapses mod n/2), boilerplate chrome.
-        body_key = f"id % {max(1, int(n_docs * 0.9))}"
+        # --- synthetic crawl with every defect class the pipeline handles:
+        # URL-identity duplicates (path collapses mod 0.8n; 20% of pages
+        # are re-crawls of the same resource), exact-duplicate bodies
+        # (content keyed mod 0.5n — pairs that survive URL dedup), NEAR-
+        # duplicate bodies (every 37th doc perturbs one word, so its copy
+        # is invisible to exact hashing but J ~ 0.98 for MinHash), and
+        # too-short docs (every 61st has a 5-word body -> quality gate).
+        body_key = f"id % {max(1, int(n_docs * 0.5))}"
+        body_len = "CASE WHEN id % 61 = 0 THEN 5 ELSE 80 END"
+        prefix = (
+            "CASE WHEN id % 37 = 0 THEN concat('v', CAST(id AS STRING)) "
+            "ELSE 'stable' END"
+        )
         crawl = spark.range(n_docs).select(
             F.col("id").alias("doc_id"),
             F.expr(
                 f"concat('<html><head><title>page</title>"
                 f"<script>var i=1; if(i<2){{x(\"<p>\")}}</script>"
                 f"<style>.m{{c:1}}</style></head><body><p>', "
-                f"concat_ws(' ', transform(sequence(1, 80), i -> "
+                f"{prefix}, ' ', "
+                f"concat_ws(' ', transform(sequence(1, {body_len}), i -> "
                 f"substring(md5(concat({body_key}, ':w', i)), 1, 8))), "
                 f"' &amp; tail</p><a href=\"/x\">l</a></body></html>')"
             ).alias("html"),
             F.expr(
                 f"concat('HTTPS://WWW.site', CAST(id % 50 AS STRING), "
-                f"'.Example.com:443/p/', CAST(id % {max(1, n_docs // 2)} AS STRING), "
+                f"'.Example.com:443/p/', CAST(id % {max(1, int(n_docs * 0.8))} AS STRING), "
                 f"'/?b=2&a=1&utm_source=x#f')"
             ).alias("url"),
         ).localCheckpoint(eager=True)
