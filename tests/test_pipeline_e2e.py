@@ -185,3 +185,81 @@ def test_corpus_pipeline_end_to_end(tmp_path, spark):
     ).distinct()
     stray = written_docs.join(clean.select("doc_id"), "doc_id", "left_anti")
     assert stray.count() == 0
+
+
+def _simulate_curation(n: int, bench_k: int = 50):
+    """Pure-Python simulation of scripts/run_curation_demo.synthetic_crawl
+    through pipelines.curate_crawl — an independent oracle for the
+    composed pipeline (modular-arithmetic defect classes + dedup/keeper
+    semantics re-derived from the rules, not from Spark)."""
+    import hashlib
+
+    n8, n5 = int(n * 0.8), int(n * 0.5)
+    url_groups: dict = {}
+    for i in range(n):
+        url_groups.setdefault((i % 50, i % n8), []).append(i)
+    url_keep = sorted(min(g) for g in url_groups.values())
+    curated = [i for i in url_keep if i % 61 != 0]
+
+    def prefix(i):
+        return f"v{i}" if i % 37 == 0 else "stable"
+
+    exact_groups: dict = {}
+    for i in curated:
+        exact_groups.setdefault((prefix(i), i % n5), []).append(i)
+    exact_keep = sorted(min(g) for g in exact_groups.values())
+    near_groups: dict = {}
+    for i in exact_keep:
+        near_groups.setdefault(i % n5, []).append(i)
+    survivors = sorted(min(g) for g in near_groups.values())
+    bench = set(
+        sorted(
+            survivors,
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )[:bench_k]
+    )
+    clean = [i for i in survivors if i not in bench]
+    return url_keep, curated, exact_keep, survivors, clean
+
+
+def test_curate_crawl_matches_python_simulation(tmp_path, spark):
+    """The COMPOSED pipeline (pipelines.curate_crawl) over the demo's
+    planted crawl must match the Python simulation stage-for-stage —
+    exact ids, not just counts — and the written shards must verify
+    against their manifest."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    from run_curation_demo import synthetic_crawl
+
+    from weather_monitoring_spark.operators.training_prep import (
+        verify_training_shards,
+    )
+    from weather_monitoring_spark.pipelines import curate_crawl
+
+    n = 2000
+    crawl = synthetic_crawl(spark, n).localCheckpoint(eager=True)
+    shard_dir = str(tmp_path / "shards")
+    stages = curate_crawl(crawl, shard_dir=shard_dir, shard_budget=10_000)
+
+    url_keep, curated, exact_keep, survivors, clean = _simulate_curation(n)
+    assert sorted(
+        r["doc_id"] for r in stages.url_unique.select("doc_id").collect()
+    ) == url_keep
+    assert sorted(
+        r["doc_id"] for r in stages.curated.select("doc_id").collect()
+    ) == curated
+    assert sorted(
+        r["doc_id"] for r in stages.exact_unique.select("doc_id").collect()
+    ) == exact_keep
+    assert sorted(
+        r["doc_id"] for r in stages.survivors.select("doc_id").collect()
+    ) == survivors
+    assert sorted(
+        r["doc_id"] for r in stages.clean.select("doc_id").collect()
+    ) == clean
+    # shards on disk match the manifest exactly (cumsum pin regression)
+    assert verify_training_shards(spark, shard_dir).count() == 0

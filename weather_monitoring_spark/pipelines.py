@@ -1,0 +1,145 @@
+"""The composed crawl-curation pipeline — the engine's LLM-data front
+door as ONE call chain, built entirely from the individually
+oracle-checked operators:
+
+  raw crawl (html, url)
+    -> HTML -> text extraction        (operators/htmlops.py)
+    -> URL canonicalization + dedup   (operators/urlops.py)
+    -> curation gates                 (operators/quality.py)
+    -> exact dedup                    (operators/dedup.py)
+    -> MinHash-LSH near-dup -> quality-aware survivors
+                                      (dedup.py + graph.py)
+    -> benchmark decontamination      (operators/training_prep.py)
+    [-> token-budget shards + manifest, when shard_dir is given]
+
+Each stage's output is returned so callers can audit per-stage drop
+counts (a curation run that cannot explain its drops is not auditable).
+Every stage keeps the scale shape of its operator: URL/exact/near-dup
+decisions move digests, the gates are zero-shuffle projections, and the
+benchmark side of decontamination collapses to one distinct shingle
+set.
+
+End-to-end behavior is pinned by tests/test_pipeline_e2e.py against a
+pure-Python simulation of the planted defect classes; the runnable,
+timed version is scripts/run_curation_demo.py.
+
+Reference parity: the reference has no curation surface; this is the
+builder brief's LLM-pipeline mandate composed into a product path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from weather_monitoring_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from weather_monitoring_spark.operators.graph import quality_survivors
+from weather_monitoring_spark.operators.htmlops import extract_html_text
+from weather_monitoring_spark.operators.quality import curate_corpus
+from weather_monitoring_spark.operators.training_prep import (
+    contamination_flags,
+    sample_exact_k,
+    write_training_shards,
+)
+from weather_monitoring_spark.operators.urlops import url_dedup
+
+
+@dataclass
+class CurationStages:
+    """Per-stage outputs of curate_crawl (each a DataFrame; count them
+    for the audit trail)."""
+
+    extracted: DataFrame  # (doc_id, url, text)
+    url_unique: DataFrame  # after URL-identity dedup
+    curated: DataFrame  # after quality gates (doc_id, text, n_tokens)
+    exact_unique: DataFrame  # after exact content dedup
+    survivors: DataFrame  # after near-dup clustering, one per cluster
+    clean: DataFrame  # after benchmark decontamination
+    manifest: DataFrame | None  # shard manifest when shard_dir given
+
+
+def curate_crawl(
+    crawl: DataFrame,
+    bench: DataFrame | None = None,
+    bench_k: int = 50,
+    min_tokens: int = 20,
+    shard_dir: str | None = None,
+    shard_budget: int = 100_000,
+    checkpoint: bool = True,
+) -> CurationStages:
+    """Run the full crawl -> training-corpus curation chain.
+
+    ``crawl`` needs (doc_id, html, url). ``bench`` is the evaluation
+    set to decontaminate against — when None, a deterministic
+    ``bench_k``-document sample of the survivors stands in (the
+    self-overlap worst case; real callers pass their benchmark table).
+    ``checkpoint`` pins each stage boundary (eager localCheckpoint) so
+    one stage's shuffles aren't re-run by the next stage's actions —
+    the right default for the multi-action audit pattern; pass False to
+    keep the whole chain lazy for single-action use.
+    """
+
+    def pin(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True) if checkpoint else df
+
+    extracted = pin(
+        extract_html_text(crawl)
+        .join(crawl.select("doc_id", "url"), "doc_id")
+        .select("doc_id", "url", "text")
+    )
+
+    url_keep = url_dedup(extracted).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    url_unique = pin(extracted.join(url_keep, "doc_id", "left_semi"))
+
+    curated = pin(
+        curate_corpus(url_unique, min_tokens=min_tokens)
+        .filter(F.col("verdict") == "kept")
+        .select("doc_id", F.col("text_norm").alias("text"), "n_tokens")
+    )
+
+    exact_keep = exact_dedup(curated).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    exact_unique = pin(curated.join(exact_keep, "doc_id", "left_semi"))
+
+    pairs = minhash_lsh_pairs(exact_unique).select("id_a", "id_b")
+    surv_ids = quality_survivors(
+        exact_unique, pairs, quality=F.col("n_tokens").cast("double")
+    ).filter(F.col("survivor"))
+    survivors = pin(
+        exact_unique.join(surv_ids.select("doc_id"), "doc_id", "left_semi")
+    )
+
+    if bench is None:
+        bench = sample_exact_k(survivors, bench_k)
+    flags = contamination_flags(survivors, bench)
+    clean = pin(
+        survivors.join(
+            flags.filter(~F.col("contaminated")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+    )
+
+    manifest = None
+    if shard_dir is not None:
+        manifest = write_training_shards(
+            clean.select("doc_id", "text"),
+            shard_dir,
+            budget=shard_budget,
+            shuffle=True,
+        )
+
+    return CurationStages(
+        extracted=extracted,
+        url_unique=url_unique,
+        curated=curated,
+        exact_unique=exact_unique,
+        survivors=survivors,
+        clean=clean,
+        manifest=manifest,
+    )
