@@ -13,10 +13,12 @@ handful.
 shuffle is bounded by (num_partitions x k) rows REGARDLESS of key
 cardinality:
 
-- per partition: the exact in-partition counts collapse to a k-counter
-  Misra-Gries summary (offline equivalent: subtract the (k+1)-th
-  largest count from every count, keep the positive ones — at most k
-  survive, each undercounted by at most n_p/(k+1));
+- per partition: a k-counter Misra-Gries summary folded one Arrow
+  batch at a time (merge the batch's counts, subtract the (k+1)-th
+  largest from everyone, keep the positives) — memory stays
+  O(k + batch cardinality) however many distinct keys the partition
+  holds, and each trim removes >= (k+1)x its cut, so the total
+  undercount stays <= n_p/(k+1);
 - merge: MG summaries are mergeable (Agarwal et al., "Mergeable
   Summaries", PODS'12) — summing per-key lower bounds across
   partitions is again a valid summary with error bounded by the SUM of
@@ -62,19 +64,27 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 1000) -> DataFrame:
     def summarize(batches):
         import pandas as pd
 
-        counts: dict = {}
+        # True bounded-memory Misra-Gries: the counter dict is trimmed
+        # back to <= k entries after EVERY Arrow batch (merge the
+        # batch's counts, then subtract the (k+1)-th largest count from
+        # everyone and keep the positives). Memory is O(k + batch
+        # cardinality), never O(partition cardinality) — a partition of
+        # a 100 TB key column can carry millions of distinct keys, and
+        # holding exact per-partition counts would just be a groupBy in
+        # Python memory. Folding batch merges this way is the mergeable-
+        # summaries argument (Agarwal et al.): total undercount stays
+        # <= n_p/(k+1).
+        counters: dict = {}
         for pdf in batches:
             for key, c in pdf[key_col].value_counts().items():
-                counts[key] = counts.get(key, 0) + int(c)
-        if not counts:
-            return
-        s = pd.Series(counts)
-        if len(s) > k:
-            # offline Misra-Gries: drop the (k+1)-th largest count from
-            # everyone; <= k survive, each short by <= n_p/(k+1).
-            cut = int(s.nlargest(k + 1).iloc[-1])
-            s = s[s > cut] - cut
-        if len(s):
+                counters[key] = counters.get(key, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    key: c - cut for key, c in counters.items() if c > cut
+                }
+        if counters:
+            s = pd.Series(counters)
             yield pd.DataFrame({key_col: s.index, "count_lb": s.values})
 
     schema_field = df.schema[key_col]
