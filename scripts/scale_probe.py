@@ -423,7 +423,13 @@ def main() -> None:
         ).alias("html"),
     )
     t0 = time.perf_counter()
-    out["html_extract_rows"] = extract_html_text(html_docs).count()
+    # sum-of-lengths, not count(): count() lets Catalyst prune the text
+    # column and skip the whole regex chain — it would time nothing.
+    out["html_extract_chars"] = int(
+        extract_html_text(html_docs)
+        .agg(F.sum(F.length("text")).alias("c"))
+        .first()["c"]
+    )
     out["html_extract_sec"] = round(time.perf_counter() - t0, 2)
 
     # --- corpus-wide paragraph dedup: digests elect keepers --------------
