@@ -229,7 +229,13 @@ def main() -> None:
     from weather_monitoring_spark.operators.quality import quality_annotations
 
     t0 = time.perf_counter()
-    out["quality_rows"] = quality_annotations(docs).count()
+    # force the projection (count() would prune the signal columns and
+    # time an empty scan); sum a computed signal instead.
+    out["quality_rows"] = int(
+        quality_annotations(docs)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dup_token_frac").alias("s"))
+        .first()["n"]
+    )
     out["quality_sec"] = round(time.perf_counter() - t0, 2)
 
     # --- connected components: n_docs/5 planted 5-node chains ------------
@@ -268,7 +274,11 @@ def main() -> None:
     out["tfidf_sec"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
-    out["quantize_rows"] = quantize_embeddings(emb).count()
+    out["quantize_rows"] = int(
+        quantize_embeddings(emb)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("max_abs_err").alias("s"))
+        .first()["n"]
+    )
     out["quantize_sec"] = round(time.perf_counter() - t0, 2)
 
     # --- line ops: planted boilerplate + per-doc line arrays --------------
@@ -283,7 +293,11 @@ def main() -> None:
         ).alias("lines"),
     )
     t0 = time.perf_counter()
-    out["dedup_lines_rows"] = dedup_lines(lined).count()
+    out["dedup_lines_rows"] = int(
+        dedup_lines(lined)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_kept").alias("s"))
+        .first()["n"]
+    )
     out["dedup_lines_sec"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
@@ -319,7 +333,11 @@ def main() -> None:
     from weather_monitoring_spark.operators.quality import compression_signals
 
     t0 = time.perf_counter()
-    out["compression_rows"] = compression_signals(docs).count()
+    out["compression_rows"] = int(
+        compression_signals(docs)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("compression_ratio").alias("s"))
+        .first()["n"]
+    )
     out["compression_sec"] = round(time.perf_counter() - t0, 2)
 
     # --- JL reduction: one Arrow matmul per partition --------------------
