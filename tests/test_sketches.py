@@ -81,3 +81,35 @@ def test_k_validation(spark):
         heavy_hitters(df, "key", k=0)
     with pytest.raises(ValueError):
         heavy_hitters_threshold(df, "key", min_frac=0.0)
+
+
+def test_sketch_hot_lines_equal_exact_boilerplate_strip(spark):
+    """Composition: heavy_hitters_threshold over the doc-distinct
+    exploded lines is an EXACT stand-in for strip_boilerplate's default
+    line-frequency detector (the sketch bounds the candidate shuffle;
+    its second pass restores exact counts). Planted hot lines, full
+    row-for-row output equality."""
+    from weather_monitoring_spark.operators.lines import strip_boilerplate
+
+    n = 400
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat(array('site header', concat('unique-', CAST(id AS STRING))), "
+            "CASE WHEN id % 2 = 0 THEN array('cookie banner') ELSE array() END)"
+        ).alias("lines"),
+    )
+    exact = strip_boilerplate(docs, min_docs=100)
+
+    # sketch detector: doc-distinct line instances == doc frequency
+    inst = docs.select(F.explode(F.array_distinct("lines")).alias("line"))
+    # total instances = 400 + 400 + 200 = 1000; min_docs=100 -> 0.1
+    hot = heavy_hitters_threshold(inst, "line", min_frac=0.1)
+    assert sorted(r["line"] for r in hot.collect()) == [
+        "cookie banner",
+        "site header",
+    ]
+    sketched = strip_boilerplate(docs, min_docs=100, hot_lines=hot)
+    a = sorted(map(tuple, exact.collect()))
+    b = sorted(map(tuple, sketched.collect()))
+    assert a == b

@@ -96,6 +96,7 @@ def strip_boilerplate(
     id_col: str = "doc_id",
     lines_col: str = "lines",
     broadcast_hot: bool = True,
+    hot_lines: DataFrame | None = None,
 ) -> DataFrame:
     """Remove lines that occur in >= ``min_docs`` distinct documents
     (headers, footers, cookie banners). Returns
@@ -108,10 +109,25 @@ def strip_boilerplate(
 
     ``broadcast_hot=False``: explode + left_anti join on the line +
     re-group, for a hot set too large to broadcast; documents cross the
-    wire twice (explode shuffle + re-assembly groupBy)."""
-    hot = line_doc_freq(docs, id_col=id_col, lines_col=lines_col).filter(
-        F.col("n_docs") >= min_docs
-    )
+    wire twice (explode shuffle + re-assembly groupBy).
+
+    ``hot_lines``: caller-supplied hot set (a DataFrame with a ``line``
+    column) replacing the computed document-frequency table. The default
+    detector aggregates EVERY distinct line (full line-universe
+    shuffle); when the line universe itself is the bottleneck, compute
+    the hot set with ``sketches.heavy_hitters_threshold`` over the
+    doc-distinct exploded lines — its Misra-Gries candidate pass
+    shuffles partitions x k rows instead, and its exact second pass
+    makes the resulting hot set IDENTICAL to the default detector's
+    (equivalence pinned in tests/test_sketches.py). The caller chooses
+    k / min_frac from its known corpus scale — this operator will not
+    guess them with an extra counting action."""
+    if hot_lines is not None:
+        hot = hot_lines.select("line")
+    else:
+        hot = line_doc_freq(docs, id_col=id_col, lines_col=lines_col).filter(
+            F.col("n_docs") >= min_docs
+        )
     if broadcast_hot:
         hot_row = hot.agg(F.sort_array(F.collect_list("line")).alias("_hot"))
         kept = f"filter({lines_col}, x -> NOT array_contains(_hot, x))"
