@@ -2115,3 +2115,65 @@ EXTRA_SPECS.append(
         tags=("extra", "dedup", "curation"),
     )
 )
+
+
+# ------------- model-based quality scoring (classifier gate) -------------
+
+
+def _quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier gate (operators/scoring.py): the
+    DCLM/FineWeb-style stage — score every document with a (caller-
+    trained) linear model over the engine's curation signals, keep above
+    a threshold. One zero-shuffle projection chain; the margin folds
+    bias + w*x left-to-right in the declared weight order (IEEE addition
+    is not associative — the order IS the cross-engine contract), so the
+    DuckDB oracle reproduces every double bit-for-bit."""
+    from weather_monitoring_spark.operators.scoring import quality_scores
+
+    return quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _o_quality_features() -> str:
+    from weather_monitoring_spark.operators.textops import LANG_LEXICONS
+
+    rep = o_rep_cols("tk")
+    lex = list(LANG_LEXICONS["en"])
+    return f"""
+        SELECT doc_id,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
+               CASE WHEN len(tk) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(tk, t -> list_contains({lex}, t))) AS DOUBLE)
+                         / CAST(len(tk) AS DOUBLE) END AS stopword_ratio,
+               {rep["top_token_share"]} AS top_token_share,
+               {rep["top_bigram_share"]} AS top_bigram_share,
+               {rep["dup_token_frac"]} AS dup_token_frac
+        FROM (SELECT doc_id, text, {o_tokens("text")} AS tk FROM documents)
+    """
+
+
+from weather_monitoring_spark.operators.quality import (  # noqa: E402
+    o_repetition_cols as o_rep_cols,
+)
+from weather_monitoring_spark.operators.scoring import (  # noqa: E402
+    DEFAULT_QUALITY_THRESHOLD,
+    o_quality_score,
+)
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_quality_score",
+        doc=_quality_score.__doc__ or "",
+        spark=_quality_score,
+        oracle=f"""
+            WITH f AS ({_o_quality_features()})
+            SELECT doc_id, alpha_ratio, stopword_ratio, top_token_share,
+                   top_bigram_share, dup_token_frac,
+                   {o_quality_score()} AS quality_score,
+                   {o_quality_score()} >= CAST({float(DEFAULT_QUALITY_THRESHOLD)} AS DOUBLE) AS keep
+            FROM f
+        """,
+        tags=("extra", "quality", "curation"),
+    )
+)
