@@ -263,3 +263,32 @@ def test_curate_crawl_matches_python_simulation(tmp_path, spark):
     ) == clean
     # shards on disk match the manifest exactly (cumsum pin regression)
     assert verify_training_shards(spark, shard_dir).count() == 0
+
+
+def test_curate_crawl_optional_classifier_gate(spark):
+    """score_weights adds the model gate inside the curated stage:
+    an always-pass threshold changes nothing; an impossible threshold
+    empties the stage (and everything downstream of it)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    from run_curation_demo import synthetic_crawl
+
+    from weather_monitoring_spark.operators.scoring import (
+        DEFAULT_QUALITY_WEIGHTS,
+    )
+    from weather_monitoring_spark.pipelines import curate_crawl
+
+    crawl = synthetic_crawl(spark, 400).localCheckpoint(eager=True)
+    base = curate_crawl(crawl)
+    loose = curate_crawl(
+        crawl, score_weights=DEFAULT_QUALITY_WEIGHTS, score_threshold=-1e9
+    )
+    strict = curate_crawl(
+        crawl, score_weights=DEFAULT_QUALITY_WEIGHTS, score_threshold=1e9
+    )
+    assert loose.curated.count() == base.curated.count()
+    assert strict.curated.count() == 0 and strict.clean.count() == 0

@@ -65,6 +65,8 @@ def curate_crawl(
     bench: DataFrame | None = None,
     bench_k: int = 50,
     min_tokens: int = 20,
+    score_weights: tuple[tuple[str, float], ...] | None = None,
+    score_threshold: float = 0.0,
     shard_dir: str | None = None,
     shard_budget: int = 100_000,
     checkpoint: bool = True,
@@ -75,10 +77,14 @@ def curate_crawl(
     set to decontaminate against — when None, a deterministic
     ``bench_k``-document sample of the survivors stands in (the
     self-overlap worst case; real callers pass their benchmark table).
-    ``checkpoint`` pins each stage boundary (eager localCheckpoint) so
-    one stage's shuffles aren't re-run by the next stage's actions —
-    the right default for the multi-action audit pattern; pass False to
-    keep the whole chain lazy for single-action use.
+    ``score_weights`` (optional) adds the model-based classifier gate
+    (operators/scoring.py) after the rule gates: documents scoring
+    below ``score_threshold`` under the supplied linear model are
+    dropped in the same ``curated`` stage. ``checkpoint`` pins each
+    stage boundary (eager localCheckpoint) so one stage's shuffles
+    aren't re-run by the next stage's actions — the right default for
+    the multi-action audit pattern; pass False to keep the whole chain
+    lazy for single-action use.
     """
 
     def pin(df: DataFrame) -> DataFrame:
@@ -95,11 +101,21 @@ def curate_crawl(
     )
     url_unique = pin(extracted.join(url_keep, "doc_id", "left_semi"))
 
-    curated = pin(
+    curated = (
         curate_corpus(url_unique, min_tokens=min_tokens)
         .filter(F.col("verdict") == "kept")
         .select("doc_id", F.col("text_norm").alias("text"), "n_tokens")
     )
+    if score_weights is not None:
+        from weather_monitoring_spark.operators.scoring import quality_scores
+
+        kept = quality_scores(
+            curated, weights=score_weights, threshold=score_threshold
+        ).filter(F.col("keep"))
+        curated = curated.join(
+            kept.select("doc_id"), "doc_id", "left_semi"
+        )
+    curated = pin(curated)
 
     exact_keep = exact_dedup(curated).select(
         F.col("keeper_doc_id").alias("doc_id")
