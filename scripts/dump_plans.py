@@ -221,6 +221,22 @@ EXTRA_SHOWCASE["dedup_paragraphs (library operator)"] = (
 )
 
 
+def _score_probe(spark, sf_dir):
+    from weather_monitoring_spark.operators.scoring import quality_scores
+    from weather_monitoring_spark.sources.tables import load_table
+
+    return quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+EXTRA_SHOWCASE["quality_scores (library operator)"] = (
+    _score_probe,
+    "the classifier gate is a Project chain over the scan — no Exchange: "
+    "feature vector and weighted margin evaluate inside whole-stage "
+    "codegen, so model-based filtering runs at scan speed at any corpus "
+    "size (training the weights is an offline sampled task by design)",
+)
+
+
 def main() -> None:
     from weather_monitoring_spark.plans.registry import all_queries
     from weather_monitoring_spark.session import get_spark
