@@ -1006,3 +1006,35 @@ def test_training_shard_writer_roundtrip_shuffled_many_partitions(tmp_path, spar
         assert verify_training_shards(spark, out).count() == 0
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_estimate_lsh_recall_on_planted_neardups(spark):
+    """The recall audit measures what the banding actually catches:
+    planted j~0.95 pairs (one word changed in 60) are all in the exact
+    truth set and essentially all banded -> recall ~ 1.0; and the
+    no-evidence case returns NULL, not a fake 1.0."""
+    from weather_monitoring_spark.operators.dedup import estimate_lsh_recall
+
+    n = 300
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            # ids x and x+150 share 59 of 60 words
+            f"concat_ws(' ', transform(sequence(1, 60), i -> "
+            f"substring(md5(concat(id % {n // 2}, ':w', "
+            f"CASE WHEN i = 3 AND id >= {n // 2} THEN -id ELSE i END)), 1, 8)))"
+        ).alias("text"),
+    )
+    row = estimate_lsh_recall(docs, sample_k=n).collect()[0]
+    assert row["n_true"] == n // 2
+    assert row["recall"] >= 0.95
+
+    unrelated = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 60), i -> "
+            "substring(md5(concat(id, ':u', i)), 1, 8)))"
+        ).alias("text"),
+    )
+    empty = estimate_lsh_recall(unrelated, sample_k=50).collect()[0]
+    assert empty["n_true"] == 0 and empty["recall"] is None

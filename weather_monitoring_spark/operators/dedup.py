@@ -621,3 +621,54 @@ def dup_source_matrix(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+def estimate_lsh_recall(
+    docs: DataFrame,
+    sample_k: int = 1_000,
+    threshold: float = JACCARD_THRESHOLD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Measured LSH recall on THIS corpus — the observability primitive
+    a production dedup pipeline runs alongside the real job. The
+    banding S-curve gives the recall for a pair of KNOWN Jaccard j, but
+    a corpus's aggregate recall depends on its similarity DISTRIBUTION,
+    which no formula knows; this measures it.
+
+    Takes a deterministic ``sample_k``-document sample (k smallest
+    md5(id) — content-addressed, partition-independent), computes exact
+    ground-truth pairs (>= threshold, inverted-index 3-gram Jaccard) and
+    the banding candidates on the SAME sample, and returns ONE row:
+    (n_true, n_caught, recall). ``recall`` is NULL when the sample has
+    no qualifying pairs (no evidence is not evidence of 1.0).
+
+    Cost: quadratic work is confined to the sample (the inverted index
+    over sample_k docs); the corpus is scanned once for the sample
+    selection. Run per ingest batch and alert on drift — a recall drop
+    means the corpus's similarity mass moved toward the S-curve's soft
+    region and (K, b, r) need re-tuning.
+    """
+    from weather_monitoring_spark.operators.training_prep import sample_exact_k
+
+    sample = sample_exact_k(docs, sample_k, id_col=id_col).localCheckpoint(
+        eager=False
+    )
+    truth = ngram_jaccard_pairs(
+        sample, threshold=threshold, id_col=id_col, text_col=text_col
+    ).select("id_a", "id_b")
+    caught = truth.join(
+        minhash_lsh_pairs(sample, id_col=id_col, text_col=text_col),
+        ["id_a", "id_b"],
+        "left_semi",
+    )
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_caught = caught.agg(F.count(F.lit(1)).cast("long").alias("n_caught"))
+    return n_true.crossJoin(n_caught).select(
+        "n_true",
+        "n_caught",
+        F.when(
+            F.col("n_true") > 0,
+            F.col("n_caught").cast("double") / F.col("n_true").cast("double"),
+        ).alias("recall"),
+    )
