@@ -648,6 +648,12 @@ def estimate_lsh_recall(
     selection. Run per ingest batch and alert on drift — a recall drop
     means the corpus's similarity mass moved toward the S-curve's soft
     region and (K, b, r) need re-tuning.
+
+    Keep ``sample_k`` audit-sized (10^3-10^5): the sample selection
+    plans as TakeOrderedAndProject, which allocates k-capacity heaps
+    per partition — passing an "unbounded" sentinel like 1e9 OOMs on
+    allocation alone, and a sample that big defeats the point of
+    sampling.
     """
     from weather_monitoring_spark.operators.training_prep import sample_exact_k
 

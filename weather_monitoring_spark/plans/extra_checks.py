@@ -2177,3 +2177,57 @@ EXTRA_SPECS.append(
         tags=("extra", "quality", "curation"),
     )
 )
+
+
+# ------------- LSH recall audit (oracle-checked observability) -------------
+
+
+def _lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall audit (operators/dedup.py::estimate_lsh_recall) as a
+    full cross-engine composition: exact ground-truth pairs AND banding
+    candidates both rebuilt in DuckDB from the shared constants, so the
+    one-row (n_true, n_caught, recall) report hash-matches. sample_k
+    covers the whole sf table, making the deterministic sample the
+    identity — the sampling path itself is pinned by sample_exact_k's
+    partition-independence test."""
+    from weather_monitoring_spark.operators.dedup import estimate_lsh_recall
+
+    # sample_k must stay buffer-sized even as the whole-table identity:
+    # orderBy().limit(k) plans as TakeOrderedAndProject, which allocates
+    # k-capacity heaps per partition — an "unbounded" sentinel like 1e9
+    # OOMs on allocation alone. 100k >= every sf table here.
+    return estimate_lsh_recall(
+        load_table(spark, sf_dir, "documents"), sample_k=100_000
+    )
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_lsh_recall_audit",
+        doc=_lsh_recall_audit.__doc__ or "",
+        spark=_lsh_recall_audit,
+        oracle=f"""
+            WITH {o_band_candidates()},
+            {O_FILTERED_SH},
+            truth AS (
+                SELECT id_a, id_b FROM (
+                    SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+                    GROUP BY 1, 2
+                ) s JOIN sz x ON s.id_a = x.id JOIN sz y ON s.id_b = y.id
+                WHERE shared * 1.0 / (x.n + y.n - shared) >= {JACCARD_THRESHOLD}
+            ),
+            caught AS (
+                SELECT t.id_a, t.id_b FROM truth t
+                JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+            )
+            SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+                   CAST((SELECT count(*) FROM caught) AS BIGINT) AS n_caught,
+                   CASE WHEN (SELECT count(*) FROM truth) > 0
+                        THEN CAST((SELECT count(*) FROM caught) AS DOUBLE)
+                             / CAST((SELECT count(*) FROM truth) AS DOUBLE)
+                   END AS recall
+        """,
+        tags=("extra", "dedup", "observability"),
+    )
+)
