@@ -293,3 +293,67 @@ def test_strip_dup_spans_matches_bruteforce(doc_tokens, n, keep_first):
         for r in strip_dup_spans(docs, n=n, keep_first=keep_first).collect()
     }
     assert got == _ref_strip_spans(doc_tokens, n, keep_first)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_characters="<>&", blacklist_categories=("Cs",)
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_html_extract_is_whitespace_collapse_on_markup_free_text(texts):
+    """For text with no '<' or '&', HTML extraction is exactly
+    whitespace-collapse + trim — markup removal never touches content
+    it shouldn't."""
+    import re
+
+    from weather_monitoring_spark.operators.htmlops import extract_html_text
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, html string"
+    )
+    got = {r["doc_id"]: r["text"] for r in extract_html_text(df).collect()}
+    for i, t in enumerate(texts):
+        # \s in Java regex covers [ \t\n\x0B\f\r]; python's \s over raw
+        # strings matches more (unicode) — compare with the Java class.
+        expected = re.sub(r"[ \t\n\x0b\f\r]+", " ", t).strip(" \t\n\x0b\f\r")
+        assert got[i] == expected, (t, got[i], expected)
+
+
+@given(
+    paras=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd", "ee"]), max_size=5),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_dedup_paragraphs_keeps_exactly_one_copy_in_first_position(paras):
+    """Corpus-wide paragraph dedup vs a direct Python fold: each distinct
+    paragraph survives exactly once, at its first (doc, pos) occurrence,
+    in original per-doc order."""
+    from weather_monitoring_spark.operators.lines import dedup_paragraphs
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(paras)], "doc_id long, paras array<string>"
+    )
+    got = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+    seen: set = set()
+    for i, p in enumerate(paras):
+        expect = []
+        for para in p:
+            if para not in seen:
+                seen.add(para)
+                expect.append(para)
+        assert got[i]["text_clean"] == "\n\n".join(expect), (i, p)
+        assert got[i]["n_paras"] == len(p)
+        assert got[i]["n_kept"] == len(expect)
