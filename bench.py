@@ -37,6 +37,11 @@ def main() -> None:
     from weather_monitoring_spark.session import get_spark
 
     spark = get_spark(app_name="wms-bench")
+    # Silence executor WARN spam (WindowExec single-partition notices etc.):
+    # round 4's driver capture lost the result line because warnings pushed
+    # the JSON head out of the captured tail. Belt: quiet logs. Suspenders:
+    # the result is ALSO written to bench_result.json next to this script.
+    spark.sparkContext.setLogLevel("ERROR")
 
     specs = all_queries()
     # Steady-state warm-up: every plan shape once at the tiny SF (compiles
@@ -93,7 +98,17 @@ def main() -> None:
         "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(result))
+    line = json.dumps(result)
+    # File copy first (survives any stdout truncation), then the single
+    # JSON line on stdout as the driver contract requires. stdout is
+    # flushed so the line cannot interleave with late JVM stderr.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json")
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError as e:  # pragma: no cover
+        print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

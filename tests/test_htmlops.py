@@ -55,6 +55,9 @@ def test_signals_contract(spark):
     html = '<a href="/x">one</a><A HREF="/y">two</A><p>ab</p>'
     row = _extract(spark, html)
     assert row.n_anchors == 2  # case-insensitive open-tag count
+    # attribute-less and self-closed anchors count; '<abbr>' does not
+    bare = _extract(spark, "<a>x</a><a/><abbr>y</abbr><a name=z>w</a>")
+    assert bare.n_anchors == 3
     assert row.html_chars == len(html)
     assert row.text_chars == len(row.text)
     assert row.text_ratio == pytest.approx(len(row.text) / len(html))

@@ -219,7 +219,7 @@ def _simulate_curation(n: int, bench_k: int = 50):
         )[:bench_k]
     )
     clean = [i for i in survivors if i not in bench]
-    return url_keep, curated, exact_keep, survivors, clean
+    return url_keep, curated, exact_keep, survivors, bench, clean
 
 
 def test_curate_crawl_matches_python_simulation(tmp_path, spark):
@@ -245,7 +245,7 @@ def test_curate_crawl_matches_python_simulation(tmp_path, spark):
     shard_dir = str(tmp_path / "shards")
     stages = curate_crawl(crawl, shard_dir=shard_dir, shard_budget=10_000)
 
-    url_keep, curated, exact_keep, survivors, clean = _simulate_curation(n)
+    url_keep, curated, exact_keep, survivors, bench, clean = _simulate_curation(n)
     assert sorted(
         r["doc_id"] for r in stages.url_unique.select("doc_id").collect()
     ) == url_keep
@@ -258,11 +258,22 @@ def test_curate_crawl_matches_python_simulation(tmp_path, spark):
     assert sorted(
         r["doc_id"] for r in stages.survivors.select("doc_id").collect()
     ) == survivors
+    # bench=None => decontamination SKIPPED: clean is exactly survivors
+    # (the r4 self-sample stand-in silently deleted bench_k genuine docs).
     assert sorted(
         r["doc_id"] for r in stages.clean.select("doc_id").collect()
-    ) == clean
+    ) == survivors
     # shards on disk match the manifest exactly (cumsum pin regression)
     assert verify_training_shards(spark, shard_dir).count() == 0
+
+    # Explicit bench: the decontamination leg drops exactly the bench
+    # overlap (here the bench docs themselves; no other survivor shares
+    # >= 3 distinct shingles with them by construction).
+    bench_df = stages.survivors.filter(F.col("doc_id").isin(*bench))
+    stages2 = curate_crawl(crawl, bench=bench_df)
+    assert sorted(
+        r["doc_id"] for r in stages2.clean.select("doc_id").collect()
+    ) == clean
 
 
 def test_curate_crawl_optional_classifier_gate(spark):

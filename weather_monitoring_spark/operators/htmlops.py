@@ -44,7 +44,10 @@ STYLE_RE = r"(?is)<style\b[^>]*>.*?</style\s*>"
 COMMENT_RE = r"(?s)<!--.*?-->"
 TAG_RE = r"<[^>]*>"
 WS_RE = r"\s+"
-ANCHOR_RE = r"(?i)<a\s"
+#: Opening-anchor detector: '<a' followed by whitespace (attributes),
+#: '>' (attribute-less '<a>') or '/' (self-closed '<a/>') — but never a
+#: letter, so '<abbr>'/'<article>' don't count. RE2-and-Java-safe.
+ANCHOR_RE = r"(?i)<a[\s>/]"
 
 #: (entity, replacement) in decode order — ``&amp;`` LAST (see module doc).
 ENTITIES = (

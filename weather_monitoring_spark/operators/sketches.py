@@ -105,7 +105,9 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 1000) -> DataFrame:
 def heavy_hitters_threshold(
     df: DataFrame, key_col: str, min_frac: float, slack: int = 4
 ) -> DataFrame:
-    """Keys with true frequency >= min_frac of the corpus, exactly.
+    """Keys with true frequency >= min_frac of the NON-NULL keys, exactly
+    (NULL is not a key anywhere in this family; the threshold denominator
+    matches that population).
 
     Two bounded passes: (1) a Misra-Gries pass with k chosen so the MG
     error n/(k+1) is at most min_frac/slack of the corpus — every
@@ -125,8 +127,14 @@ def heavy_hitters_threshold(
     kept = df.select(key_col).join(F.broadcast(candidates), key_col, "left_semi")
     counts = kept.groupBy(key_col).agg(F.count(F.lit(1)).alias("count"))
     # corpus size rides the job as a broadcast 1-row aggregate (the
-    # repo-wide no-eager-count policy).
-    n_total = df.agg(F.count(F.lit(1)).alias("_n"))
+    # repo-wide no-eager-count policy). NULL keys are excluded so the
+    # denominator matches the population the MG pass and the exact
+    # recount actually see — min_frac is a fraction of NON-NULL keys
+    # (counting all rows would silently raise the bar on columns with a
+    # large NULL share).
+    n_total = df.filter(F.col(key_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
     return (
         counts.crossJoin(F.broadcast(n_total))
         .filter(F.col("count") >= F.ceil(F.col("_n") * F.lit(min_frac)).cast("long"))

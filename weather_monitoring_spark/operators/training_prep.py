@@ -83,6 +83,17 @@ def distributed_cumsum(
     (order, value) projection, never documents, so the cost stays a
     few tens of bytes per row at any corpus size.
 
+    Fault-tolerance tradeoff (cluster scale): ``localCheckpoint`` stores
+    its blocks on executors only — it is NOT fault tolerant, and Spark
+    advises against it under dynamic allocation. Losing an executor
+    after materialization fails the job (correctly — a recompute could
+    land different boundaries), so on a long-lived 1000-executor run
+    prefer passing ``n_partitions`` together with a caller-side pin to
+    reliable storage: write the narrow (order, value) projection to a
+    table/checkpoint dir first and call this on the re-read frame, which
+    makes the boundary-consistent exchange replayable. At local[32] and
+    for bounded jobs the executor-block pin is the right cost.
+
     ``order_col`` must be unique (it is a key in every caller here).
     """
     n_parts = n_partitions or df.sparkSession.conf.get(

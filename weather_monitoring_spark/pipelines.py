@@ -40,7 +40,6 @@ from weather_monitoring_spark.operators.htmlops import extract_html_text
 from weather_monitoring_spark.operators.quality import curate_corpus
 from weather_monitoring_spark.operators.training_prep import (
     contamination_flags,
-    sample_exact_k,
     write_training_shards,
 )
 from weather_monitoring_spark.operators.urlops import url_dedup
@@ -63,7 +62,6 @@ class CurationStages:
 def curate_crawl(
     crawl: DataFrame,
     bench: DataFrame | None = None,
-    bench_k: int = 50,
     min_tokens: int = 20,
     score_weights: tuple[tuple[str, float], ...] | None = None,
     score_threshold: float = 0.0,
@@ -74,9 +72,11 @@ def curate_crawl(
     """Run the full crawl -> training-corpus curation chain.
 
     ``crawl`` needs (doc_id, html, url). ``bench`` is the evaluation
-    set to decontaminate against — when None, a deterministic
-    ``bench_k``-document sample of the survivors stands in (the
-    self-overlap worst case; real callers pass their benchmark table).
+    set to decontaminate against — when None, the decontamination stage
+    is SKIPPED and ``clean`` is exactly ``survivors``. (Earlier rounds
+    substituted a self-sample of the survivors, but a self-sample flags
+    itself as contaminated and silently deletes genuine documents from
+    the corpus; no benchmark means no decontamination, not a stand-in.)
     ``score_weights`` (optional) adds the model-based classifier gate
     (operators/scoring.py) after the rule gates: documents scoring
     below ``score_threshold`` under the supplied linear model are
@@ -131,15 +131,16 @@ def curate_crawl(
     )
 
     if bench is None:
-        bench = sample_exact_k(survivors, bench_k)
-    flags = contamination_flags(survivors, bench)
-    clean = pin(
-        survivors.join(
-            flags.filter(~F.col("contaminated")).select("doc_id"),
-            "doc_id",
-            "left_semi",
+        clean = survivors
+    else:
+        flags = contamination_flags(survivors, bench)
+        clean = pin(
+            survivors.join(
+                flags.filter(~F.col("contaminated")).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
         )
-    )
 
     manifest = None
     if shard_dir is not None:
