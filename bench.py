@@ -99,15 +99,30 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     line = json.dumps(result)
-    # File copy first (survives any stdout truncation), then the single
-    # JSON line on stdout as the driver contract requires. stdout is
-    # flushed so the line cannot interleave with late JVM stderr.
+    # Compact headline FIRST (total + sf + runs, ~100 bytes): the full
+    # per-query line is ~4.6 KB and can exceed the driver's captured
+    # stdout tail, in which case the truncated full line is unparseable
+    # — the short line guarantees the capture always contains at least
+    # the headline (r5 verdict, "What's wrong" #2).
+    headline = json.dumps(
+        {
+            "metric": result["metric"],
+            "value": result["value"],
+            "unit": "sec",
+            "runs": n_runs,
+            "sf": result["sf"],
+        }
+    )
+    # File copy (survives any stdout truncation), then headline + the
+    # full JSON line on stdout. stdout is flushed so the lines cannot
+    # interleave with late JVM stderr.
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json")
     try:
         with open(out_path, "w") as fh:
             fh.write(line + "\n")
     except OSError as e:  # pragma: no cover
         print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
+    print(headline, flush=True)
     print(line, flush=True)
 
 

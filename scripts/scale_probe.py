@@ -115,6 +115,27 @@ def main() -> None:
     out["simhash_blocked_pairs"] = simhash_neardup_pairs(docs).count()
     out["simhash_blocked_sec"] = round(time.perf_counter() - t0, 2)
 
+    # --- BPE token counting throughput (Arrow-batched pandas_udf) --------
+    # Worst-case text for the tokenizer's pre-token cache: md5 hex words
+    # are near-all-distinct, so every word pays the full merge loop —
+    # real corpora re-use vocabulary and run faster. tokens/s is the
+    # budget-denomination cost a shard-packing run would pay end to end.
+    from weather_monitoring_spark.operators.tokenize import count_bpe_tokens
+
+    t0 = time.perf_counter()
+    bpe_row = (
+        count_bpe_tokens(docs)
+        .agg(
+            F.sum("n_tokens_bpe").alias("bpe"),
+            F.sum("n_tokens_ws").alias("ws"),
+        )
+        .first()
+    )
+    out["bpe_count_sec"] = round(time.perf_counter() - t0, 2)
+    out["bpe_tokens_total"] = int(bpe_row["bpe"])
+    out["bpe_tokens_per_sec"] = int(bpe_row["bpe"] / max(out["bpe_count_sec"], 1e-9))
+    out["bpe_vs_ws_ratio"] = round(bpe_row["bpe"] / bpe_row["ws"], 3)
+
     # --- candidate-volume evidence: collisions, not n^2 ------------------
     # The round-3 verdict asked for measured CANDIDATE counts, so that
     # quadratic growth is visible rather than inferred. Candidate volume

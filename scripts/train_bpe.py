@@ -3,16 +3,29 @@
 GPT-2 file formats (data/bpe/merges.txt + vocab.json).
 
 Run from the repo root: ``python scripts/train_bpe.py``. Fully
-deterministic: the corpus is the embedded seed text below plus the
-sf0.001 documents table (itself a fixed fixture), and train_bpe breaks
-ties lexicographically — re-running reproduces the checked-in files
-byte-for-byte.
+deterministic: the corpus is (a) the embedded seed prose below, (b) a
+generated morphology grid (stem x prefix/suffix combinations — see
+``morph_corpus``), and (c) the sf0.1 documents fixture table (itself a
+fixed driver-generated artifact; the script FAILS if it is absent
+rather than silently training on a smaller corpus), and ``train_bpe``
+breaks ties lexicographically — re-running reproduces the checked-in
+files byte-for-byte.
 
-The seed text exists to give the table coverage the synthetic documents
-lack (contractions, casing, punctuation runs, digits, a little code) so
-merges generalize beyond the fixture vocabulary. The table is NOT GPT-2's
-(no network in this container) but uses its exact file format, so a
-published merges/vocab pair drops in without code changes.
+Why the morphology grid: round 5 trained on prose + fixture alone and
+min_freq early-stopped at 447 of the requested 2000 merges — the
+synthetic documents have a ~540-word vocabulary, so after those words
+fully merge no pair reaches frequency 2. English subword structure
+(the "ing"/"tion"/"pre-"/"-ment" units a tokenizer needs to count
+UNSEEN text sanely) only materializes if many distinct words SHARE
+affixes, so the grid composes ~580 common stems with standard English
+prefixes/suffixes. Composed non-words are harmless — BPE learns pair
+statistics, not a lexicon — and the grid is what lets the requested
+merge count actually materialize with the Sennrich min-frequency
+threshold intact.
+
+The table is NOT GPT-2's (no network in this container) but uses its
+exact file format, so a published merges/vocab pair drops in without
+code changes.
 """
 
 from __future__ import annotations
@@ -29,7 +42,11 @@ from weather_monitoring_spark.functions.bpe import (  # noqa: E402
     train_bpe,
 )
 
-N_MERGES = 2000
+N_MERGES = 5000
+
+#: The fixture leg of the training corpus. sf0.1 (the largest fixture)
+#: so the engine's own bench/test vocabulary is fully learned.
+DOCS_PATH = "/root/testdata/sf0.1/documents.parquet"
 
 SEED_TEXT = """
 The quick brown fox jumps over the lazy dog, and then it doesn't stop:
@@ -113,17 +130,92 @@ particular happiness of children who have found an unguarded bucket.
 """
 
 
-def corpus() -> list[str]:
-    texts = [SEED_TEXT, EXTRA_TEXT]
-    # sf0.01 (not sf0.001): the larger fixture lifts fixture-vocabulary
-    # pair frequencies past min_freq so the table actually learns the
-    # words the engine's own tests and benches tokenize most.
-    doc_path = "/root/testdata/sf0.01/documents.parquet"
-    if os.path.exists(doc_path):
-        import pyarrow.parquet as pq
+#: ~580 common English stems for the morphology grid — ordinary
+#: vocabulary, one source of shared-affix pair frequency.
+STEMS = """act add age agree aim air amaze amount answer appear apply argue arm arrange arrive ask
+assist assume attach attack attempt attend attract avoid award balance band bank base bear beat
+begin behave believe belong bend bind bite blame blend block blow board boil bond book border
+borrow bother bottle bounce bound brake branch brand break breathe bridge brief bright bring
+broad brush build burn burst buy calculate call calm camp care carry carve cast catch cause
+center chain challenge chance change charge charm chase check cheer choose claim class clean
+clear climb close cloud coach coast collect color comfort command comment commit compare compete
+complete compute concern conclude conduct confirm connect consider consist contain continue
+contract control convert cook cool copy correct cost count cover crack craft crash create credit
+cross crowd crush cure curl current cut damage dance dare deal debate decide declare decline
+decorate deliver demand deny depart depend describe deserve design desire destroy detail detect
+develop differ direct discover discuss display distance disturb divide double doubt draft drag
+drain draw dream dress drift drill drink drive drop dry earn ease edge educate effect elect
+employ empty enable end engage enjoy enter equal escape estimate examine exchange excite excuse
+exist expand expect experience explain explore express extend face fail fall farm fasten fault
+favor fear feature feed feel fight figure file fill film filter find finish fire firm fish fit
+fix flash float flood flow fold follow force forget form found frame freeze fresh front fuel
+function gain gather gaze gear generate glance glow govern grade grant grasp greet ground group
+grow guard guess guide hand handle hang happen harm head heal heat help hide hold honor hope
+host hunt hurry identify ignore imagine impact import impress improve include increase indicate
+inform inject injure insert insist inspect inspire install intend interest interpret interview
+invent invest invite involve issue join judge jump keep kick kill kind knock know label land
+last laugh launch lay lead lean learn leave lend level lift light limit link list listen live
+load locate lock look loose lose love lower maintain manage march mark market match matter
+mean measure meet melt mention merge mind miss mix model modify monitor motion mount move name
+narrow note notice number obtain occupy occur offer open operate order organize pack paint
+pair park part pass paste pause pay perform permit persist pick picture place plan plant play
+please point polish position possess post pour power practice praise predict prefer prepare
+present preserve press prevent print proceed process produce profit program progress project
+promise promote prompt proof propose protect prove provide publish pull pump punch purchase
+push qualify question quote race rain raise range rank rate reach read reason receive record
+recover reduce refer reflect reform refuse regard register regret relate relax release remain
+remark remember remind remove rent repair repeat replace reply report request require rescue
+research reserve resist resolve respect respond rest result return reveal review reward ride
+ring rise risk roll rule rush sail sample save scale scan score search season seat secure see
+seek select sell send sense serve settle shade shake shape share sharp shift shine ship shock
+shoot shop show sign signal site sketch skill sleep slide slip smooth snap soften solve sort
+sound source spare speak spell spend spill spin split spread spring stand start state stay
+steer step stick store storm story stream stress stretch strike struggle study submit succeed
+suffer suggest suit supply support suppose surround survey survive suspect sustain switch take
+talk target taste teach tear tell tend test thank think threaten throw tie time touch tour
+trace track trade train transfer transform translate transport travel treat trend trust turn
+twist understand unite update upgrade urge value vary view visit voice vote wait wake walk
+want warm warn wash waste watch wave wear weigh welcome wind wish witness wonder work worry
+wrap write yield""".split()
 
-        texts.extend(pq.read_table(doc_path).column("text").to_pylist())
-    return texts
+#: Standard English suffixes/prefixes. The grid composes every stem
+#: with every suffix; prefixes cycle deterministically over (stem,
+#: suffix) index so each prefix co-occurs with many stems without the
+#: grid cubing in size.
+SUFFIXES = (
+    "", "s", "ed", "ing", "er", "ers", "ion", "ions", "ly", "ment",
+    "ments", "ness", "able", "ible", "ive", "al", "ous", "ful", "less",
+    "est", "ity", "ation", "ance", "ence", "ant", "ent", "ure", "ary",
+    "ism", "ist",
+)
+PREFIXES = (
+    "", "re", "un", "pre", "over", "out", "inter", "dis", "mis", "non",
+    "sub", "trans", "under", "co", "de", "en", "im", "in", "pro", "con",
+    "ex", "per",
+)
+
+
+def morph_corpus() -> str:
+    """The deterministic stem x affix grid as one space-joined text."""
+    words = []
+    for i, stem in enumerate(STEMS):
+        for j, suf in enumerate(SUFFIXES):
+            pre = PREFIXES[(i + j) % len(PREFIXES)]
+            words.append(pre + stem + suf)
+    return " ".join(words)
+
+
+def corpus() -> list[str]:
+    if not os.path.exists(DOCS_PATH):
+        raise FileNotFoundError(
+            f"{DOCS_PATH} missing — the vendored table is defined over "
+            "seed + morphology grid + THIS fixture; training without it "
+            "would silently produce a different table."
+        )
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(DOCS_PATH).column("text").to_pylist()
+    return [SEED_TEXT, EXTRA_TEXT, morph_corpus()] + docs
 
 
 def main() -> None:

@@ -1,0 +1,284 @@
+"""BPE tokenizer guarantees (functions/bpe.py + operators/tokenize.py).
+
+Greedy BPE has no SQL form (same oracle class as the HLL/GK sketches),
+so correctness is pinned here instead of in the DuckDB gate:
+
+- bytes_to_unicode is a bijection (decode is exact for any byte);
+- decode(encode(x)) == x byte-exactly, under hypothesis;
+- the fast min-rank merge loop agrees with an INDEPENDENT reference
+  implementation (exhaustive scan-replace in rank order — the original
+  Sennrich formulation) on fixture text and hypothesis text;
+- golden token-id fixtures pin the vendored table's behavior (a table
+  or algorithm change that shifts ids fails loudly);
+- the vendored table satisfies the size the training script requests
+  (round 5 shipped a min-freq early stop at 447/2000 silently);
+- the Arrow-batched Spark operators equal the driver-side tokenizer on
+  real fixture documents, and the token_counter= thread through
+  pack_token_budget / write_training_shards budgets in BPE tokens.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from weather_monitoring_spark.functions.bpe import (
+    PRETOKEN_RE,
+    BPETokenizer,
+    bytes_to_unicode,
+    save_tables,
+    train_bpe,
+    unicode_to_bytes,
+)
+
+TOK = BPETokenizer.vendored()
+
+#: Natural-English sample where BPE and whitespace counts DIFFER (the
+#: fixture documents' vocabulary is fully learned, so counts coincide
+#: there — discriminating tests need unseen morphology + punctuation).
+NATURAL = (
+    "The committee's quarterly assessment, published yesterday, "
+    "concluded that atmospheric variability increased by 3.7% — an "
+    "unprecedented fluctuation attributable to oceanic circulation."
+)
+
+
+# ---------------- byte table ----------------
+
+
+def test_bytes_to_unicode_bijection():
+    b2u = bytes_to_unicode()
+    u2b = unicode_to_bytes()
+    assert len(b2u) == 256
+    assert len(set(b2u.values())) == 256
+    for b, c in b2u.items():
+        assert u2b[c] == b
+
+
+# ---------------- reference implementation ----------------
+
+
+def _reference_encode(tok: BPETokenizer, text: str) -> list[int]:
+    """Independent scan-replace formulation: apply every merge in rank
+    order, each exhaustively left-to-right — no rank lookups inside the
+    scan, no shared code with the min-rank loop."""
+    b2u = bytes_to_unicode()
+    ids: list[int] = []
+    for pre in PRETOKEN_RE.findall(text):
+        word = [b2u[b] for b in pre.encode("utf-8")]
+        for first, second in tok.merges:
+            out: list[str] = []
+            i = 0
+            while i < len(word):
+                if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
+                    out.append(first + second)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            word = out
+        ids.extend(tok.vocab[piece] for piece in word)
+    return ids
+
+
+def test_dual_implementation_agreement_fixture_text():
+    for text in (NATURAL, "don't you'll they'd 1,048,576 $19.95", "aaa bbb aaab"):
+        assert TOK.encode(text) == _reference_encode(TOK, text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=120))
+def test_dual_implementation_agreement_hypothesis(text):
+    assert TOK.encode(text) == _reference_encode(TOK, text)
+
+
+# ---------------- round-trips ----------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_roundtrip_hypothesis(text):
+    assert TOK.decode(TOK.encode(text)) == text
+
+
+def test_count_equals_encode_length():
+    for text in (NATURAL, "", " ", "\n\n", "café naïve"):
+        assert TOK.count(text) == len(TOK.encode(text))
+
+
+def test_decode_partial_sequence_replaces_not_raises():
+    ids = TOK.encode("café")
+    # chop the id stream at every prefix — mid-UTF-8 splits must yield
+    # U+FFFD (GPT-2 reference behavior), never raise.
+    for i in range(len(ids)):
+        assert isinstance(TOK.decode(ids[:i]), str)
+
+
+# ---------------- vendored table properties ----------------
+
+
+def test_vendored_table_meets_requested_size():
+    from scripts.train_bpe import N_MERGES
+
+    # min-freq early stop must not silently undershoot the requested
+    # table size (r5 shipped 447/2000): require at least the 2000 the
+    # original request named, and that the script's own target was met.
+    assert len(TOK.merges) >= 2000
+    assert len(TOK.merges) == N_MERGES
+
+
+def test_vendored_vocab_is_canonical():
+    # ids: 0..255 byte alphabet in byte order, then one id per merge in
+    # rank order — what train_bpe produces and load() must preserve.
+    b2u = bytes_to_unicode()
+    for b in range(256):
+        assert TOK.vocab[b2u[b]] == b
+    for rank, (a, b) in enumerate(TOK.merges):
+        assert TOK.vocab[a + b] == 256 + rank
+    assert len(TOK.vocab) == 256 + len(TOK.merges)
+
+
+def test_save_load_roundtrip(tmp_path):
+    merges, vocab = train_bpe(["the theme there then theory"], 50)
+    mp, vp = str(tmp_path / "merges.txt"), str(tmp_path / "vocab.json")
+    save_tables(merges, vocab, mp, vp)
+    loaded = BPETokenizer.load(mp, vp)
+    assert loaded.merges == merges
+    assert loaded.vocab == vocab
+
+
+def test_train_is_deterministic():
+    corpus = ["abab abab baba", "ab ba abab"]
+    m1, v1 = train_bpe(corpus, 20)
+    m2, v2 = train_bpe(corpus, 20)
+    assert m1 == m2 and v1 == v2
+
+
+# ---------------- golden token ids ----------------
+
+
+def test_golden_token_ids():
+    """Pinned ids in tests/data/bpe_golden.json (regenerated by
+    scripts/make_bpe_golden.py when the table is retrained
+    DELIBERATELY — an accidental table/algorithm drift fails here)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data", "bpe_golden.json")
+    with open(path, encoding="utf-8") as fh:
+        golden = json.load(fh)
+    assert golden, "golden fixture file is empty"
+    for text, ids in golden.items():
+        assert TOK.encode(text) == ids, f"ids drifted for {text!r}"
+        assert TOK.decode(ids) == text
+
+
+# ---------------- Spark side ----------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from weather_monitoring_spark.sources.tables import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+
+
+def test_spark_count_matches_driver(spark, docs):
+    from weather_monitoring_spark.operators.tokenize import count_bpe_tokens
+
+    rows = count_bpe_tokens(docs).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    assert rows
+    for r in rows:
+        assert r["n_tokens_bpe"] == TOK.count(texts[r["doc_id"]])
+        assert r["n_tokens_ws"] == len(
+            [t for t in __import__("re").split(r"[^a-z0-9]+", texts[r["doc_id"]].lower()) if t]
+        )
+
+
+def test_spark_encode_matches_driver(spark, docs):
+    from weather_monitoring_spark.operators.tokenize import encode_documents
+
+    rows = encode_documents(docs.limit(10)).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for r in rows:
+        assert list(r["ids"]) == TOK.encode(texts[r["doc_id"]])
+        assert r["n_tokens"] == len(r["ids"])
+
+
+def test_spark_count_null_shape(spark):
+    from weather_monitoring_spark.operators.tokenize import bpe_count_expr
+
+    df = spark.createDataFrame(
+        [(1, NATURAL), (2, None), (3, "")], "id long, text string"
+    ).select("id", bpe_count_expr("text").alias("n"))
+    got = {r["id"]: r["n"] for r in df.collect()}
+    assert got[1] == TOK.count(NATURAL) and got[1] > len(NATURAL.split())
+    assert got[2] is None
+    assert got[3] == 0
+
+
+def test_pack_token_budget_with_bpe_counter(spark):
+    from weather_monitoring_spark.operators.tokenize import bpe_token_counter
+    from weather_monitoring_spark.operators.training_prep import pack_token_budget
+
+    sentences = [
+        (i, f"Sentence {i}: " + NATURAL[: 40 + 7 * (i % 9)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(sentences, "doc_id long, text string")
+    budget = 60
+    rows = {
+        r["doc_id"]: r
+        for r in pack_token_budget(
+            df, budget=budget, token_counter=bpe_token_counter()
+        ).collect()
+    }
+    # python replay of the same contract, BPE-denominated
+    cum = 0
+    for i, text in sentences:
+        n = TOK.count(text)
+        cum += n
+        assert rows[i]["n_tokens"] == n
+        assert rows[i]["cum_tokens"] == cum
+        assert rows[i]["shard_id"] == (cum - n) // budget
+
+
+def test_write_training_shards_bpe_counter(spark, tmp_path):
+    from weather_monitoring_spark.operators.tokenize import bpe_token_counter
+    from weather_monitoring_spark.operators.training_prep import (
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}. " + NATURAL) for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "shards")
+    counter = bpe_token_counter()
+    manifest = write_training_shards(df, out, budget=200, token_counter=counter)
+    total = manifest.groupBy().sum("n_tokens").collect()[0][0]
+    # manifest totals are BPE-denominated: equal to the driver-side sum
+    expect = sum(TOK.count(f"doc {i}. " + NATURAL) for i in range(30))
+    assert total == expect
+    # same-counter verification: clean diff
+    assert verify_training_shards(spark, out, token_counter=counter).count() == 0
+    # wrong-counter verification: the mismatch is VISIBLE (BPE and
+    # whitespace counts differ on this text), not silently absorbed
+    assert verify_training_shards(spark, out).count() > 0
+
+
+def test_fixture_budget_delta_band(spark):
+    """The BASELINE.md budget-delta row's invariant: on the synthetic
+    documents fixture the vendored table fully learns the ~540-word
+    vocabulary, so BPE == whitespace counts exactly; on natural English
+    (unseen morphology + punctuation) BPE counts run HIGHER —
+    whitespace-budgeted shards of such text are oversized."""
+    from weather_monitoring_spark.operators.tokenize import count_bpe_tokens
+    from weather_monitoring_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    agg = count_bpe_tokens(docs).groupBy().sum("n_tokens_ws", "n_tokens_bpe").collect()[0]
+    assert agg[0] == agg[1]  # fixture: ratio exactly 1.0
+    assert TOK.count(NATURAL) > len(NATURAL.split())

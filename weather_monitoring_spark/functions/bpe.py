@@ -222,9 +222,14 @@ class BPETokenizer:
         return n
 
     def decode(self, ids: Iterable[int]) -> str:
+        """Inverse of :meth:`encode`. ``errors="replace"`` (the GPT-2
+        reference behavior): an id subsequence that splits a multi-byte
+        UTF-8 character decodes to U+FFFD instead of raising, so
+        partial/streamed id sequences never crash; complete
+        ``encode()`` output always round-trips byte-exactly."""
         u2b = unicode_to_bytes()
         text = "".join(self.id_to_token[i] for i in ids)
-        return bytes(u2b[c] for c in text).decode("utf-8", errors="strict")
+        return bytes(u2b[c] for c in text).decode("utf-8", errors="replace")
 
 
 def train_bpe(

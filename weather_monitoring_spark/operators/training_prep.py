@@ -26,10 +26,25 @@ fully DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from weather_monitoring_spark.functions.text import shingles_expr, tokens_expr
+
+#: A token counter maps a text column name to a BIGINT count Column.
+#: The default (whitespace-class tokens, pure codegen) is what every
+#: oracle-checked query budget uses; pass
+#: ``operators.tokenize.bpe_token_counter()`` for tokenizer-faithful
+#: budgets (Arrow-batched BPE — counts what a trainer's tokenizer
+#: counts, at the cost of one Python pass over the text).
+TokenCounter = Callable[[str], Column]
+
+
+def whitespace_token_counter() -> TokenCounter:
+    """The default counter: ``size(tokens_expr(c))`` as BIGINT."""
+    return lambda text_col: F.size(tokens_expr(text_col)).cast("long")
 
 #: Default shard size for pack_token_budget, in tokens. A doc is assigned
 #: by the shard its first token falls in, so true shard totals vary by up
@@ -132,6 +147,7 @@ def pack_token_budget(
     id_col: str = "doc_id",
     text_col: str = "text",
     shuffle: bool = False,
+    token_counter: TokenCounter | None = None,
 ) -> DataFrame:
     """Assign documents to contiguous token-budget shards:
     ``shard_id = (cum_tokens - n_tokens) DIV budget`` — i.e. the shard
@@ -142,10 +158,16 @@ def pack_token_budget(
     ``shuffle=True`` packs in ``md5(id)`` order instead of id order — the
     standard deterministic pre-shuffle so shards don't inherit crawl/source
     locality (adjacent ids are usually correlated documents). Same running-
-    total machinery; the order key is just content-addressed."""
+    total machinery; the order key is just content-addressed.
+
+    ``token_counter`` selects the budget denomination (see
+    :data:`TokenCounter`): whitespace tokens by default (oracle-checkable
+    codegen), or ``tokenize.bpe_token_counter()`` so shard budgets count
+    the tokens the training consumer will actually count."""
+    counter = token_counter or whitespace_token_counter()
     counted = docs.select(
         F.col(id_col),
-        F.size(tokens_expr(text_col)).cast("long").alias("n_tokens"),
+        counter(text_col).alias("n_tokens"),
     )
     order_col = id_col
     if shuffle:
@@ -328,6 +350,7 @@ def write_training_shards(
     text_col: str = "text",
     shuffle: bool = False,
     file_format: str = "parquet",
+    token_counter: TokenCounter | None = None,
 ) -> DataFrame:
     """Materialize the packed corpus as ``shard_id=N/`` partitions
     (``file_format`` "parquet" or "json" — JSONL is what most training
@@ -349,7 +372,8 @@ def write_training_shards(
     from weather_monitoring_spark.functions.text import h32_sql
 
     packed = pack_token_budget(docs, budget=budget, id_col=id_col,
-                               text_col=text_col, shuffle=shuffle)
+                               text_col=text_col, shuffle=shuffle,
+                               token_counter=token_counter)
     data = docs.join(packed.select(id_col, "n_tokens", "cum_tokens", "shard_id"), id_col)
     (
         data.repartition(F.col("shard_id"))
@@ -372,19 +396,22 @@ def write_training_shards(
 
 
 def verify_training_shards(
-    spark, out_dir: str, text_col: str = "text", file_format: str = "parquet"
+    spark, out_dir: str, text_col: str = "text", file_format: str = "parquet",
+    token_counter: TokenCounter | None = None,
 ) -> DataFrame:
     """Re-derive the manifest from the written shard files and diff it
     against the stored one. Returns the mismatching rows (empty == the
-    shards on disk are exactly what the packer wrote)."""
-    from weather_monitoring_spark.functions.text import h32_sql, tokens_expr
+    shards on disk are exactly what the packer wrote). ``token_counter``
+    must match the one the shards were written with."""
+    from weather_monitoring_spark.functions.text import h32_sql
 
+    counter = token_counter or whitespace_token_counter()
     written = spark.read.format(file_format).load(out_dir)
     derived = (
         written.groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.size(tokens_expr(text_col)).cast("long")).cast("long").alias("n_tokens"),
+            F.sum(counter(text_col)).cast("long").alias("n_tokens"),
             (F.sum(F.expr(h32_sql("shard", text_col))) % F.lit(2**61)).cast("long").alias("checksum"),
         )
     )

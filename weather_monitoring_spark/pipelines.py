@@ -68,6 +68,7 @@ def curate_crawl(
     shard_dir: str | None = None,
     shard_budget: int = 100_000,
     checkpoint: bool = True,
+    token_counter=None,
 ) -> CurationStages:
     """Run the full crawl -> training-corpus curation chain.
 
@@ -84,7 +85,10 @@ def curate_crawl(
     stage boundary (eager localCheckpoint) so one stage's shuffles
     aren't re-run by the next stage's actions — the right default for
     the multi-action audit pattern; pass False to keep the whole chain
-    lazy for single-action use.
+    lazy for single-action use. ``token_counter`` (see
+    operators/training_prep.TokenCounter) selects the shard-budget
+    denomination — pass ``operators.tokenize.bpe_token_counter()`` for
+    tokenizer-faithful budgets; None keeps the whitespace counter.
     """
 
     def pin(df: DataFrame) -> DataFrame:
@@ -131,6 +135,16 @@ def curate_crawl(
     )
 
     if bench is None:
+        # Visible skip: callers relying on decontamination must pass a
+        # benchmark table — None means the stage does not run at all
+        # (r5 fix; a self-sample stand-in deleted genuine documents).
+        import warnings
+
+        warnings.warn(
+            "curate_crawl: bench is None — decontamination SKIPPED "
+            "(clean == survivors). Pass the evaluation set to enable it.",
+            stacklevel=2,
+        )
         clean = survivors
     else:
         flags = contamination_flags(survivors, bench)
@@ -149,6 +163,7 @@ def curate_crawl(
             shard_dir,
             budget=shard_budget,
             shuffle=True,
+            token_counter=token_counter,
         )
 
     return CurationStages(
