@@ -926,6 +926,73 @@ def test_url_canonicalization_known_cases(spark):
         assert got[i] == (canon, dom), (i, got[i], canon, dom)
 
 
+#: PSL truth table (url -> registrable domain): normal ccTLD second
+#: levels, wildcard rules (*.ck/*.kawasaki.jp), exception rules
+#: (!www.ck/!city.kawasaki.jp), private-section platform suffixes,
+#: hosts that ARE public suffixes (NULL), single-label hosts (NULL),
+#: and the implicit-'*' default.
+PSL_CASES = {
+    "https://www.Example.co.uk/x": "example.co.uk",
+    "https://a.b.example.com/": "example.com",
+    "https://sub.shop.example.com.br/": "example.com.br",
+    "https://example.com.br/": "example.com.br",
+    "https://co.uk/": None,
+    "https://example.com/": "example.com",
+    "https://foo.ck/": None,  # *.ck => foo.ck IS a public suffix
+    "https://bar.foo.ck/": "bar.foo.ck",
+    "https://www.ck/": "www.ck",  # !www.ck beats *.ck
+    "https://x.www.ck/": "www.ck",
+    "https://city.kawasaki.jp/": "city.kawasaki.jp",  # !city.kawasaki.jp
+    "https://a.city.kawasaki.jp/": "city.kawasaki.jp",
+    "https://b.kawasaki.jp/": None,  # *.kawasaki.jp
+    "https://x.b.kawasaki.jp/": "x.b.kawasaki.jp",
+    "https://user.github.io/": "user.github.io",  # private section
+    "https://a.user.github.io/": "user.github.io",
+    "https://bucket.s3.amazonaws.com/": "bucket.s3.amazonaws.com",
+    "https://localhost/": None,
+    "https://blog.co.jp/": "blog.co.jp",
+    "https://www.example.com/": "example.com",
+    "https://shop.example.co.uk:443/": "example.co.uk",
+}
+
+
+def test_psl_domain_truth_table_spark(spark):
+    """Full publicsuffix.org matching semantics on the Spark side:
+    every PSL_CASES row, incl. wildcard/exception precedence and the
+    NULL (host-is-a-suffix) contract."""
+    from weather_monitoring_spark.operators.urlops import domain_expr
+
+    df = spark.createDataFrame(
+        [(u,) for u in PSL_CASES], "url string"
+    ).select("url", domain_expr("url").alias("d"))
+    got = {r["url"]: r["d"] for r in df.collect()}
+    assert got == PSL_CASES
+
+
+def test_psl_domain_truth_table_duckdb(duck):
+    """The oracle fragment computes the identical table from the SAME
+    vendored PSL file (cross-engine mirror of the compiled CASE)."""
+    from weather_monitoring_spark.operators.urlops import o_domain
+
+    for url, want in PSL_CASES.items():
+        got = duck.execute(f"SELECT {o_domain(repr(url))}").fetchone()[0]
+        assert got == want, (url, got, want)
+
+
+def test_psl_parser_shape():
+    """The vendored snapshot parses into the rule families the matcher
+    compiles: 2/3-label normals, 1/2-label wildcard bases, the www.ck
+    and city.*.jp exceptions; single-label rules are dropped (implicit
+    '*' default covers them)."""
+    from weather_monitoring_spark.operators.urlops import load_psl
+
+    normals, wildcards, exceptions = load_psl()
+    assert "co.uk" in normals[2] and "s3.amazonaws.com" in normals[3]
+    assert "ck" in wildcards[1] and "kawasaki.jp" in wildcards[2]
+    assert "www.ck" in exceptions[2] and "city.kawasaki.jp" in exceptions[3]
+    assert 1 not in normals
+
+
 def test_url_dedup_and_domain_filter(spark):
     """Distinct raw URLs that canonicalize identically form one dedup
     group (min-id keeper); filter_by_domains drops exactly the

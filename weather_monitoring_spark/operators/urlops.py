@@ -20,12 +20,21 @@ testable):
   parameter order cannot split identical resources;
 - trailing slash normalized (path '' -> '/', '/a/' -> '/a').
 
+Registrable domains (eTLD+1) use a vendored Public Suffix List snapshot
+(``data/psl/public_suffix_list.dat``, publicsuffix.org file format) with
+the FULL published matching algorithm — wildcard rules, exception rules,
+longest-match, implicit '*' default — compiled into a zero-shuffle CASE
+expression that both engines evaluate from the same file.
+
 Reference parity: the reference has no URL surface; this extends the
 engine per the builder brief's LLM-pipeline scope (dedup at crawl scale
 starts with URL identity).
 """
 
 from __future__ import annotations
+
+import os
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -34,26 +43,115 @@ from pyspark.sql import functions as F
 #: verbatim with the oracle fragments below.
 TRACKING_PARAM_RE = "^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)="
 
-#: Second-level public suffixes for the registrable-domain heuristic —
-#: exact eTLD+1 needs the full public-suffix list (out of scope); this
-#: documented subset covers the common ccTLD second levels and the
-#: heuristic (last 2 labels, or 3 when the last 2 are listed) is the
-#: standard approximation.
-SECOND_LEVEL_SUFFIXES = (
-    "co.uk", "org.uk", "gov.uk", "ac.uk",
-    "com.au", "net.au", "org.au",
-    "co.jp", "ne.jp", "or.jp",
-    "com.br", "co.in", "co.kr", "com.mx", "co.za",
+#: The vendored Public Suffix List snapshot (publicsuffix.org file
+#: format: '*.' wildcard rules, '!' exception rules, '//' comments).
+#: The matching below implements the FULL published algorithm —
+#: exception beats all, else longest rule, else the implicit '*'
+#: default — so swapping this file for the complete published
+#: public_suffix_list.dat upgrades the data without touching code.
+PSL_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(__file__)),
+    "data",
+    "psl",
+    "public_suffix_list.dat",
 )
+
+
+@lru_cache(maxsize=1)
+def load_psl(path: str = PSL_PATH) -> tuple[
+    dict[int, tuple[str, ...]],
+    dict[int, tuple[str, ...]],
+    dict[int, tuple[str, ...]],
+]:
+    """Parse the PSL file into (normals, wildcard_bases, exceptions),
+    each keyed by label count (wildcards by their BASE's label count).
+    Single-label normal rules are dropped: under the implicit default
+    rule '*' they are matching-equivalent (public suffix = last label),
+    and dropping them keeps the compiled expression small."""
+    normals: dict[int, list[str]] = {}
+    wildcards: dict[int, list[str]] = {}
+    exceptions: dict[int, list[str]] = {}
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            rule = line.strip()
+            if not rule or rule.startswith("//"):
+                continue
+            if rule.startswith("!"):
+                body = rule[1:]
+                exceptions.setdefault(body.count(".") + 1, []).append(body)
+            elif rule.startswith("*."):
+                base = rule[2:]
+                wildcards.setdefault(base.count(".") + 1, []).append(base)
+            elif "." in rule:  # multi-label normal rule
+                normals.setdefault(rule.count(".") + 1, []).append(rule)
+    freeze = lambda d: {k: tuple(sorted(v)) for k, v in d.items()}  # noqa: E731
+    return freeze(normals), freeze(wildcards), freeze(exceptions)
+
+
+def _psl_domain_case(lastk, n: str) -> str:
+    """The registrable-domain (eTLD+1) decision as ONE nested CASE over
+    label-suffix IN-lists, shared by both engines (``lastk(k)`` renders
+    the host's last-k-labels string; ``n`` the label count):
+
+    - exception rules first (they beat every other match): a k-label
+      exception names a NON-suffix, its prevailing public suffix is the
+      rule minus its leftmost label, so the registrable domain is
+      exactly ``lastk(k)``;
+    - then public-suffix lengths p in DESCENDING order (longest rule
+      wins): ps = p if the last p labels are a normal rule, or the last
+      p-1 labels are a wildcard base with at least p labels present;
+      registrable = last p+1 labels, NULL when the host IS the suffix
+      (matched branches return their NULL rather than falling through —
+      a shorter rule must not resurrect a registrable domain);
+    - implicit default rule '*': ps = 1, registrable = last 2 labels.
+
+    Both engines' suffix-slices are total functions (Spark yields '',
+    DuckDB clamps, when k exceeds the label count) — every membership
+    test is therefore guarded by ``n >= k`` so the engines cannot
+    diverge on short hosts. IN-lists compile to hash-set probes
+    (Catalyst InSet / DuckDB constant filter): the whole decision stays
+    a zero-shuffle scalar expression at any corpus size, which is why
+    the list is compiled into the plan rather than broadcast-joined —
+    a join would re-shuffle per-document rows to pick one constant per
+    host."""
+    normals, wildcards, exceptions = load_psl()
+    quote = lambda vals: ", ".join(f"'{v}'" for v in vals)  # noqa: E731
+    branches: list[str] = []
+    for k in sorted(exceptions, reverse=True):
+        branches.append(
+            f"WHEN {n} >= {k} AND {lastk(k)} IN ({quote(exceptions[k])}) "
+            f"THEN {lastk(k)}"
+        )
+    ps_values = sorted(set(normals) | {b + 1 for b in wildcards}, reverse=True)
+    for p in ps_values:
+        conds = []
+        if p in normals:
+            conds.append(f"({n} >= {p} AND {lastk(p)} IN ({quote(normals[p])}))")
+        if p - 1 in wildcards:
+            conds.append(
+                f"({n} >= {p} AND {lastk(p - 1)} IN ({quote(wildcards[p - 1])}))"
+            )
+        reg = f"CASE WHEN {n} >= {p + 1} THEN {lastk(p + 1)} ELSE NULL END"
+        branches.append(f"WHEN {' OR '.join(conds)} THEN {reg}")
+    default = f"CASE WHEN {n} >= 2 THEN {lastk(2)} ELSE NULL END"
+    return "CASE " + " ".join(branches) + f" ELSE {default} END"
 
 _URL_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)"
 
 
+def _raw_host_expr(url: str) -> str:
+    """Lowercased host with default ports stripped — www. KEPT. Domain
+    derivation matches the PSL against this form: the www-strip exists
+    for URL identity, and stripping it first would mis-resolve hosts
+    whose registrable domain IS a www name (the PSL '!www.ck'
+    exception)."""
+    host = f"lower(regexp_extract({url}, '{_URL_RE}', 2))"
+    return f"regexp_replace({host}, ':(80|443)$', '')"
+
+
 def _host_expr(url: str) -> str:
     """Lowercased host with www. prefix and default ports stripped."""
-    host = f"lower(regexp_extract({url}, '{_URL_RE}', 2))"
-    host = f"regexp_replace({host}, '^www\\\\.', '')"
-    return f"regexp_replace({host}, ':(80|443)$', '')"
+    return f"regexp_replace({_raw_host_expr(url)}, '^www\\\\.', '')"
 
 
 def _path_expr(url: str) -> str:
@@ -89,16 +187,15 @@ def canonical_url_expr(url_col: str) -> Column:
 
 
 def domain_expr(url_col: str) -> Column:
-    """Registrable domain (eTLD+1 heuristic) of the URL's host."""
-    host = _host_expr(url_col)
+    """Registrable domain (eTLD+1) of the URL's host under the vendored
+    Public Suffix List — full publicsuffix.org semantics (wildcard +
+    exception rules, longest match, implicit '*' default). NULL when
+    the host is itself a public suffix (no registrable domain exists).
+    Zero shuffle: the PSL compiles to IN-set probes in the projection."""
+    host = _raw_host_expr(url_col)
     labels = f"split({host}, '\\\\.')"
-    last2 = f"concat_ws('.', slice({labels}, -2, 2))"
-    last3 = f"concat_ws('.', slice({labels}, -3, 3))"
-    sld_set = ", ".join(f"'{s}'" for s in SECOND_LEVEL_SUFFIXES)
-    return F.expr(
-        f"CASE WHEN size({labels}) >= 3 AND {last2} IN ({sld_set}) "
-        f"THEN {last3} ELSE {last2} END"
-    )
+    lastk = lambda k: f"concat_ws('.', slice({labels}, -{k}, {k}))"  # noqa: E731
+    return F.expr(_psl_domain_case(lastk, f"size({labels})"))
 
 
 def canonicalize_urls(
@@ -158,10 +255,13 @@ def domain_stats(
 # ---------------- DuckDB oracle fragments (1:1 rule mirror) ---------------
 
 
-def o_host(url: str) -> str:
+def o_raw_host(url: str) -> str:
     host = f"lower(regexp_extract({url}, '{_URL_RE}', 2))"
-    host = f"regexp_replace({host}, '^www\\.', '')"
     return f"regexp_replace({host}, ':(80|443)$', '')"
+
+
+def o_host(url: str) -> str:
+    return f"regexp_replace({o_raw_host(url)}, '^www\\.', '')"
 
 
 def o_canonical_url(url: str) -> str:
@@ -182,14 +282,12 @@ def o_canonical_url(url: str) -> str:
 
 
 def o_domain(url: str) -> str:
-    labels = f"str_split({o_host(url)}, '.')"
-    last2 = f"array_to_string(({labels})[-2:], '.')"
-    last3 = f"array_to_string(({labels})[-3:], '.')"
-    sld_set = ", ".join(f"'{s}'" for s in SECOND_LEVEL_SUFFIXES)
-    return (
-        f"CASE WHEN len({labels}) >= 3 AND {last2} IN ({sld_set}) "
-        f"THEN {last3} ELSE {last2} END"
-    )
+    """DuckDB mirror of domain_expr — SAME vendored PSL file, same
+    compiled CASE (only the list-slice syntax differs; both slices are
+    total and every membership test is label-count guarded)."""
+    labels = f"str_split({o_raw_host(url)}, '.')"
+    lastk = lambda k: f"array_to_string(({labels})[-{k}:], '.')"  # noqa: E731
+    return _psl_domain_case(lastk, f"len({labels})")
 
 
 def filter_by_domains(
