@@ -72,3 +72,47 @@ def test_extraction_plan_has_no_exchange(spark):
     df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
     plan = extract_html_text(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---- entities="full": complete HTML5 decode (opt-in Arrow pass) ----------
+
+
+def _extract_full(spark, html: str):
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    return extract_html_text(df, entities="full").collect()[0]
+
+
+def test_full_entities_numeric_and_named(spark):
+    # decimal, hex (both cases), and named entities beyond the basic-6
+    row = _extract_full(
+        spark, "<p>&#233;t&#xE9; &#X41; caf&eacute; A&mdash;B &copy;2024</p>"
+    )
+    assert row.text == "été A café A—B ©2024"
+
+
+def test_full_entities_single_pass_ordering(spark):
+    # html.unescape's one left-to-right pass: '&amp;lt;' is the literal
+    # '&lt;', '&amp;#65;' the literal '&#65;' — same contract as basic.
+    row = _extract_full(spark, "a &amp;lt; b &amp;#65; c")
+    assert row.text == "a &lt; b &#65; c"
+
+
+def test_full_equals_basic_on_basic_set(spark):
+    # On inputs covered by the basic 6-entity chain (minus &nbsp;, whose
+    # faithful decode is U+00A0 — see below) the two modes agree.
+    html = "<p>a &amp;lt; b &lt;c&gt; &quot;d&quot; &#39;e&#39; f &amp; g</p>"
+    assert _extract_full(spark, html).text == _extract(spark, html).text
+
+
+def test_full_nbsp_is_faithful_u00a0(spark):
+    # documented delta: full decodes &nbsp; to U+00A0, which the ASCII
+    # \s+ collapse leaves alone (basic maps it to a plain space).
+    row = _extract_full(spark, "a&nbsp;b")
+    assert row.text == "a\xa0b"
+    assert _extract(spark, "a&nbsp;b").text == "a b"
+
+
+def test_entities_mode_validated_eagerly(spark):
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
+    with pytest.raises(ValueError, match="entities"):
+        extract_html_text(df, entities="typo")

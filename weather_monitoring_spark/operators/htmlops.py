@@ -11,9 +11,12 @@ Pipeline (order matters and is part of the contract):
    naive tag strip);
 2. drop HTML comments (``<!-- ... -->``);
 3. strip remaining tags (``<[^>]*>``);
-4. decode the common entities (``&lt; &gt; &quot; &#39; &nbsp;`` first,
-   ``&amp;`` LAST so ``&amp;lt;`` decodes to the literal ``&lt;`` —
-   single-pass semantics, the html.unescape ordering);
+4. decode entities — default ("basic"): the common six JVM-side
+   (``&lt; &gt; &quot; &#39; &nbsp;`` first, ``&amp;`` LAST so
+   ``&amp;lt;`` decodes to the literal ``&lt;`` — single-pass
+   semantics, the html.unescape ordering); opt-in ("full"): the
+   complete HTML5 set incl. numeric ``&#NNN;``/``&#xHH;`` as an
+   Arrow-batched stdlib-``html.unescape`` pass (see html_text_expr);
 5. collapse whitespace runs to one space and trim.
 
 Every pattern is in the cross-engine regex subset (RE2 ∩ Java — no
@@ -60,25 +63,66 @@ ENTITIES = (
 )
 
 
-def html_text_expr(html_col: str) -> Column:
+def _full_entity_udf():
+    """Arrow-batched pandas_udf decoding EVERY HTML entity — numeric
+    ``&#NNN;``/``&#xHH;`` and the complete HTML5 named set — via the
+    stdlib ``html.unescape`` (whose single left-to-right pass gives the
+    same ``&amp;lt;`` -> ``&lt;`` ordering the basic chain guarantees).
+    Built lazily so only the opt-in path pays the pandas import (the
+    ``normalize_text(unicode_form=...)`` precedent, textops.py)."""
+    import html
+
+    import pandas
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _dec(s):
+        return s.map(lambda x: html.unescape(x) if x is not None else None)
+
+    _dec.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
+    return pandas_udf(_dec, "string")
+
+
+def html_text_expr(html_col: str, entities: str = "basic") -> Column:
     """Extracted plain text of one HTML document as a single Spark
     expression (steps 1-5 above). Zero shuffle, codegen-friendly.
+
+    ``entities`` selects step 4's decoder:
+
+    - ``"basic"`` (default): the 6-entity JVM-side replace chain —
+      whole-stage codegen, zero Python, oracle-mirrored verbatim;
+    - ``"full"``: the stdlib HTML5 decoder as an Arrow batch pass —
+      numeric ``&#NNN;``/``&#xHH;`` and all named entities. Two
+      documented deltas vs basic: ``&nbsp;`` decodes to U+00A0 (which
+      Java's ASCII ``\\s`` does NOT collapse — faithful decode keeps
+      it), and unknown/bare-ampersand sequences follow HTML5 parsing
+      rather than passing through untouched. Python-boundary policy:
+      guarantees live in pytest (tests/test_htmlops.py), the oracle
+      fragment mirrors only the basic chain.
 
     Built with the Column API (not ``F.expr``) so the regex constants
     reach the engine verbatim — Spark's SQL string-literal parser treats
     ``\\b``/``\\s`` as escapes and would corrupt them; the function API
     has no such layer, keeping the constants shareable with the DuckDB
     fragments below byte-for-byte."""
+    if entities not in ("basic", "full"):
+        raise ValueError(f"entities must be 'basic' or 'full', got {entities!r}")
     c = F.col(html_col)
     for pat in (SCRIPT_RE, STYLE_RE, COMMENT_RE, TAG_RE):
         c = F.regexp_replace(c, pat, " ")
-    for ent, rep in ENTITIES:
-        c = F.replace(c, F.lit(ent), F.lit(rep))
+    if entities == "basic":
+        for ent, rep in ENTITIES:
+            c = F.replace(c, F.lit(ent), F.lit(rep))
+    else:
+        c = _full_entity_udf()(c)
     return F.trim(F.regexp_replace(c, WS_RE, " "))
 
 
 def extract_html_text(
-    docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    entities: str = "basic",
 ) -> DataFrame:
     """(id, text, html_chars, text_chars, n_anchors, text_ratio) — the
     extraction projection a crawl pipeline persists; downstream curation
@@ -88,8 +132,10 @@ def extract_html_text(
     boilerplate/chrome-heavy pages score low. ``n_anchors`` counts
     ``<a`` opening tags in the RAW markup (link farms score high) —
     counted before extraction since extraction erases the evidence.
+    ``entities="full"`` opts into complete HTML5 entity decoding (see
+    html_text_expr).
     """
-    text = html_text_expr(html_col)
+    text = html_text_expr(html_col, entities=entities)
     return docs.select(
         F.col(id_col),
         text.alias("text"),
