@@ -71,3 +71,117 @@ def test_default_weights_cover_declared_features(spark):
     cols = set(quality_scores(docs).columns)
     for name, _ in DEFAULT_QUALITY_WEIGHTS:
         assert name in cols
+
+
+# ---- trained classifier (fit_quality_classifier, deterministic IRLS) -----
+
+#: Planted labeled corpus: label 1 = natural prose (stopwords, varied
+#: vocabulary), label 0 = the junk classes the gate exists to drop
+#: (repetition, symbol noise, keyword stuffing). Deterministic literals.
+_GOOD = [
+    "the cat sat on the mat and it was a warm day in the garden",
+    "she walked to the store and bought bread milk and a newspaper",
+    "the committee met on monday to review the results of the survey",
+    "a library lends books to readers and keeps a record of each loan",
+    "he fixed the fence painted the gate and watered the plants",
+    "we measured the river depth twice and wrote the numbers down",
+    "the train left the station at noon and arrived before dark",
+    "they planted corn in spring and harvested it in early autumn",
+]
+_JUNK = [
+    "buy buy buy buy buy buy buy buy buy buy buy buy",
+    "cheap cheap cheap deal deal deal now now now now",
+    "x9 #$ !! 77 ~~ %% 00 @@ ** ^^",
+    "click here click here click here click here click here",
+    "zzz zzz zzz zzz zzz zzz zzz zzz",
+    "!!! $$$ ### @@@ %%% ^^^ &&& ***",
+    "win win win win prize prize prize prize",
+    "aaa aaa aaa aaa bbb bbb bbb bbb",
+]
+
+
+def _labeled(spark):
+    rows = [(i, t, 1) for i, t in enumerate(_GOOD)] + [
+        (100 + i, t, 0) for i, t in enumerate(_JUNK)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+def test_fit_separates_planted_classes(spark):
+    from weather_monitoring_spark.operators.scoring import (
+        fit_quality_classifier,
+    )
+
+    weights, bias = fit_quality_classifier(_labeled(spark))
+    scored = {
+        r["doc_id"]: r["quality_score"]
+        for r in quality_scores(
+            _labeled(spark), weights=weights, bias=bias
+        ).collect()
+    }
+    # perfect separation on the planted training set: every good doc's
+    # margin above every junk doc's
+    good = [scored[i] for i in range(len(_GOOD))]
+    junk = [scored[100 + i] for i in range(len(_JUNK))]
+    assert min(good) > max(junk)
+    assert all(g > 0 for g in good) and all(j < 0 for j in junk)
+
+
+def test_fit_is_bit_deterministic(spark):
+    from weather_monitoring_spark.operators.scoring import (
+        fit_quality_classifier,
+    )
+
+    w1, b1 = fit_quality_classifier(_labeled(spark))
+    w2, b2 = fit_quality_classifier(_labeled(spark))
+    assert w1 == w2  # bit-identical floats, not approx
+    assert b1 == b2
+
+
+def test_fit_guards(spark):
+    from weather_monitoring_spark.operators.scoring import (
+        fit_quality_classifier,
+    )
+
+    with pytest.raises(ValueError, match="unknown feature"):
+        fit_quality_classifier(_labeled(spark), features=("nope",))
+    with pytest.raises(ValueError, match="max_rows"):
+        fit_quality_classifier(_labeled(spark), max_rows=3)
+    bad = spark.createDataFrame(
+        [(1, "a b c", 2)], "doc_id long, text string, label int"
+    )
+    with pytest.raises(ValueError, match="0/1"):
+        fit_quality_classifier(bad)
+
+
+def test_trained_margin_bit_matches_duckdb(spark, duck):
+    """Trained weights flow through the same cross-engine-bit-stable
+    margin chain as the defaults: score the fixture documents with the
+    FITTED model on both engines and compare float64s by hex — no
+    tolerance."""
+    from weather_monitoring_spark.operators.scoring import (
+        fit_quality_classifier,
+        o_quality_score,
+    )
+    from weather_monitoring_spark.plans.extra_checks import _o_quality_features
+    from weather_monitoring_spark.sources.tables import load_table
+
+    weights, bias = fit_quality_classifier(_labeled(spark))
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        r["doc_id"]: r["quality_score"]
+        for r in quality_scores(docs, weights=weights, bias=bias).collect()
+    }
+    duck.execute(
+        "CREATE OR REPLACE VIEW documents AS "
+        "SELECT * FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = dict(
+        duck.execute(
+            f"WITH f AS ({_o_quality_features()}) "
+            f"SELECT doc_id, {o_quality_score(weights, bias)} FROM f"
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for doc_id, v in want.items():
+        assert got[doc_id].hex() == v.hex(), (doc_id, got[doc_id], v)

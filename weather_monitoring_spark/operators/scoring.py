@@ -105,6 +105,89 @@ def quality_scores(
     )
 
 
+def fit_quality_classifier(
+    labeled: DataFrame,
+    features: tuple[str, ...] = tuple(n for n, _ in DEFAULT_QUALITY_WEIGHTS),
+    iterations: int = 25,
+    ridge: float = 1e-3,
+    max_rows: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+) -> tuple[tuple[tuple[str, float], ...], float]:
+    """Train the linear quality model by IRLS (iteratively reweighted
+    least squares — the Newton iteration for ridge-regularized logistic
+    regression) over the engine's OWN feature projection, and return
+    ``(weights, bias)`` in exactly the form ``quality_scores`` consumes
+    — the trained model scores through the same bit-stable,
+    oracle-mirrored margin chain as the hand-set default.
+
+    Deterministic by construction, no RNG anywhere: a FIXED iteration
+    count (no data-dependent convergence test), zero initialization,
+    ridge-regularized normal equations solved with LAPACK on a feature
+    matrix assembled in ``id_col`` order (float64 accumulation order is
+    therefore a pure function of the data). Two fits on the same rows
+    return bit-identical weights — pinned in tests/test_scoring.py.
+
+    Division of labor at 100 TB (module doc): training is the OFFLINE,
+    SAMPLED task — a quality classifier fits on 1e4-1e6 labeled
+    examples, so the labeled frame is collected to the driver (guarded
+    by ``max_rows``; sample upstream with ``sample_exact_k``), the
+    feature PROJECTION still runs distributed before collection, and
+    only the n x d float matrix crosses the wire. Scoring the corpus
+    with the returned weights is the distributed part and stays a
+    zero-shuffle projection.
+    """
+    import numpy as np
+
+    known = _feature_cols(text_col, "_tk")
+    for name in features:
+        if name not in known:
+            raise ValueError(
+                f"unknown feature {name!r}; available: {sorted(known)}"
+            )
+    rows = (
+        labeled.withColumn("_tk", tokens_expr(text_col))
+        .select(
+            F.col(id_col),
+            F.col(label_col).cast("double").alias("_y"),
+            *[known[name].alias(name) for name in features],
+        )
+        .orderBy(id_col)
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"labeled set exceeds max_rows={max_rows}; sample upstream "
+            "(training is the offline sampled task, not the corpus pass)"
+        )
+    if not rows:
+        raise ValueError("labeled set is empty")
+    y = np.array([r["_y"] for r in rows], dtype=np.float64)
+    if not set(np.unique(y)) <= {0.0, 1.0}:
+        raise ValueError("labels must be 0/1")
+    X = np.array(
+        [[1.0] + [float(r[name]) for name in features] for r in rows],
+        dtype=np.float64,
+    )
+    d = X.shape[1]
+    beta = np.zeros(d, dtype=np.float64)
+    reg = ridge * np.eye(d)
+    reg[0, 0] = 0.0  # never regularize the intercept
+    for _ in range(iterations):
+        z = X @ beta
+        p = 1.0 / (1.0 + np.exp(-z))
+        w = np.maximum(p * (1.0 - p), 1e-10)
+        # Newton step via the weighted normal equations
+        H = X.T @ (X * w[:, None]) + reg
+        g = X.T @ (y - p) - reg @ beta
+        beta = beta + np.linalg.solve(H, g)
+    bias = float(beta[0])
+    weights = tuple((name, float(b)) for name, b in zip(features, beta[1:]))
+    return weights, bias
+
+
 # ---------------- DuckDB oracle fragment (1:1 mirror) ---------------
 
 
@@ -113,8 +196,14 @@ def o_quality_score(
     bias: float = DEFAULT_QUALITY_BIAS,
 ) -> str:
     """The margin as explicitly left-associated SQL — same fold order as
-    the Spark chain, so doubles match bit-for-bit."""
-    expr = f"CAST({float(bias)} AS DOUBLE)"
+    the Spark chain, so doubles match bit-for-bit. Weight literals go
+    through a STRING cast: DuckDB types a bare ``9.95937...`` literal
+    DECIMAL and the decimal->double conversion double-rounds (1-ulp off
+    for trained full-precision weights; invisible on the exactly-
+    representable defaults), while varchar->double is correctly-rounded
+    strtod — bit-identical to the repr'd Python float Spark receives
+    natively."""
+    expr = f"CAST('{float(bias)!r}' AS DOUBLE)"
     for name, w in weights:
-        expr = f"({expr} + CAST({float(w)} AS DOUBLE) * {name})"
+        expr = f"({expr} + CAST('{float(w)!r}' AS DOUBLE) * {name})"
     return expr
