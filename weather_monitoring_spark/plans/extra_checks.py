@@ -2231,3 +2231,35 @@ EXTRA_SPECS.append(
         tags=("extra", "dedup", "observability"),
     )
 )
+
+
+# ------------- DSIR importance weights (cross-engine exact) -----------------
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (operators/dsir.py): raw = every
+    document, target = the lang='en' subset — per-doc hashed-ngram log
+    importance weights, cross-engine EXACT despite ln() not being a
+    cross-engine function (clipped counts close the log domain to a
+    quantized literal table both engines sum in exact decimal)."""
+    from weather_monitoring_spark.operators.dsir import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.filter("lang = 'en'"))
+
+
+def _o_dsir():
+    from weather_monitoring_spark.operators.dsir import o_dsir_weights_sql
+
+    return o_dsir_weights_sql("TRUE", "lang = 'en'")
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_dsir_weights",
+        doc=_dsir_weights.__doc__ or "",
+        spark=_dsir_weights,
+        oracle=_o_dsir(),
+        tags=("extra", "selection", "curation"),
+    )
+)
