@@ -2263,3 +2263,35 @@ EXTRA_SPECS.append(
         tags=("extra", "selection", "curation"),
     )
 )
+
+
+# ------------- trigram language-ID (cross-engine exact) ---------------------
+
+
+def _langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (operators/langid.py): script-range
+    detection for non-Latin scripts, then the Cavnar-Trenkle rank-profile
+    argmax over the vendored integer-weight trigram profiles — every
+    scoring step integer-exact, so the full output (prediction, score,
+    margin, confidence) hash-matches DuckDB running the same profile
+    rows inline."""
+    from weather_monitoring_spark.operators.langid import lang_id_trigram
+
+    return lang_id_trigram(load_table(spark, sf_dir, "documents"))
+
+
+def _o_langid():
+    from weather_monitoring_spark.operators.langid import o_langid_sql
+
+    return o_langid_sql()
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_langid_trigram",
+        doc=_langid_trigram.__doc__ or "",
+        spark=_langid_trigram,
+        oracle=_o_langid(),
+        tags=("extra", "text", "language-id"),
+    )
+)
