@@ -128,6 +128,29 @@ def test_distributed_cumsum_equals_naive_window(spark):
         assert dist == naive, f"n_partitions={n_parts}"
 
 
+def test_distributed_cumsum_reliable_pin_equals_default(spark, tmp_path):
+    """The cluster-scale reliable-storage pin (write the narrow
+    projection to parquet, re-read) produces exactly the default
+    executor-block pin's totals, and the pin directory holds the
+    (order, value, _pid) rows the docstring promises."""
+    from weather_monitoring_spark.operators.training_prep import distributed_cumsum
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", F.length("text").alias("v")
+    )
+    default = {r.doc_id: r.cum for r in distributed_cumsum(
+        docs, "doc_id", "v", n_partitions=7
+    ).collect()}
+    pin_dir = str(tmp_path / "pin")
+    pinned = {r.doc_id: r.cum for r in distributed_cumsum(
+        docs, "doc_id", "v", n_partitions=7, reliable_pin=pin_dir
+    ).collect()}
+    assert pinned == default
+    stored = spark.read.parquet(pin_dir)
+    assert set(stored.columns) == {"doc_id", "v", "_pid"}
+    assert stored.count() == docs.count()
+
+
 def test_pack_token_budget_shard_bounds(spark):
     """Contiguous packing invariants: shard ids are dense from 0, docs in
     id order have non-decreasing shard ids, and every shard's token total

@@ -68,6 +68,7 @@ def distributed_cumsum(
     value_col: str,
     out_col: str = "cum",
     n_partitions: int | None = None,
+    reliable_pin: str | None = None,
 ) -> DataFrame:
     """Global running sum of ``value_col`` in ``order_col`` order, without
     ever sorting the dataset on a single task.
@@ -98,27 +99,35 @@ def distributed_cumsum(
     (order, value) projection, never documents, so the cost stays a
     few tens of bytes per row at any corpus size.
 
-    Fault-tolerance tradeoff (cluster scale): ``localCheckpoint`` stores
-    its blocks on executors only — it is NOT fault tolerant, and Spark
-    advises against it under dynamic allocation. Losing an executor
-    after materialization fails the job (correctly — a recompute could
-    land different boundaries), so on a long-lived 1000-executor run
-    prefer passing ``n_partitions`` together with a caller-side pin to
-    reliable storage: write the narrow (order, value) projection to a
-    table/checkpoint dir first and call this on the re-read frame, which
-    makes the boundary-consistent exchange replayable. At local[32] and
-    for bounded jobs the executor-block pin is the right cost.
+    Fault-tolerance tradeoff (cluster scale): ``localCheckpoint`` (the
+    default pin) stores its blocks on executors only — it is NOT fault
+    tolerant, and Spark advises against it under dynamic allocation.
+    Losing an executor after materialization fails the job (correctly —
+    a recompute could land different boundaries). ``reliable_pin`` is
+    the cluster-scale alternative: pass a storage path (HDFS/S3/local
+    dir) and the pinned frame (``df``'s columns + ``_pid`` — every
+    caller here passes the narrow (order, value) projection, a few tens
+    of bytes per row, never documents) is written there as parquet and
+    re-read, making the boundary-consistent partitioning durably
+    replayable across executor loss. The re-read preserves ``_pid`` as
+    a column (not a physical partitioning), which is all correctness
+    needs: every leg groups/joins BY the recorded ``_pid``, so where
+    the rows physically sit no longer matters. At local[32] and for
+    bounded jobs the executor-block pin is the right cost.
 
     ``order_col`` must be unique (it is a key in every caller here).
     """
     n_parts = n_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
     )
-    part = (
-        df.repartitionByRange(int(n_parts), F.col(order_col))
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+    part = df.repartitionByRange(int(n_parts), F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
     )
+    if reliable_pin is not None:
+        part.write.mode("overwrite").parquet(reliable_pin)
+        part = df.sparkSession.read.parquet(reliable_pin)
+    else:
+        part = part.localCheckpoint(eager=False)
     local_w = (
         Window.partitionBy("_pid")
         .orderBy(order_col)
@@ -148,6 +157,7 @@ def pack_token_budget(
     text_col: str = "text",
     shuffle: bool = False,
     token_counter: TokenCounter | None = None,
+    reliable_pin: str | None = None,
 ) -> DataFrame:
     """Assign documents to contiguous token-budget shards:
     ``shard_id = (cum_tokens - n_tokens) DIV budget`` — i.e. the shard
@@ -173,7 +183,8 @@ def pack_token_budget(
     if shuffle:
         counted = counted.withColumn("_ord", F.md5(F.col(id_col).cast("string")))
         order_col = "_ord"
-    with_cum = distributed_cumsum(counted, order_col, "n_tokens", out_col="cum_tokens")
+    with_cum = distributed_cumsum(counted, order_col, "n_tokens",
+                                  out_col="cum_tokens", reliable_pin=reliable_pin)
     return with_cum.select(
         id_col,
         "n_tokens",
