@@ -20,6 +20,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+#: Filled by main(); printed by the failure handler so a crashed row
+#: never discards the completed measurements.
+OUT: dict = {}
+
+
 def main() -> None:
     n_emb = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
@@ -44,13 +49,19 @@ def main() -> None:
     # this heap — the 2M-doc wide hash aggregates need the headroom
     # (SPARK_GRAFT_PROBE_MEM overrides; 8g measured UNABLE_TO_ACQUIRE_MEMORY
     # at the 10x sizes).
-    spark = get_spark(
-        app_name="scale-probe",
-        extra_conf={
-            "spark.driver.memory": os.environ.get("SPARK_GRAFT_PROBE_MEM", "48g")
-        },
-    )
-    out: dict[str, float | int] = {"n_embeddings": n_emb, "n_docs": n_docs}
+    extra_conf = {
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_PROBE_MEM", "48g")
+    }
+    # Optional override for the largest runs: the 5M-doc minhash
+    # signature aggregation OOMs 48g at 32 partitions (r6 measured);
+    # finer shuffle partitioning + a bigger heap are the probe-scale
+    # knobs, not operator changes.
+    parts = os.environ.get("SPARK_GRAFT_PROBE_PARTS")
+    if parts:
+        extra_conf["spark.sql.shuffle.partitions"] = parts
+    spark = get_spark(app_name="scale-probe", extra_conf=extra_conf)
+    out = OUT
+    out.update({"n_embeddings": n_emb, "n_docs": n_docs})
 
     # --- synthetic embeddings: 64-dim uniform via md5 (distributed) ------
     emb = (
@@ -66,8 +77,18 @@ def main() -> None:
         .localCheckpoint(eager=True)
     )
 
+    # The exact all-pairs GEMM row is the O(n^2)-scoring BASELINE, not a
+    # scale path — at 1M vectors its shuffle spill exceeds this host's
+    # ~90 GB usable disk (measured r6: 38 SPILL_OUT_OF_MEMORY "No space
+    # left on device" failures in the prefilter sort), so the row is
+    # capped independently of the ANN/IVF rows, which are the actual
+    # 100 TB designs and run at the full requested size.
+    gemm_cap = int(os.environ.get("SPARK_GRAFT_PROBE_GEMM_MAX", "500000"))
+    gemm_n = min(n_emb, gemm_cap)
+    gemm_emb = emb.filter(F.col("vec_id") < gemm_n)
+    out["gemm_neardup_n"] = gemm_n
     t0 = time.perf_counter()
-    out["gemm_neardup_pairs"] = cosine_neardup_pairs(emb, threshold=0.4).count()
+    out["gemm_neardup_pairs"] = cosine_neardup_pairs(gemm_emb, threshold=0.4).count()
     out["gemm_neardup_sec"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
@@ -516,5 +537,22 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def _resilient_main() -> None:
+    """Run main(); if any row crashes (probe scales are deliberately at
+    the host's limits), STILL print the rows measured so far plus the
+    failure — a crashed probe that discards its completed measurements
+    forces a full re-run per attempt (r6 lesson: two 30-minute attempts
+    lost all their numbers to a single late row)."""
+    import traceback
+
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 - report, then re-raise
+        OUT["probe_failed"] = repr(e)[:500]
+        print(json.dumps(OUT), flush=True)
+        traceback.print_exc()
+        raise
+
+
 if __name__ == "__main__":
-    main()
+    _resilient_main()
