@@ -89,9 +89,23 @@ def main() -> None:
         crawl = synthetic_crawl(spark, n_docs).localCheckpoint(eager=True)
         shard_dir = f"{tmp}/shards"
 
+        # Explicit benchmark table (the r5 fix's real-usage shape —
+        # bench=None now SKIPS decontamination): every 997th page's
+        # extracted text stands in for an eval set that leaked into the
+        # crawl, so the decontamination stage has genuine work and its
+        # drop is visible in the stage counts.
+        from weather_monitoring_spark.operators.htmlops import extract_html_text
+
+        bench = (
+            extract_html_text(crawl.filter("doc_id % 997 = 0"))
+            .select("doc_id", "text")
+            .localCheckpoint(eager=True)
+        )
+        out["bench_docs"] = bench.count()
+
         t0 = time.perf_counter()
         stages = curate_crawl(
-            crawl, shard_dir=shard_dir, shard_budget=100_000
+            crawl, bench=bench, shard_dir=shard_dir, shard_budget=100_000
         )
         # counts are on pinned frames: each stage's work is timed once,
         # inside curate_crawl's eager checkpoints.
