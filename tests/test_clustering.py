@@ -1,0 +1,129 @@
+"""Guarantees for operators/clustering.py — deterministic spherical
+k-means with the quantized (cross-engine-exact, partitioning-invariant)
+Lloyd update, plus cluster-balanced sampling. Cross-engine exactness
+itself runs in test_oracle_parity.py (x_kmeans_clusters /
+x_cluster_balanced_sample); here are the algorithmic guarantees."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_MEDIUM
+from weather_monitoring_spark.operators.clustering import (
+    cluster_balanced_sample,
+    kmeans_assign,
+    kmeans_embeddings,
+    kmeans_train,
+)
+
+
+def _fixture_emb(spark):
+    return spark.read.parquet(f"{SF_MEDIUM}/embeddings.parquet")
+
+
+def _synth_emb(spark, n: int):
+    """Deterministic synthetic 8-dim embeddings (md5-derived, distributed)."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 8), i -> CAST("
+            "CAST(conv(substring(md5(concat(id, ':', i)), 1, 8), 16, 10) AS DOUBLE)"
+            " / 4294967296.0 - 0.5 AS FLOAT))"
+        ).alias("embedding"),
+    )
+
+
+def test_partitioning_invariance(spark):
+    """THE quantized-update property: bit-identical output (cluster ids
+    AND cosines, by float hex) no matter how the input is partitioned.
+    The classic float-avg Lloyd update fails this — partial sums arrive
+    in shuffle order — which is exactly why the update sums int64s."""
+    base = _synth_emb(spark, 400)
+    runs = []
+    for parts in (3, 17):
+        rows = kmeans_embeddings(
+            base.repartition(parts), n_clusters=5, n_iters=3
+        ).collect()
+        runs.append(
+            sorted((r["vec_id"], r["cluster"], r["cos"].hex()) for r in rows)
+        )
+    assert runs[0] == runs[1]
+
+
+def test_planted_clusters_recovered(spark):
+    """Three tight direction bundles (axis-aligned cones, small jitter)
+    must come back as exactly three pure clusters."""
+    emb = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 6), i -> CAST("
+            "CASE WHEN i - 1 = id % 3 THEN 10.0 ELSE "
+            "CAST(conv(substring(md5(concat(id, ':', i)), 1, 4), 16, 10) AS DOUBLE)"
+            " / 65536.0 END AS FLOAT))"
+        ).alias("embedding"),
+    )
+    rows = kmeans_embeddings(emb, n_clusters=3, n_iters=4).collect()
+    by_group: dict[int, set[int]] = {}
+    for r in rows:
+        by_group.setdefault(r["vec_id"] % 3, set()).add(r["cluster"])
+    # each planted bundle maps to ONE cluster, and the three differ
+    assert all(len(cs) == 1 for cs in by_group.values())
+    assert len({cs.pop() for cs in by_group.values()}) == 3
+    assert all(r["cos"] > 0.9 for r in rows)
+
+
+def test_gemm_fold_assignment_agreement(spark):
+    """The Arrow-GEMM scale path and the oracle-exact fold path assign
+    every fixture vector to the same cluster (cosines may differ in the
+    last ulp — summation association — so only ids are pinned)."""
+    emb = _fixture_emb(spark)
+    cent = kmeans_train(emb, n_clusters=8, n_iters=2)
+    fold = {r["vec_id"]: r["cluster"] for r in kmeans_assign(emb, cent).collect()}
+    gemm = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(emb, cent, method="gemm").collect()
+    }
+    assert fold == gemm
+
+
+def test_balanced_sample_caps_and_determinism(spark):
+    emb = _fixture_emb(spark)
+    rows = cluster_balanced_sample(emb, cap=10).collect()
+    sizes: dict[int, int] = {}
+    for r in rows:
+        sizes[r["cluster"]] = sizes.get(r["cluster"], 0) + 1
+        assert 1 <= r["cluster_rank"] <= 10
+    assert sizes and all(n <= 10 for n in sizes.values())
+    again = cluster_balanced_sample(emb, cap=10).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_k_exceeds_corpus(spark):
+    """Fewer vectors than requested clusters: the model holds one
+    centroid per available seed and every vector still gets a label."""
+    emb = _synth_emb(spark, 5)
+    rows = kmeans_embeddings(emb, n_clusters=8, n_iters=2).collect()
+    assert len(rows) == 5
+    assert all(0 <= r["cluster"] < 5 for r in rows)
+
+
+def test_zero_vector_ties_to_smallest_cluster(spark):
+    """A zero vector dots to exactly 0.0 with every centroid; the
+    documented tiebreak (greatest over (d, -c)) must give cluster 0."""
+    emb = _synth_emb(spark, 50).withColumn(
+        "embedding",
+        F.expr(
+            "CASE WHEN vec_id = 7 THEN transform(sequence(1, 8), i -> CAST(0.0 AS FLOAT))"
+            " ELSE embedding END"
+        ),
+    )
+    rows = {r["vec_id"]: r for r in kmeans_embeddings(emb, n_clusters=4).collect()}
+    assert rows[7]["cluster"] == 0
+    assert rows[7]["cos"] == 0.0
+
+
+def test_empty_corpus_raises(spark):
+    emb = _synth_emb(spark, 10).filter("vec_id < 0")
+    with pytest.raises(ValueError, match="empty corpus"):
+        kmeans_train(emb)

@@ -1,0 +1,373 @@
+"""Embedding-space clustering for corpus topic analysis and
+cluster-balanced sampling (the SemDeDup / topic-rebalancing stage of a
+training-data pipeline: Abbas et al. 2023 cluster first, then act
+per-cluster; cluster-capped sampling is the standard recipe against
+head-topic domination).
+
+Spherical k-means (Dhillon & Modha, 2001) with two properties the stock
+float implementation lacks, both load-bearing at cluster scale:
+
+1. **Deterministic seeding, no RNG** — seeds are the ``n_clusters``
+   vectors with the smallest ``(md5(id), id)`` (the repo's standard
+   engine-portable sample, same as ``ivf_train`` /
+   ``sample_exact_k``), so every run of every engine starts identically.
+
+2. **Quantized Lloyd update: bit-reproducible under ANY partitioning.**
+   The classic update ``avg(v)`` sums doubles in shuffle-arrival order —
+   run the same job twice on a real cluster and the centroids differ in
+   ulps, after which assignments (and anything downstream: which
+   documents a SemDeDup stage drops!) can flip. Here each member
+   contributes ``floor(unit_i * 2^36)`` as an **int64**; integer
+   addition is associative and commutative, so the per-cluster sums are
+   EXACT and identical no matter how Spark partitions, combines, or
+   re-orders — and identical in any other engine. The centroid is then
+   the L2-normalized sum (spherical k-means only uses the direction, so
+   dividing by the count is unnecessary), computed in IEEE-754 double
+   arithmetic that is correctly rounded everywhere. Net effect: the
+   whole algorithm is cross-engine-exact and a DuckDB oracle can verify
+   cluster ids AND cosines bit-for-bit (``o_kmeans_sql``), the same
+   standard the rest of this repo holds (float policy:
+   tests/oracle_harness.py — floats compare by hex, never rounded).
+   Quantization costs < 2^-36 per coordinate — noise far below the
+   centroid movement of any real Lloyd step.
+
+Scale shape: each iteration is one full corpus scan (a zero-shuffle
+assignment projection) feeding a ``groupBy(cluster)`` whose combine
+moves ``n_clusters × dim`` int64 cells per partition — the shuffle is
+KBs regardless of corpus size. The k-row centroid model is collected to
+the driver because it IS the model (the ``ivf_train`` precedent,
+operators/similarity.py:596). Assignment ships centroids in the task
+closure. For large k the ``method="gemm"`` assignment path does one
+Arrow-batched matmul per batch instead of k fold expressions; the fold
+path is the oracle-exact one. Iterating recomputes the unit projection
+per pass (projections are cheaper than caching a second copy of the
+corpus at 100 TB; callers looping many iterations over a small corpus
+can persist upstream).
+
+Guarantees live in tests/test_clustering.py: partitioning-invariance
+(bit-equal output at 3 vs 17 input partitions), planted-cluster
+recovery, gemm==fold assignment agreement, k>n and empty-cluster
+degeneracies, balanced-sample caps; cross-engine exactness runs in
+tests/test_oracle_parity.py as x_kmeans_clusters /
+x_cluster_balanced_sample.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from weather_monitoring_spark.operators.similarity import dot_expr
+
+#: Quantization scale for the Lloyd update: floor(unit_i * 2^36) fits
+#: int64 exactly for clusters up to 2^27 members per partition-free sum
+#: (|unit_i| <= 1), and the 2^-36 grid is far below any real centroid
+#: movement. Shared by the Spark path and the DuckDB oracle.
+QUANT_BITS = 36
+QUANT_SCALE = float(2**QUANT_BITS)  # 68719476736.0, exact as a double
+
+KMEANS_CLUSTERS = 8
+KMEANS_ITERS = 2
+CLUSTER_SAMPLE_CAP = 25
+
+
+def _unit_expr(vec_col: str) -> Column:
+    """L2-normalize an array<float> column to array<double>, sequential
+    fold norm (bit-identical to the oracle's list_sum — the dot_expr
+    contract). Zero vectors stay zero (guarded divide by 1.0)."""
+    norm = F.sqrt(dot_expr(vec_col, vec_col))
+    safe = F.when(norm == F.lit(0.0), F.lit(1.0)).otherwise(norm)
+    return F.transform(F.col(vec_col), lambda x: x.cast("double") / safe)
+
+
+def _assign_cols(unit_col: str, centroids: list[list[float]]) -> tuple[Column, Column]:
+    """(cluster, cos) columns: argmax over per-centroid sequential-fold
+    dot products, ties to the smallest cluster id (struct-greatest on
+    (dot, -id) — mirrors the oracle's ORDER BY d DESC, c ASC)."""
+    structs = []
+    for c, cent in enumerate(centroids):
+        arr = F.array(*[F.lit(float(v)) for v in cent])
+        d = F.aggregate(
+            F.zip_with(F.col(unit_col), arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        structs.append(F.struct(d.alias("d"), F.lit(-c).alias("nc")))
+    best = structs[0] if len(structs) == 1 else F.greatest(*structs)
+    return (-best["nc"]).cast("int"), best["d"]
+
+
+def _centroid_from_qsums(qs: list[int]) -> list[float]:
+    """Unit centroid from exact int64 quantized sums — every operation
+    here (int64 -> double conversion, multiply, sequential sum, sqrt,
+    divide) is IEEE-754 correctly rounded, so the DuckDB oracle's SQL
+    mirror produces bit-identical doubles."""
+    acc = 0.0
+    for q in qs:
+        fq = float(q)
+        acc += fq * fq
+    nrm = math.sqrt(acc)
+    if nrm == 0.0:
+        nrm = 1.0
+    return [float(q) / nrm for q in qs]
+
+
+def kmeans_train(
+    emb: DataFrame,
+    n_clusters: int = KMEANS_CLUSTERS,
+    n_iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train deterministic spherical k-means; returns the centroid model
+    (``n_clusters`` unit-vector rows — driver-side by design, it IS the
+    model). See module docstring for the reproducibility construction."""
+    unit = emb.select(
+        F.col(id_col).alias("_kid"), _unit_expr(vec_col).alias("u")
+    )
+    seeds = (
+        unit.orderBy(F.md5(F.col("_kid").cast("string")), F.col("_kid"))
+        .limit(n_clusters)
+        .select("u")
+        .collect()
+    )
+    centroids = [list(r["u"]) for r in seeds]
+    if not centroids:
+        raise ValueError("kmeans_train: empty corpus")
+    dim = len(centroids[0])
+    scale = F.lit(QUANT_SCALE)
+    for _ in range(n_iters):
+        cluster, _cos = _assign_cols("u", centroids)
+        sums = (
+            unit.select(cluster.alias("cluster"), "u")
+            .groupBy("cluster")
+            .agg(
+                *[
+                    F.sum(F.floor(F.col("u")[i] * scale).cast("long")).alias(f"q{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        nxt = [list(c) for c in centroids]  # empty clusters keep position
+        for r in sums:
+            nxt[r["cluster"]] = _centroid_from_qsums(
+                [r[f"q{i}"] for i in range(dim)]
+            )
+        centroids = nxt
+    return centroids
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "fold",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid -> (id, cluster, cos).
+
+    ``method="fold"`` (default): pure expression algebra, codegen'd,
+    bit-identical to the DuckDB oracle — the correctness reference.
+    ``method="gemm"``: one Arrow-batched float64 matmul + argmax per
+    batch — the big-k scale path (k fold expressions each walk the
+    vector; the GEMM walks it once). Same argmax tiebreak (numpy argmax
+    returns the FIRST maximum = smallest cluster id); cosines may differ
+    from the fold path in the last ulp (pairwise vs sequential
+    summation), which is why the oracle pins the fold path and
+    tests/test_clustering.py pins fold==gemm cluster agreement."""
+    if method == "fold":
+        unit = emb.select(F.col(id_col), _unit_expr(vec_col).alias("u"))
+        cluster, cos = _assign_cols("u", centroids)
+        return unit.select(
+            F.col(id_col), cluster.alias("cluster"), cos.alias("cos")
+        )
+    if method != "gemm":
+        raise ValueError(f"unknown assignment method: {method}")
+
+    import numpy as np
+
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            mat /= norms
+            scores = mat @ cent.T
+            cells = np.argmax(scores, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype="int64"),
+                    "cluster": cells.astype("int32"),
+                    "cos": scores[np.arange(len(cells)), cells],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, cluster int, cos double"
+    )
+
+
+def kmeans_embeddings(
+    emb: DataFrame,
+    n_clusters: int = KMEANS_CLUSTERS,
+    n_iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "fold",
+) -> DataFrame:
+    """Train + assign in one call -> (id, cluster, cos)."""
+    return kmeans_assign(
+        emb,
+        kmeans_train(emb, n_clusters, n_iters, id_col, vec_col),
+        id_col,
+        vec_col,
+        method,
+    )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    cap: int = CLUSTER_SAMPLE_CAP,
+    n_clusters: int = KMEANS_CLUSTERS,
+    n_iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Keep at most ``cap`` vectors per k-means cluster, chosen by the
+    deterministic md5 rank WITHIN the cluster -> (id, cluster,
+    cluster_rank). This is the anti-head-domination sampler: a topic
+    that is 60% of the crawl and a topic that is 0.1% contribute equally
+    once both exceed the cap. One extra shuffle over the assignment
+    (window by cluster); ranks move (id, cluster) pairs only."""
+    assigned = kmeans_embeddings(
+        emb, n_clusters, n_iters, id_col, vec_col, method="fold"
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("cluster_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("cluster_rank") <= cap)
+        .select(id_col, "cluster", "cluster_rank")
+    )
+
+
+# ---- DuckDB oracle mirrors ------------------------------------------------
+
+
+def _o_kmeans_ctes(
+    n_clusters: int,
+    n_iters: int,
+    dim: int,
+    table: str,
+    id_col: str,
+    vec_col: str,
+) -> str:
+    """CTE chain ending in a{n_iters} = (vec_id, u, c, d): the final
+    assignment against the iterated centroids. Every step mirrors the
+    Spark path bit-for-bit (see module docstring)."""
+    scale = repr(QUANT_SCALE)
+    rng = f"range(1, {dim + 1})"
+    parts = [
+        f"""u AS (
+          SELECT {id_col} AS vec_id,
+                 list_transform({vec_col}, x -> CAST(x AS DOUBLE) /
+                   (CASE WHEN nrm = 0.0 THEN 1.0 ELSE nrm END)) AS u
+          FROM (SELECT {id_col}, {vec_col},
+                       sqrt(list_sum(list_transform({vec_col},
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                FROM {table})
+        )""",
+        f"""c0 AS (
+          SELECT CAST(row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS c,
+                 u AS v
+          FROM u
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {n_clusters}
+        )""",
+    ]
+    for j in range(n_iters + 1):
+        parts.append(
+            f"""a{j} AS (
+              SELECT vec_id, u, c, d FROM (
+                SELECT vec_id, u, c, d,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d DESC, c ASC) AS rn
+                FROM (SELECT t.vec_id, t.u, cc.c,
+                             list_sum(list_transform({rng},
+                                  i -> t.u[i] * cc.v[i])) AS d
+                      FROM u t CROSS JOIN c{j} cc))
+              WHERE rn = 1
+            )"""
+        )
+        if j == n_iters:
+            break
+        parts.append(
+            f"""q{j} AS (
+              SELECT c, i, SUM(CAST(floor(u[i] * {scale}) AS BIGINT)) AS q
+              FROM a{j}, {rng} t(i)
+              GROUP BY c, i
+            )""",
+        )
+        parts.append(
+            f"""c{j + 1} AS (
+              SELECT prev.c, COALESCE(nw.v, prev.v) AS v
+              FROM c{j} prev
+              LEFT JOIN (
+                SELECT c, list_transform(ql, x -> CAST(x AS DOUBLE) /
+                         (CASE WHEN nrm = 0.0 THEN 1.0 ELSE nrm END)) AS v
+                FROM (SELECT c, ql,
+                             sqrt(list_sum(list_transform(ql,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                      FROM (SELECT c, list(q ORDER BY i) AS ql
+                            FROM q{j} GROUP BY c))
+              ) nw ON nw.c = prev.c
+            )"""
+        )
+    return ",\n".join(parts)
+
+
+def o_kmeans_sql(
+    n_clusters: int = KMEANS_CLUSTERS,
+    n_iters: int = KMEANS_ITERS,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    ctes = _o_kmeans_ctes(n_clusters, n_iters, dim, table, id_col, vec_col)
+    return f"""
+        WITH {ctes}
+        SELECT vec_id, c AS cluster, d AS cos FROM a{n_iters}
+    """
+
+
+def o_cluster_balanced_sample_sql(
+    cap: int = CLUSTER_SAMPLE_CAP,
+    n_clusters: int = KMEANS_CLUSTERS,
+    n_iters: int = KMEANS_ITERS,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    ctes = _o_kmeans_ctes(n_clusters, n_iters, dim, table, id_col, vec_col)
+    return f"""
+        WITH {ctes}
+        SELECT vec_id, cluster, cluster_rank FROM (
+          SELECT vec_id, c AS cluster,
+                 row_number() OVER (PARTITION BY c
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cluster_rank
+          FROM a{n_iters})
+        WHERE cluster_rank <= {cap}
+    """

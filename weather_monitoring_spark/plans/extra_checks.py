@@ -2295,3 +2295,63 @@ EXTRA_SPECS.append(
         tags=("extra", "text", "language-id"),
     )
 )
+
+
+# ---- embedding clustering / cluster-balanced sampling (clustering.py) ----
+
+
+def _kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic spherical k-means over the embeddings table:
+    md5-seeded, fixed-iteration, with the QUANTIZED Lloyd update (int64
+    sums — order-independent, hence bit-reproducible under any
+    partitioning and cross-engine-exact; operators/clustering.py). The
+    oracle replays the identical algorithm as an unrolled CTE chain and
+    both cluster ids and cosines must match by float hex."""
+    from weather_monitoring_spark.operators.clustering import kmeans_embeddings
+
+    return kmeans_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+def _cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-capped sampling over the k-means assignment (the
+    topic-rebalancing stage): at most CLUSTER_SAMPLE_CAP vectors per
+    cluster by deterministic md5 rank within the cluster."""
+    from weather_monitoring_spark.operators.clustering import (
+        cluster_balanced_sample,
+    )
+
+    return cluster_balanced_sample(load_table(spark, sf_dir, "embeddings"))
+
+
+def _o_kmeans():
+    from weather_monitoring_spark.operators.clustering import o_kmeans_sql
+
+    return o_kmeans_sql()
+
+
+def _o_cluster_sample():
+    from weather_monitoring_spark.operators.clustering import (
+        o_cluster_balanced_sample_sql,
+    )
+
+    return o_cluster_balanced_sample_sql()
+
+
+EXTRA_SPECS.extend(
+    [
+        QuerySpec(
+            name="x_kmeans_clusters",
+            doc=_kmeans_clusters.__doc__ or "",
+            spark=_kmeans_clusters,
+            oracle=_o_kmeans(),
+            tags=("extra", "embeddings", "clustering"),
+        ),
+        QuerySpec(
+            name="x_cluster_balanced_sample",
+            doc=_cluster_balanced_sample.__doc__ or "",
+            spark=_cluster_balanced_sample,
+            oracle=_o_cluster_sample(),
+            tags=("extra", "embeddings", "clustering", "sampling"),
+        ),
+    ]
+)
