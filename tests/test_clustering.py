@@ -127,3 +127,22 @@ def test_empty_corpus_raises(spark):
     emb = _synth_emb(spark, 10).filter("vec_id < 0")
     with pytest.raises(ValueError, match="empty corpus"):
         kmeans_train(emb)
+
+
+def test_semdedup_drops_planted_duplicates(spark):
+    """50 base vectors + 10 exact copies (cosine 1.0, same cluster by
+    construction): every copy-pair collapses to one survivor, and the
+    survivor is the min id of its component."""
+    from weather_monitoring_spark.operators.clustering import semdedup_survivors
+
+    base = _synth_emb(spark, 50)
+    copies = _synth_emb(spark, 50).filter("vec_id < 10").withColumn(
+        "vec_id", F.col("vec_id") + 100
+    )
+    emb = base.unionByName(copies)
+    rows = {r["vec_id"]: r for r in semdedup_survivors(emb, threshold=0.99).collect()}
+    assert len(rows) == 60
+    for i in range(10):
+        # copy 100+i clusters with original i; only the original survives
+        assert rows[100 + i]["cluster"] == rows[i]["cluster"] == i
+        assert rows[i]["survivor"] and not rows[100 + i]["survivor"]

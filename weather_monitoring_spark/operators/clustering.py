@@ -261,6 +261,81 @@ def cluster_balanced_sample(
     )
 
 
+def semdedup_pairs(
+    emb: DataFrame,
+    n_clusters: int = KMEANS_CLUSTERS,
+    n_iters: int = KMEANS_ITERS,
+    threshold: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup candidate generation (Abbas et al. 2023): exact cosine
+    near-dup pairs computed only WITHIN each k-means cluster ->
+    (id_a, id_b, cosine). The quadratic work drops from n² to
+    Σ cluster_size² — ``n_clusters`` is the scale knob: pick
+    k ≈ n / target_cluster_size and the per-cluster self-join stays
+    bounded no matter how big the corpus gets (the paper runs 50k
+    clusters over LAION). The tradeoff is recall at cluster borders —
+    a near-dup pair split across two clusters is not scored — which is
+    the documented SemDeDup semantics, not an approximation defect; the
+    deterministic k-means makes the blocking (and so the exact result)
+    reproducible cross-engine, unlike the paper's RNG k-means.
+
+    Shuffle shape: one assignment scan, then one self-equi-join keyed on
+    the cluster id (skew bounded by the k knob). Cosines use the same
+    sequential-fold expression the oracle's list_sum replays."""
+    from weather_monitoring_spark.operators.similarity import (
+        COSINE_NEARDUP_THRESHOLD,
+        norm_expr,
+    )
+
+    if threshold is None:
+        threshold = COSINE_NEARDUP_THRESHOLD
+    cent = kmeans_train(emb, n_clusters, n_iters, id_col, vec_col)
+    base = emb.select(
+        F.col(id_col), F.col(vec_col), _unit_expr(vec_col).alias("_u")
+    )
+    cluster, _cos = _assign_cols("_u", cent)
+    t = base.select(F.col(id_col), F.col(vec_col), cluster.alias("_kc"))
+    a = t.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm_expr(vec_col).alias("na"),
+        F.col("_kc"),
+    )
+    b = t.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm_expr(vec_col).alias("nb"),
+        F.col("_kc"),
+    )
+    return (
+        a.join(b, "_kc")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot_expr("va", "vb") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semdedup_survivors(
+    emb: DataFrame,
+    n_clusters: int = KMEANS_CLUSTERS,
+    n_iters: int = KMEANS_ITERS,
+    threshold: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full SemDeDup stage: cluster-scoped near-dup pairs -> connected
+    components -> one survivor per component (min-id keeper) ->
+    (id, cluster, survivor) — same contract as the global
+    x_semantic_dedup, at Σ cluster_size² cost instead of n²."""
+    from weather_monitoring_spark.operators.graph import dedup_clusters
+
+    pairs = semdedup_pairs(emb, n_clusters, n_iters, threshold, id_col, vec_col)
+    return dedup_clusters(emb, pairs.select("id_a", "id_b"), id_col=id_col)
+
+
 # ---- DuckDB oracle mirrors ------------------------------------------------
 
 

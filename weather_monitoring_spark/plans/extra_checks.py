@@ -2355,3 +2355,67 @@ EXTRA_SPECS.extend(
         ),
     ]
 )
+
+
+def _semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-scoped semantic dedup): deterministic k-means
+    blocks the corpus, exact cosine pairs are scored only within each
+    cluster (quadratic cost drops n² -> Σ cluster_size², the k knob),
+    connected components elect one min-id survivor per component. The
+    cross-cluster-pair recall tradeoff is the published SemDeDup
+    semantics; the deterministic quantized k-means makes the blocking
+    itself reproducible, so the oracle replays the ENTIRE pipeline —
+    clustering included — and ids must match exactly."""
+    from weather_monitoring_spark.operators.clustering import semdedup_survivors
+
+    return semdedup_survivors(load_table(spark, sf_dir, "embeddings"))
+
+
+def _o_semdedup():
+    from weather_monitoring_spark.operators.clustering import (
+        KMEANS_CLUSTERS,
+        KMEANS_ITERS,
+        _o_kmeans_ctes,
+    )
+
+    ctes = _o_kmeans_ctes(
+        KMEANS_CLUSTERS, KMEANS_ITERS, 64, "embeddings", "vec_id", "embedding"
+    )
+    return f"""
+        WITH RECURSIVE {ctes},
+        asg AS (
+            SELECT t.vec_id, t.embedding, s.c
+            FROM embeddings t JOIN a{KMEANS_ITERS} s ON s.vec_id = t.vec_id
+        ),
+        dup_pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM asg a JOIN asg b ON a.c = b.c AND a.vec_id < b.vec_id
+            WHERE {_o_cosine('a.embedding', 'b.embedding')} >= {COSINE_NEARDUP_THRESHOLD}
+        ),
+        sym AS (
+            SELECT id_a AS ga, id_b AS gb FROM dup_pairs
+            UNION
+            SELECT id_b, id_a FROM dup_pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT ga, ga FROM sym
+            UNION
+            SELECT s.gb, r.lbl FROM reach r JOIN sym s ON s.ga = r.node
+        ),
+        comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+        SELECT e.vec_id,
+               CAST(coalesce(c.component, e.vec_id) AS BIGINT) AS cluster,
+               e.vec_id = CAST(coalesce(c.component, e.vec_id) AS BIGINT) AS survivor
+        FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+    """
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_semdedup_survivors",
+        doc=_semdedup_survivors.__doc__ or "",
+        spark=_semdedup_survivors,
+        oracle=_o_semdedup(),
+        tags=("extra", "embeddings", "clustering", "dedup", "pipeline"),
+    )
+)
