@@ -114,6 +114,67 @@ def main() -> None:
     out["psl_domains"] = int(ds["domains"])
     out["psl_docs_covered"] = int(ds["docs"])
 
+    # --- embedding clustering family (k-means / SemDeDup) --------------
+    # 64-dim synthetic embeddings with 3 planted direction bundles (30%
+    # of rows) over a uniform background, plus 1% exact-duplicate rows so
+    # SemDeDup has real work. GEMM assignment is the scale path; the
+    # fold path is the oracle-exact one (clustering.py).
+    from weather_monitoring_spark.operators.clustering import (
+        cluster_balanced_sample,
+        kmeans_assign,
+        kmeans_train,
+        semdedup_survivors,
+    )
+
+    n_vec = int(os.environ.get("SPARK_GRAFT_PROBE_VECS", str(n_docs // 2)))
+    emb = (
+        spark.range(n_vec)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 64), i -> CAST("
+                "CASE WHEN id % 10 < 3 AND i - 1 = id % 3 THEN 10.0 ELSE "
+                "CAST(conv(substring(md5(concat(id - (id % 100), ':', i)), 1, 8), 16, 10) AS DOUBLE)"
+                " / 4294967296.0 - 0.5 END AS FLOAT))"
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.perf_counter()
+    cent = kmeans_train(emb, n_clusters=64, n_iters=2)
+    out["kmeans_train_sec"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    asg = kmeans_assign(emb, cent, method="gemm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cos").alias("s"),
+        F.count_distinct("cluster").alias("k"),
+    ).first()
+    out["kmeans_assign_sec"] = round(time.perf_counter() - t0, 2)
+    out["kmeans_rows"] = int(asg["n"])
+    out["kmeans_clusters_used"] = int(asg["k"])
+
+    t0 = time.perf_counter()
+    bal = cluster_balanced_sample(emb, cap=1000, n_clusters=64).count()
+    out["cluster_sample_sec"] = round(time.perf_counter() - t0, 2)
+    out["cluster_sample_rows"] = int(bal)
+
+    # SemDeDup at a bounded size: the id-mod-100 seed above makes every
+    # block of 100 consecutive background ids IDENTICAL vectors, so the
+    # within-cluster join has dense planted collisions — the worst
+    # realistic shape for the Σ cluster_size² bound.
+    sd_n = min(n_vec, int(os.environ.get("SPARK_GRAFT_PROBE_SEMDEDUP", "200000")))
+    sd = emb.filter(F.col("vec_id") < sd_n)
+    t0 = time.perf_counter()
+    surv = semdedup_survivors(sd, n_clusters=max(64, int(sd_n ** 0.5)), threshold=0.99)
+    kept = surv.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("survivor").cast("long")).alias("kept"),
+    ).first()
+    out["semdedup_n"] = sd_n
+    out["semdedup_sec"] = round(time.perf_counter() - t0, 2)
+    out["semdedup_rows"] = int(kept["n"])
+    out["semdedup_survivors"] = int(kept["kept"])
+
     print(json.dumps(out))
     spark.stop()
 

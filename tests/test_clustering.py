@@ -146,3 +146,34 @@ def test_semdedup_drops_planted_duplicates(spark):
         # copy 100+i clusters with original i; only the original survives
         assert rows[100 + i]["cluster"] == rows[i]["cluster"] == i
         assert rows[i]["survivor"] and not rows[100 + i]["survivor"]
+
+
+def test_gemm_training_partitioning_invariance_and_large_k(spark):
+    """The large-k training path keeps the quantized-update property:
+    bit-identical centroids at 3 vs 17 input partitions (numpy unit
+    normalization is per-row, the int64 sums are order-free)."""
+    base = _synth_emb(spark, 400)
+    runs = []
+    for parts in (3, 17):
+        cent = kmeans_train(
+            base.repartition(parts), n_clusters=40, n_iters=2, method="gemm"
+        )
+        runs.append([[v.hex() for v in row] for row in cent])
+    assert runs[0] == runs[1]
+
+
+def test_semdedup_gemm_matches_fold_on_planted_copies(spark):
+    """Exact duplicate vectors land in the same cluster under either
+    assignment path, so the survivor sets agree on the planted corpus."""
+    from weather_monitoring_spark.operators.clustering import semdedup_survivors
+
+    base = _synth_emb(spark, 50)
+    copies = _synth_emb(spark, 50).filter("vec_id < 10").withColumn(
+        "vec_id", F.col("vec_id") + 100
+    )
+    emb = base.unionByName(copies)
+    fold = sorted(map(tuple, semdedup_survivors(emb, threshold=0.99).collect()))
+    gemm = sorted(
+        map(tuple, semdedup_survivors(emb, threshold=0.99, method="gemm").collect())
+    )
+    assert fold == gemm

@@ -114,16 +114,61 @@ def _centroid_from_qsums(qs: list[int]) -> list[float]:
     return [float(q) / nrm for q in qs]
 
 
+def _gemm_quantized_sums(
+    emb: DataFrame, centroids: list[list[float]], vec_col: str
+) -> DataFrame:
+    """Large-k training step: one Arrow-batched pass yielding (cluster,
+    q0..q{d-1}) per row — argmax assignment by GEMM, quantized unit
+    coordinates by ``np.floor(u * 2^36)`` (identical floor semantics to
+    the fold path's F.floor, so the downstream int64 sums keep the
+    partitioning-invariance property; the unit normalization itself is
+    numpy's pairwise summation, ulps apart from the fold path — which is
+    why the ORACLE pins method='fold' and gemm is the scale path)."""
+    import numpy as np
+
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    dim = cent.shape[1]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            mat /= norms
+            cells = np.argmax(mat @ cent.T, axis=1)
+            q = np.floor(mat * QUANT_SCALE).astype("int64")
+            out = pd.DataFrame({"cluster": cells.astype("int32")})
+            for i in range(dim):
+                out[f"q{i}"] = q[:, i]
+            yield out
+
+    schema = "cluster int, " + ", ".join(f"q{i} long" for i in range(dim))
+    return emb.select(vec_col).mapInPandas(gen, schema)
+
+
 def kmeans_train(
     emb: DataFrame,
     n_clusters: int = KMEANS_CLUSTERS,
     n_iters: int = KMEANS_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "fold",
 ) -> list[list[float]]:
     """Train deterministic spherical k-means; returns the centroid model
     (``n_clusters`` unit-vector rows — driver-side by design, it IS the
-    model). See module docstring for the reproducibility construction."""
+    model). See module docstring for the reproducibility construction.
+
+    ``method="fold"`` is the oracle-exact path (k fold expression trees —
+    fine to a few dozen clusters); ``method="gemm"`` is the large-k path
+    (one Arrow matmul per batch; still deterministic and
+    partitioning-invariant, but its unit normalization is numpy's, so it
+    is its OWN reproducible sequence, not the oracle's)."""
+    if method not in ("fold", "gemm"):
+        raise ValueError(f"unknown assignment method: {method}")
     unit = emb.select(
         F.col(id_col).alias("_kid"), _unit_expr(vec_col).alias("u")
     )
@@ -139,16 +184,20 @@ def kmeans_train(
     dim = len(centroids[0])
     scale = F.lit(QUANT_SCALE)
     for _ in range(n_iters):
-        cluster, _cos = _assign_cols("u", centroids)
-        sums = (
-            unit.select(cluster.alias("cluster"), "u")
-            .groupBy("cluster")
-            .agg(
+        if method == "gemm":
+            quant = _gemm_quantized_sums(emb, centroids, vec_col)
+        else:
+            cluster, _cos = _assign_cols("u", centroids)
+            quant = unit.select(
+                cluster.alias("cluster"),
                 *[
-                    F.sum(F.floor(F.col("u")[i] * scale).cast("long")).alias(f"q{i}")
+                    F.floor(F.col("u")[i] * scale).cast("long").alias(f"q{i}")
                     for i in range(dim)
-                ]
+                ],
             )
+        sums = (
+            quant.groupBy("cluster")
+            .agg(*[F.sum(f"q{i}").alias(f"q{i}") for i in range(dim)])
             .collect()
         )
         nxt = [list(c) for c in centroids]  # empty clusters keep position
@@ -268,6 +317,7 @@ def semdedup_pairs(
     threshold: float | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "fold",
 ) -> DataFrame:
     """SemDeDup candidate generation (Abbas et al. 2023): exact cosine
     near-dup pairs computed only WITHIN each k-means cluster ->
@@ -291,12 +341,22 @@ def semdedup_pairs(
 
     if threshold is None:
         threshold = COSINE_NEARDUP_THRESHOLD
-    cent = kmeans_train(emb, n_clusters, n_iters, id_col, vec_col)
-    base = emb.select(
-        F.col(id_col), F.col(vec_col), _unit_expr(vec_col).alias("_u")
-    )
-    cluster, _cos = _assign_cols("_u", cent)
-    t = base.select(F.col(id_col), F.col(vec_col), cluster.alias("_kc"))
+    cent = kmeans_train(emb, n_clusters, n_iters, id_col, vec_col, method)
+    if method == "gemm":
+        # large-k blocking: cluster labels ride the Arrow pass; the pair
+        # scoring below stays the JVM-side exact fold either way
+        t = emb.select(F.col(id_col), F.col(vec_col)).join(
+            kmeans_assign(emb, cent, id_col, vec_col, "gemm").select(
+                F.col(id_col), F.col("cluster").alias("_kc")
+            ),
+            id_col,
+        )
+    else:
+        base = emb.select(
+            F.col(id_col), F.col(vec_col), _unit_expr(vec_col).alias("_u")
+        )
+        cluster, _cos = _assign_cols("_u", cent)
+        t = base.select(F.col(id_col), F.col(vec_col), cluster.alias("_kc"))
     a = t.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
@@ -325,6 +385,7 @@ def semdedup_survivors(
     threshold: float | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "fold",
 ) -> DataFrame:
     """Full SemDeDup stage: cluster-scoped near-dup pairs -> connected
     components -> one survivor per component (min-id keeper) ->
@@ -332,7 +393,9 @@ def semdedup_survivors(
     x_semantic_dedup, at Σ cluster_size² cost instead of n²."""
     from weather_monitoring_spark.operators.graph import dedup_clusters
 
-    pairs = semdedup_pairs(emb, n_clusters, n_iters, threshold, id_col, vec_col)
+    pairs = semdedup_pairs(
+        emb, n_clusters, n_iters, threshold, id_col, vec_col, method
+    )
     return dedup_clusters(emb, pairs.select("id_a", "id_b"), id_col=id_col)
 
 
