@@ -228,6 +228,37 @@ def _score_probe(spark, sf_dir):
     return quality_scores(load_table(spark, sf_dir, "documents"))
 
 
+def _kmeans_probe(spark, sf_dir):
+    from weather_monitoring_spark.operators.clustering import kmeans_embeddings
+    from weather_monitoring_spark.sources.tables import load_table
+
+    return kmeans_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+def _semdedup_probe(spark, sf_dir):
+    from weather_monitoring_spark.operators.clustering import semdedup_survivors
+    from weather_monitoring_spark.sources.tables import load_table
+
+    return semdedup_survivors(load_table(spark, sf_dir, "embeddings"))
+
+
+EXTRA_SHOWCASE["kmeans_embeddings (library operator)"] = (
+    _kmeans_probe,
+    "the k-means ASSIGNMENT is a Project chain over the scan — no "
+    "Exchange: unit normalization, k fold dot products, and the "
+    "argmax-struct all evaluate inside whole-stage codegen (training "
+    "iterations each add one tiny k x dim int64 combine, not shown - "
+    "same plan shape per pass)",
+)
+
+EXTRA_SHOWCASE["semdedup_survivors (library operator)"] = (
+    _semdedup_probe,
+    "SemDeDup: the only corpus-sized exchange keys on the k-means "
+    "cluster id (the blocking), the pair join is cluster-local, and the "
+    "connected-components fixpoint sees only the near-dup pair ids - "
+    "never the vectors",
+)
+
 EXTRA_SHOWCASE["quality_scores (library operator)"] = (
     _score_probe,
     "the classifier gate is a Project chain over the scan — no Exchange: "
