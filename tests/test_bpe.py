@@ -282,3 +282,33 @@ def test_fixture_budget_delta_band(spark):
     agg = count_bpe_tokens(docs).groupBy().sum("n_tokens_ws", "n_tokens_bpe").collect()[0]
     assert agg[0] == agg[1]  # fixture: ratio exactly 1.0
     assert TOK.count(NATURAL) > len(NATURAL.split())
+
+
+def test_shards_with_token_ids(spark, tmp_path):
+    """emit_token_ids=True: shards carry input_ids, size(input_ids)
+    equals the budgeted n_tokens row-for-row under the BPE counter, the
+    ids replay the driver tokenizer, and the manifest still verifies."""
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.operators.tokenize import bpe_token_counter
+    from weather_monitoring_spark.operators.training_prep import (
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}. " + NATURAL) for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "shards")
+    counter = bpe_token_counter()
+    write_training_shards(
+        df, out, budget=200, token_counter=counter, emit_token_ids=True
+    )
+    written = spark.read.parquet(out)
+    assert "input_ids" in written.columns
+    bad = written.filter(F.size("input_ids") != F.col("n_tokens")).count()
+    assert bad == 0
+    row = written.filter("doc_id = 7").select("input_ids").first()
+    assert list(row["input_ids"]) == TOK.encode("doc 7. " + NATURAL)
+    assert verify_training_shards(spark, out, token_counter=counter).count() == 0

@@ -362,11 +362,19 @@ def write_training_shards(
     shuffle: bool = False,
     file_format: str = "parquet",
     token_counter: TokenCounter | None = None,
+    emit_token_ids: bool = False,
 ) -> DataFrame:
     """Materialize the packed corpus as ``shard_id=N/`` partitions
     (``file_format`` "parquet" or "json" — JSONL is what most training
     loaders consume) plus a deterministic manifest, and return the
     manifest.
+
+    ``emit_token_ids=True`` adds an ``input_ids ARRAY<BIGINT>`` column
+    (``tokenize.bpe_encode_expr`` — one Arrow pass riding the same write
+    job), making the shards loader-ready without a re-tokenization pass.
+    Pair it with ``token_counter=bpe_token_counter()`` so the budgeted
+    ``n_tokens`` equals ``size(input_ids)`` row-for-row (pinned by
+    tests/test_bpe.py::test_shards_with_token_ids).
 
     The write repartitions BY shard (each shard's documents land in one
     task => one file per shard, no small-files spray) and sorts within
@@ -386,6 +394,10 @@ def write_training_shards(
                                text_col=text_col, shuffle=shuffle,
                                token_counter=token_counter)
     data = docs.join(packed.select(id_col, "n_tokens", "cum_tokens", "shard_id"), id_col)
+    if emit_token_ids:
+        from weather_monitoring_spark.operators.tokenize import bpe_encode_expr
+
+        data = data.withColumn("input_ids", bpe_encode_expr(text_col))
     (
         data.repartition(F.col("shard_id"))
         .sortWithinPartitions("cum_tokens")
