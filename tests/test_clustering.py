@@ -177,3 +177,33 @@ def test_semdedup_gemm_matches_fold_on_planted_copies(spark):
         map(tuple, semdedup_survivors(emb, threshold=0.99, method="gemm").collect())
     )
     assert fold == gemm
+
+
+def test_streaming_assignment_matches_batch(spark, tmp_path):
+    """kmeans_assign is a pure projection, so it runs unchanged under
+    Structured Streaming (stream-static: the centroid model rides the
+    plan as literals) — incremental topic-tagging of an embedding
+    stream. Pinned: streaming output == batch output on the same rows,
+    both assignment methods."""
+    src = str(tmp_path / "emb_src")
+    _synth_emb(spark, 200).write.parquet(src)
+    static = spark.read.parquet(src)
+    cent = kmeans_train(static, n_clusters=4, n_iters=2)
+    for method in ("fold", "gemm"):
+        batch = sorted(
+            (r["vec_id"], r["cluster"]) for r in kmeans_assign(static, cent, method=method).collect()
+        )
+        stream = spark.readStream.schema(static.schema).parquet(src)
+        q = (
+            kmeans_assign(stream, cent, method=method)
+            .writeStream.format("memory")
+            .queryName(f"kmeans_stream_{method}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r["vec_id"], r["cluster"])
+            for r in spark.sql(f"SELECT * FROM kmeans_stream_{method}").collect()
+        )
+        assert got == batch
