@@ -154,7 +154,9 @@ def main() -> None:
     out["kmeans_clusters_used"] = int(asg["k"])
 
     t0 = time.perf_counter()
-    bal = cluster_balanced_sample(emb, cap=1000, n_clusters=64).count()
+    bal = cluster_balanced_sample(
+        emb, cap=1000, centroids=cent, method="gemm"
+    ).count()
     out["cluster_sample_sec"] = round(time.perf_counter() - t0, 2)
     out["cluster_sample_rows"] = int(bal)
 
@@ -165,7 +167,9 @@ def main() -> None:
     sd_n = min(n_vec, int(os.environ.get("SPARK_GRAFT_PROBE_SEMDEDUP", "200000")))
     sd = emb.filter(F.col("vec_id") < sd_n)
     t0 = time.perf_counter()
-    surv = semdedup_survivors(sd, n_clusters=max(64, int(sd_n ** 0.5)), threshold=0.99)
+    surv = semdedup_survivors(
+        sd, n_clusters=max(64, int(sd_n ** 0.5)), threshold=0.99, method="gemm"
+    )
     kept = surv.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("survivor").cast("long")).alias("kept"),

@@ -117,13 +117,18 @@ def _centroid_from_qsums(qs: list[int]) -> list[float]:
 def _gemm_quantized_sums(
     emb: DataFrame, centroids: list[list[float]], vec_col: str
 ) -> DataFrame:
-    """Large-k training step: one Arrow-batched pass yielding (cluster,
-    q0..q{d-1}) per row — argmax assignment by GEMM, quantized unit
-    coordinates by ``np.floor(u * 2^36)`` (identical floor semantics to
-    the fold path's F.floor, so the downstream int64 sums keep the
+    """Large-k training step: one Arrow-batched pass yielding AT MOST k
+    rows per batch — argmax assignment by GEMM, quantized unit
+    coordinates by ``np.floor(u * 2^36)`` summed per cluster INSIDE the
+    batch (int64 partial sums are associative, so pre-aggregating
+    changes nothing about the result while shrinking the Arrow transfer
+    and shuffle from n×(dim+1) cells to ~k×(dim+1) per batch; the
+    in-batch combine is a sort + ``np.add.reduceat`` — exact int64,
+    group order irrelevant). Identical floor semantics to the fold
+    path's F.floor, so the downstream int64 sums keep the
     partitioning-invariance property; the unit normalization itself is
     numpy's pairwise summation, ulps apart from the fold path — which is
-    why the ORACLE pins method='fold' and gemm is the scale path)."""
+    why the ORACLE pins method='fold' and gemm is the scale path."""
     import numpy as np
 
     cent = np.ascontiguousarray(centroids, dtype=np.float64)
@@ -141,9 +146,15 @@ def _gemm_quantized_sums(
             mat /= norms
             cells = np.argmax(mat @ cent.T, axis=1)
             q = np.floor(mat * QUANT_SCALE).astype("int64")
-            out = pd.DataFrame({"cluster": cells.astype("int32")})
+            # exact int64 partial sums per cluster present in this batch
+            order = np.argsort(cells, kind="stable")
+            sc = cells[order]
+            starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+            present = sc[starts]
+            sums = np.add.reduceat(q[order], starts, axis=0)
+            out = pd.DataFrame({"cluster": present.astype("int32")})
             for i in range(dim):
-                out[f"q{i}"] = q[:, i]
+                out[f"q{i}"] = sums[:, i]
             yield out
 
     schema = "cluster int, " + ", ".join(f"q{i} long" for i in range(dim))
@@ -273,10 +284,12 @@ def kmeans_embeddings(
     vec_col: str = "embedding",
     method: str = "fold",
 ) -> DataFrame:
-    """Train + assign in one call -> (id, cluster, cos)."""
+    """Train + assign in one call -> (id, cluster, cos). ``method``
+    selects BOTH the training assignment step and the final assignment
+    (fold = oracle-exact, gemm = large-k scale path)."""
     return kmeans_assign(
         emb,
-        kmeans_train(emb, n_clusters, n_iters, id_col, vec_col),
+        kmeans_train(emb, n_clusters, n_iters, id_col, vec_col, method),
         id_col,
         vec_col,
         method,
@@ -290,16 +303,25 @@ def cluster_balanced_sample(
     n_iters: int = KMEANS_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "fold",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Keep at most ``cap`` vectors per k-means cluster, chosen by the
     deterministic md5 rank WITHIN the cluster -> (id, cluster,
     cluster_rank). This is the anti-head-domination sampler: a topic
     that is 60% of the crawl and a topic that is 0.1% contribute equally
     once both exceed the cap. One extra shuffle over the assignment
-    (window by cluster); ranks move (id, cluster) pairs only."""
-    assigned = kmeans_embeddings(
-        emb, n_clusters, n_iters, id_col, vec_col, method="fold"
-    )
+    (window by cluster); ranks move (id, cluster) pairs only.
+
+    Pass ``centroids`` (from ``kmeans_train``) to sample against an
+    existing model instead of retraining; ``method="gemm"`` for large
+    k (same tradeoff as ``kmeans_assign``)."""
+    if centroids is not None:
+        assigned = kmeans_assign(emb, centroids, id_col, vec_col, method)
+    else:
+        assigned = kmeans_embeddings(
+            emb, n_clusters, n_iters, id_col, vec_col, method
+        )
     w = Window.partitionBy("cluster").orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )
