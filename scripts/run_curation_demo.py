@@ -80,7 +80,14 @@ def main() -> None:
     from weather_monitoring_spark.pipelines import curate_crawl
     from weather_monitoring_spark.session import get_spark
 
-    spark = get_spark(app_name="wms-curation-demo")
+    # Million-page runs need an executor-realistic heap (the 1g JVM
+    # default is a test setting) — same knob as the scale probes.
+    spark = get_spark(
+        app_name="wms-curation-demo",
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_PROBE_MEM", "8g")
+        },
+    )
     tmp = tempfile.mkdtemp(prefix="wms_curate_")
     out: dict[str, float | int] = {"n_docs": n_docs}
     t_all = time.perf_counter()
