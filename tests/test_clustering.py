@@ -207,3 +207,21 @@ def test_streaming_assignment_matches_batch(spark, tmp_path):
             for r in spark.sql(f"SELECT * FROM kmeans_stream_{method}").collect()
         )
         assert got == batch
+
+
+def test_ivf_train_partitioning_invariance(spark):
+    """The IVF trainer now shares the quantized Lloyd update: centroids
+    are bit-identical no matter how the input is partitioned (the old
+    F.avg summed doubles in shuffle-arrival order — on a real cluster a
+    re-run could build a different index than the one it audited)."""
+    from weather_monitoring_spark.operators.similarity import ivf_train
+
+    base = _synth_emb(spark, 400).withColumn(
+        "embedding",
+        F.expr("transform(embedding, x -> x)"),
+    )
+    runs = []
+    for parts in (3, 17):
+        cent = ivf_train(base.repartition(parts), n_cells=16, n_iters=2)
+        runs.append([[float(v).hex() for v in row] for row in cent])
+    assert runs[0] == runs[1]

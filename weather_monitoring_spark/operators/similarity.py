@@ -604,11 +604,23 @@ def ivf_train(
     ``n_cells`` vectors with the smallest ``md5(id)`` (an engine-portable
     'random' sample, picked by TakeOrderedAndProject — no RNG), then
     ``n_iters`` Lloyd rounds. Each round is one distributed assignment
-    GEMM (``_ivf_assign``) followed by a 64-column avg aggregate — the
-    only shuffle is the tiny (cell, partial-mean) combine; vectors never
-    leave their partitions. Returns ``np.ndarray [n_cells, dim]`` of unit
-    centroids — k rows, intentionally driver-side (it IS the model)."""
+    GEMM (``_ivf_assign``) followed by a tiny (cell, quantized-sum)
+    combine; vectors never leave their partitions. Returns
+    ``np.ndarray [n_cells, dim]`` of unit centroids — k rows,
+    intentionally driver-side (it IS the model).
+
+    The Lloyd mean uses the QUANTIZED update (``floor(v_i * 2^36)``
+    summed as int64 — operators/clustering.py's construction): the
+    previous ``F.avg`` summed doubles in shuffle-arrival order, which on
+    a real cluster varies run-to-run in ulps and can flip cell
+    boundaries — the index a re-run builds would differ from the one it
+    audited. Integer sums are order-free, so the trained centroids are
+    bit-identical under any partitioning (spherical k-means uses the
+    direction only, so normalizing the sum equals normalizing the
+    mean)."""
     import numpy as np
+
+    from weather_monitoring_spark.operators.clustering import QUANT_SCALE
 
     seeds = (
         emb.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
@@ -622,15 +634,20 @@ def ivf_train(
     cent /= norms
     dim = cent.shape[1]
     for _ in range(n_iters):
-        means = (
+        sums = (
             _ivf_assign(emb, cent, id_col, vec_col, carry_vec=True)
             .groupBy("cell")
-            .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)])
+            .agg(
+                *[
+                    F.sum(F.floor(F.col("v")[i] * F.lit(QUANT_SCALE)).cast("long")).alias(f"q{i}")
+                    for i in range(dim)
+                ]
+            )
             .collect()
         )
         new = cent.copy()  # empty cells keep their previous centroid
-        for r in means:
-            v = np.array([r[f"m{i}"] for i in range(dim)], dtype=np.float64)
+        for r in sums:
+            v = np.array([r[f"q{i}"] for i in range(dim)], dtype=np.float64)
             n = np.linalg.norm(v)
             if n > 0:
                 new[r["cell"]] = v / n
