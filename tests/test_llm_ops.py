@@ -39,6 +39,46 @@ def test_minhash_lsh_recall_vs_exact(spark):
     assert not missed, f"LSH missed high-similarity pairs: {missed}"
 
 
+def test_minhash_methods_agree(spark):
+    """The zero-shuffle Arrow signature path must be bit-identical to the
+    legacy explode+agg path — same integer math ((h*a+b) mod P over
+    int64), different execution shape. Full row compare including every
+    band key."""
+    from weather_monitoring_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    arrow = {
+        r["doc_id"]: tuple(r)
+        for r in minhash_signatures(docs, method="arrow").collect()
+    }
+    agg = {
+        r["doc_id"]: tuple(r)
+        for r in minhash_signatures(docs, method="agg").collect()
+    }
+    assert arrow == agg
+    with pytest.raises(ValueError):
+        minhash_signatures(docs, method="nope")
+
+
+def test_minhash_arrow_handles_empty_and_null_docs(spark):
+    """Shingle-less documents (< 3 tokens) and NULL text produce the
+    all-null-minhash row (sig '') on both paths."""
+    from weather_monitoring_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "hi"), (2, None), (3, "one two three four")],
+        "doc_id long, text string",
+    )
+    for method in ("arrow", "agg"):
+        rows = {
+            r["doc_id"]: r["sig"]
+            for r in minhash_signatures(docs, method=method).collect()
+        }
+        assert rows[1] == ""
+        assert rows[2] == ""
+        assert rows[3] != ""
+
+
 def test_jaccard_threshold_separates_planted_pairs(spark):
     docs = load_table(spark, SF_SMALL, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD).collect()

@@ -32,10 +32,18 @@ def tokens_expr(col: str) -> Column:
 
 
 def shingles_expr(tokens_col: str) -> Column:
-    """Distinct word 3-grams (sets, for Jaccard/MinHash)."""
+    """Distinct word 3-grams (sets, for Jaccard/MinHash).
+
+    The ``size >= N`` CASE guard is load-bearing: Spark's
+    ``sequence(1, 0)`` is the DESCENDING ``[1, 0]``, not empty (unlike
+    DuckDB's ``range``), so a 1-2-token document would index past the
+    token array and throw. Short and NULL-text documents get the empty
+    shingle set — matching the oracle's ``range(1, 1) = []``."""
     return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size({tokens_col}) - 2, 0)),"
+        f"CASE WHEN size({tokens_col}) >= {SHINGLE_N} THEN"
+        f" array_distinct(transform(sequence(1, size({tokens_col}) - 2),"
         f" i -> concat_ws(' ', {tokens_col}[i-1], {tokens_col}[i], {tokens_col}[i+1])))"
+        f" ELSE CAST(array() AS array<string>) END"
     )
 
 
@@ -83,6 +91,29 @@ def minhash_params(k: int) -> tuple[int, int]:
 def shingle_hashes_sql(shingles_col: str) -> str:
     """Spark SQL: one 32-bit md5-derived hash per shingle (computed once)."""
     return f"transform({shingles_col}, s -> {h32_sql('mh', 's')})"
+
+
+#: Hex chars taken when packing an md5 digest into a BIGINT join key:
+#: 15 chars = 60 bits < 2^63, so the value is exact in both engines
+#: (Spark ``conv`` emits an unsigned decimal string that a BIGINT cast
+#: holds; DuckDB's '0x' literal cast likewise). Used for shuffle-borne
+#: keys (LSH band buckets, span gram keys): an 8-byte long replaces a
+#: 32-char hex string on every exchanged row — 4x fewer key bytes —
+#: at a 60-bit collision rate (~n^2/2^61 spurious candidates) far below
+#: the banding false-positive rate those keys already carry.
+H60_HEX_CHARS = 15
+
+
+def h60_from_md5_sql(md5_expr: str) -> str:
+    """Spark SQL: pack an md5 hex expression into a 60-bit BIGINT key."""
+    return (
+        f"CAST(conv(substring({md5_expr}, 1, {H60_HEX_CHARS}), 16, 10) AS BIGINT)"
+    )
+
+
+def o_h60_from_md5(md5_expr: str) -> str:
+    """DuckDB mirror of :func:`h60_from_md5_sql` — identical 60 bits."""
+    return f"CAST(('0x' || substr({md5_expr}, 1, {H60_HEX_CHARS})) AS BIGINT)"
 
 
 def minhash_sql(hashes_col: str, k: int) -> str:

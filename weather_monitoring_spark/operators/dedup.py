@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from weather_monitoring_spark.functions.text import (
     MINHASH_P,
     h32_from_hex_sql,
+    h60_from_md5_sql,
     minhash_params,
     shingle_hashes_sql,
     shingles_expr,
@@ -271,43 +272,127 @@ def ngram_jaccard_verify(
     return _jaccard_from_shared(shared, sizes, threshold)
 
 
-def minhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = MINHASH_K
-) -> DataFrame:
-    """(id, sig string, band_0..band_{b-1} hashes). The signature is the
-    dash-joined K minhashes (portable across engines; see functions/text.py).
+def _minhash_arrow_expr(hashes_col: str, k: int):
+    """Arrow-batched Column: array of shingle base hashes -> array of the
+    K minhashes, computed ROW-LOCALLY in vectorized numpy.
 
-    Plan shape: one md5 per DISTINCT shingle, explode, then the K
-    minhashes as K ``min()`` columns of a single hash aggregate. Spark's
-    higher-order array functions run interpreted lambdas, so the
-    per-row ``K x array_min(transform(...))`` formulation pays K
-    interpreted traversals per document — measured 2.3x slower than this
-    whole-stage-codegen'd explode+agg at K=81 (sf0.1). The exchange this
-    adds carries one (id, K ints) row per document — same digest-only
-    budget as the band join that consumes it. ``explode_outer`` keeps
-    shingle-less documents (all-null minhashes, sig ''), matching the
-    array formulation's ``array_min([]) = NULL``."""
+    Why a Pandas UDF here (the engine's documented slow path): the two
+    SQL formulations both cost more than the math requires — the
+    ``K x array_min(transform(...))`` per-row form pays K interpreted
+    lambda traversals (Spark higher-order functions don't codegen the
+    lambda), and the explode + K-column min() aggregate pays a full
+    corpus EXCHANGE whose partial rows carry K int64 cells each — the
+    r6 25x probe's first spill row (37.7→249 s between 2M and 5M docs
+    on the fixed-memory host). The per-document minhash needs neither:
+    all of a document's shingles sit in its own row, so one Arrow batch
+    pass computes every (h*a+b) mod P remix and segment-min with ZERO
+    shuffle. Exact integer math end-to-end (h < 2^32, a < 2^31 =>
+    products < 2^63 — int64-exact, the same bound the SQL forms rely
+    on), so the signatures are bit-identical to the aggregate path —
+    pinned by tests/test_llm_ops.py::test_minhash_methods_agree and the
+    unchanged q30 oracle."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    params = [minhash_params(i) for i in range(k)]
+
+    def _mh(s):
+        import numpy as np
+
+        arrs = [
+            None if x is None else np.asarray(x, dtype=np.int64) for x in s
+        ]
+        lens = np.array(
+            [0 if a is None else a.size for a in arrs], dtype=np.int64
+        )
+        nz = lens > 0
+        n_nz = int(nz.sum())
+        if n_nz == 0:
+            return pd.Series([None] * len(s), dtype=object)
+        flat = np.concatenate([a for a in arrs if a is not None and a.size])
+        starts = np.zeros(n_nz, dtype=np.int64)
+        np.cumsum(lens[nz][:-1], out=starts[1:])
+        mins = np.empty((n_nz, k), dtype=np.int64)
+        for i, (a, b) in enumerate(params):
+            mins[:, i] = np.minimum.reduceat(
+                (flat * a + b) % MINHASH_P, starts
+            )
+        out: list = []
+        j = 0
+        for keep in nz:
+            if keep:
+                out.append(mins[j].tolist())
+                j += 1
+            else:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    _mh.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_mh, "array<long>")(F.col(hashes_col))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    method: str = "arrow",
+) -> DataFrame:
+    """(id, sig string, band_0..band_{b-1} BIGINT bucket keys). The
+    signature is the dash-joined K minhashes (portable across engines;
+    see functions/text.py); each band key packs
+    ``md5(concat_ws('-', band minhashes))`` into a 60-bit BIGINT
+    (functions/text.h60_from_md5_sql — 8-byte shuffle keys instead of
+    32-char hex strings, mirrored by the DuckDB oracle).
+
+    ``method="arrow"`` (default): the shingle base hashes stay the
+    codegen'd md5 projection, and the K remix-mins are one row-local
+    Arrow pass (``_minhash_arrow_expr``) — the whole signature build is
+    a ZERO-SHUFFLE projection at any corpus size. ``method="agg"`` is
+    the legacy explode + K-column min() aggregate (one corpus exchange
+    with K int64 cells per partial row — the r6 25x probe's spill row);
+    kept as the all-JVM cross-check, bit-identical output
+    (tests/test_llm_ops.py pins agreement)."""
+    if method not in ("arrow", "agg"):
+        raise ValueError(f"unknown minhash method: {method!r}")
     with_sh = (
         docs.withColumn("_tk", tokens_expr(text_col))
         .withColumn("_sh", shingles_expr("_tk"))
     )
-    hashed = with_sh.select(
-        F.col(id_col),
-        F.explode_outer(F.expr(shingle_hashes_sql("_sh"))).alias("_h"),
-    )
-    aggs = []
-    for i in range(k):
-        a, b = minhash_params(i)
-        aggs.append(
-            F.min(F.expr(f"(_h * {a} + {b}) % {MINHASH_P}")).alias(f"mh_{i}")
+    if method == "arrow":
+        sigs = (
+            with_sh.select(
+                F.col(id_col),
+                F.expr(shingle_hashes_sql("_sh")).alias("_hs"),
+            )
+            .select(F.col(id_col), _minhash_arrow_expr("_hs", k).alias("_mh"))
+            .select(
+                F.col(id_col),
+                *[F.col("_mh")[i].alias(f"mh_{i}") for i in range(k)],
+            )
         )
-    sigs = hashed.groupBy(id_col).agg(*aggs)
+    else:
+        hashed = with_sh.select(
+            F.col(id_col),
+            F.explode_outer(F.expr(shingle_hashes_sql("_sh"))).alias("_h"),
+        )
+        aggs = []
+        for i in range(k):
+            a, b = minhash_params(i)
+            aggs.append(
+                F.min(F.expr(f"(_h * {a} + {b}) % {MINHASH_P}")).alias(f"mh_{i}")
+            )
+        sigs = hashed.groupBy(id_col).agg(*aggs)
     band_cols = []
     for b in range(LSH_BANDS):
         parts = ", ".join(
             f"CAST(mh_{b * LSH_ROWS + r} AS STRING)" for r in range(LSH_ROWS)
         )
-        band_cols.append(F.expr(f"md5(concat_ws('-', {parts}))").alias(f"band_{b}"))
+        band_cols.append(
+            F.expr(h60_from_md5_sql(f"md5(concat_ws('-', {parts}))")).alias(
+                f"band_{b}"
+            )
+        )
     sig_str = F.concat_ws("-", *[F.col(f"mh_{i}").cast("string") for i in range(k)])
     return sigs.select(F.col(id_col), sig_str.alias("sig"), *band_cols)
 
@@ -341,9 +426,11 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(docs, id_col, text_col)
     bands = sigs.select(
         F.col(id_col).alias("id"),
-        # 16-byte digest of the full signature: the exact-dedup key for
-        # hot-bucket star routing (identical docs <=> identical sigs).
-        F.md5(F.col("sig")).alias("fp"),
+        # 60-bit digest of the full signature: the exact-dedup key for
+        # hot-bucket star routing (identical docs <=> identical sigs),
+        # packed to a BIGINT so the pinned band table carries an 8-byte
+        # key instead of a 32-char hex string (oracle mirrors the pack).
+        F.expr(h60_from_md5_sql("md5(sig)")).alias("fp"),
         F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(LSH_BANDS)])).alias(
             "band_idx", "bh"
         ),

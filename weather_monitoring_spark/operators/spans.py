@@ -27,11 +27,13 @@ Scale shape (the 100 TB story):
 
 - Gram extraction is a map-side projection inside the scan — documents
   never shuffle to produce grams.
-- The duplicate-gram table shuffles (gram, doc_id) pairs once with
-  map-side partial aggregation; its output is bounded by the number of
-  *repeated* grams (1,115 of 23k at sf0.001 — typically orders of
-  magnitude below corpus token count), so the grams→flags join is
-  broadcast-eligible and AQE picks that up at runtime.
+- The duplicate-gram table shuffles (gram_key, doc_id) pairs once with
+  map-side partial aggregation — the gram key is an 8-byte packed md5
+  (``_gram_key_positions``), never the n-token gram string; its output
+  is bounded by the number of *repeated* grams (1,115 of 23k at
+  sf0.001 — typically orders of magnitude below corpus token count),
+  so the keys→flags join is broadcast-eligible and AQE picks that up
+  at runtime.
 - Span merging windows over flagged positions only — a per-document
   handful of (pos) rows, never tokens.
 - Masking re-joins the (doc_id, starts-array) table against the corpus:
@@ -50,7 +52,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from weather_monitoring_spark.functions.text import tokens_expr
+from weather_monitoring_spark.functions.text import h60_from_md5_sql, tokens_expr
 
 #: Span gram length, in tokens. Long enough that natural language almost
 #: never repeats it by chance (30-word vocab → 30^8 possible grams), short
@@ -93,6 +95,41 @@ def gram_positions(
     )
 
 
+def _gram_key_positions(
+    docs: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, pos, gk) — like :func:`gram_positions` but carrying a 60-bit
+    BIGINT gram key (``md5('sg:' || gram)`` packed per
+    functions/text.h60_from_md5_sql) instead of the gram string.
+
+    This is what the span-detection internals shuffle: an 8-byte key per
+    occurrence instead of the ~n-token text (the r6 25x probe's span
+    row spilled at 5M docs shuffling full 8-gram strings — 96.7→649 s).
+    Key equality stands in for gram equality at a 60-bit collision rate
+    (~occurrences²/2^61 — orders below the corpus's real duplication),
+    and the DuckDB oracles hash the same bytes, so cross-engine results
+    stay EXACTLY equal."""
+    gram = f"array_join(slice(_tk, i, {n}), ' ')"
+    gk = h60_from_md5_sql(f"md5(concat('sg', ':', {gram}))")
+    return (
+        docs.select(F.col(id_col), tokens_expr(text_col).alias("_tk"))
+        .filter(F.size("_tk") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(_tk) - {n} + 1),"
+                    f" i -> struct(CAST(i AS BIGINT) AS pos, {gk} AS gk))"
+                )
+            ).alias("_g"),
+        )
+        .select(id_col, "_g.pos", "_g.gk")
+    )
+
+
 def duplicated_grams(
     docs: DataFrame,
     n: int = DUP_SPAN_N,
@@ -127,19 +164,22 @@ def _flagged_positions(
     The gram table feeds both the duplicate aggregation and the flag
     join, so it is pinned (localCheckpoint, lazy) — without the pin the
     tokenize+explode pass over the full corpus runs twice (same pattern
-    as ``textops.bigram_lm``'s pair table)."""
-    grams = gram_positions(
+    as ``textops.bigram_lm``'s pair table). It carries the packed
+    60-bit gram KEY, not the gram string (``_gram_key_positions``), so
+    the pin, the aggregate exchange, and the flag join all move 8-byte
+    keys."""
+    grams = _gram_key_positions(
         docs, n=n, id_col=id_col, text_col=text_col
     ).localCheckpoint(eager=False)
     dup = (
-        grams.groupBy("gram")
+        grams.groupBy("gk")
         .agg(
             F.count_distinct(id_col).cast("long").alias("n_docs"),
             F.min(id_col).alias("keeper"),
         )
         .filter(F.col("n_docs") >= min_docs)
     )
-    flagged = grams.join(dup.select("gram", "keeper"), "gram")
+    flagged = grams.join(dup.select("gk", "keeper"), "gk")
     if keep_first:
         flagged = flagged.filter(F.col(id_col) != F.col("keeper"))
     return flagged.select(id_col, "pos")

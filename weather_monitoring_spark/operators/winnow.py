@@ -94,6 +94,34 @@ def winnow_fingerprints(
     )
 
 
+def _distinct_doc_fps(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct (id, fp) pairs with ZERO shuffle.
+
+    Every document is a single input row, so its distinct fingerprint
+    set can be computed ROW-LOCALLY (``array_distinct`` over the
+    winnowed selections' hashes) and exploded — the result is globally
+    distinct per (id, fp) because ``id_col`` is unique per row (the
+    corpus id contract). The previous formulation exploded (id, pos,
+    fp) and ran a global ``distinct()``: a full-corpus exchange whose
+    hash aggregate crossed into disk spill between 2M and 5M docs at
+    the 25x probe (r6 verdict finding #2c) — for an operation that
+    never needed to leave the row."""
+    fps, gh = _fps_sql(k, w)
+    fpset = f"array_distinct(transform({fps}, s -> s.fp))"
+    return (
+        docs.select(F.col(id_col).alias("id"), tokens_expr(text_col).alias("_tk"))
+        .filter(F.size("_tk") >= k + w - 1)
+        .select("id", F.expr(gh).alias("_gh"))
+        .select("id", F.explode(F.expr(fpset)).alias("fp"))
+    )
+
+
 def winnow_matches(
     docs: DataFrame,
     k: int = WINNOW_K,
@@ -112,10 +140,9 @@ def winnow_matches(
     license-header fingerprint across 1M docs must not drive a df²
     join), an int pins it, ``None`` disables (oracle cross-checks only).
     """
-    fp = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
-    # distinct (id, fp): multiplicity within a doc is irrelevant to
-    # matching, and dropping it first shrinks the join input.
-    dfp = fp.select(F.col(id_col).alias("id"), "fp").distinct()
+    # distinct (id, fp) computed row-locally — no global distinct
+    # exchange; multiplicity within a doc is irrelevant to matching.
+    dfp = _distinct_doc_fps(docs, k=k, w=w, id_col=id_col, text_col=text_col)
     return _match_pairs(docs, dfp, min_shared, max_fp_df)
 
 
@@ -187,11 +214,8 @@ def winnow_contamination(
     projections; the hit join carries (fp, id) pairs against the
     (typically tiny, broadcast-eligible) eval fingerprint set; the flag
     join returns one row per train doc."""
-    tf = (
-        winnow_fingerprints(train, k=k, w=w, id_col=id_col, text_col=text_col)
-        .select(F.col(id_col).alias("id"), "fp")
-        .distinct()
-    )
+    # per-doc distinct is row-local (_distinct_doc_fps) — zero shuffle
+    tf = _distinct_doc_fps(train, k=k, w=w, id_col=id_col, text_col=text_col)
     bf = (
         winnow_fingerprints(bench, k=k, w=w, id_col=id_col, text_col=text_col)
         .select("fp")
@@ -281,12 +305,14 @@ def fingerprint_index(
     this is written once per corpus snapshot via
     ``storage.bucketing.write_bucketed(index, table, ["fp"])`` and only
     APPENDED to as batches are accepted; extraction itself is the
-    zero-shuffle winnow projection."""
-    return (
-        winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
-        .select("fp", F.col(id_col).alias("id"))
-        .distinct()
-    )
+    zero-shuffle winnow projection — INCLUDING the per-document distinct,
+    which is computed row-locally (``_distinct_doc_fps``) so the index
+    build has no exchange at all. (The previous global ``distinct()``
+    was the 25x probe's third spill row — 101→664 s between 2M and 5M
+    docs — for a dedup the row already guaranteed.)"""
+    return _distinct_doc_fps(
+        docs, k=k, w=w, id_col=id_col, text_col=text_col
+    ).select("fp", "id")
 
 
 #: Batch-fingerprint count above which dedup_against_index stops forcing
@@ -349,10 +375,10 @@ def dedup_against_index(
     the history side still avoids its shuffle. ``broadcast_limit=None``
     skips the probe and never hints."""
     nf = (
-        winnow_fingerprints(new_docs, k=k, w=w, id_col=id_col, text_col=text_col)
-        .select(F.col(id_col).alias("_nid"), "fp")
-        .distinct()
+        _distinct_doc_fps(new_docs, k=k, w=w, id_col=id_col, text_col=text_col)
+        .select(F.col("id").alias("_nid"), "fp")
         # Pinned: the size probe and both joins reuse one evaluation.
+        # (per-doc distinct is row-local — no exchange to get here.)
         .localCheckpoint(eager=False)
     )
     batch_fps = nf.select("fp").distinct()

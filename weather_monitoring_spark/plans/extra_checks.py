@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from weather_monitoring_spark.functions.text import o_shingles, o_tokens
+from weather_monitoring_spark.functions.text import (
+    o_h60_from_md5,
+    o_shingles,
+    o_tokens,
+)
 from weather_monitoring_spark.operators.dedup import simhash_signatures
 from weather_monitoring_spark.operators.dedup import JACCARD_THRESHOLD
 from weather_monitoring_spark.operators.similarity import COSINE_NEARDUP_THRESHOLD
@@ -1275,7 +1279,10 @@ _O_GRAM_POS = f"""
                 FROM tk WHERE len(t) >= {DUP_SPAN_N}
             ), gp AS (
                 SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-                       array_to_string(t[pos:pos + {DUP_SPAN_N} - 1], ' ') AS gram
+                       {o_h60_from_md5(
+                           "md5('sg' || ':' || array_to_string("
+                           f"t[pos:pos + {DUP_SPAN_N} - 1], ' '))"
+                       )} AS gk
                 FROM pos
             )"""
 
@@ -1286,10 +1293,10 @@ EXTRA_SPECS.append(
         spark=_dup_spans,
         oracle=f"""
             WITH {_O_GRAM_POS}, dup AS (
-                SELECT gram FROM gp GROUP BY gram
+                SELECT gk FROM gp GROUP BY gk
                 HAVING count(DISTINCT doc_id) >= {DUP_SPAN_MIN_DOCS}
             ), fl AS (
-                SELECT doc_id, pos FROM gp JOIN dup USING (gram)
+                SELECT doc_id, pos FROM gp JOIN dup USING (gk)
             ), sess AS (
                 SELECT doc_id, pos,
                        CASE WHEN lag(pos) OVER w IS NULL
@@ -1318,11 +1325,11 @@ EXTRA_SPECS.append(
         spark=_strip_dup_spans,
         oracle=f"""
             WITH {_O_GRAM_POS}, dup AS (
-                SELECT gram, min(doc_id) AS keeper FROM gp GROUP BY gram
+                SELECT gk, min(doc_id) AS keeper FROM gp GROUP BY gk
                 HAVING count(DISTINCT doc_id) >= {DUP_SPAN_MIN_DOCS}
             ), fl AS (
                 SELECT gp.doc_id, gp.pos
-                FROM gp JOIN dup USING (gram) WHERE gp.doc_id <> dup.keeper
+                FROM gp JOIN dup USING (gk) WHERE gp.doc_id <> dup.keeper
             ), st AS (
                 SELECT doc_id, list(pos ORDER BY pos) AS starts
                 FROM fl GROUP BY doc_id

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from weather_monitoring_spark.functions.text import (
     o_h32,
     o_h32_from_hex,
+    o_h60_from_md5,
     o_minhash,
     o_shingle_hashes,
     o_shingles,
@@ -222,9 +223,14 @@ def _o_minhash_sig() -> str:
         f"CAST(mh_{i} AS VARCHAR)" for i in range(MINHASH_K)
     ) + ")"
     bands = ", ".join(
-        "md5(concat_ws('-', "
-        + ", ".join(f"CAST(mh_{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS))
-        + f")) AS band_{b}"
+        o_h60_from_md5(
+            "md5(concat_ws('-', "
+            + ", ".join(
+                f"CAST(mh_{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+            )
+            + "))"
+        )
+        + f" AS band_{b}"
         for b in range(LSH_BANDS)
     )
     return f"SELECT doc_id, {sig} AS sig, {bands} FROM (SELECT doc_id, {mh} FROM ({O_DOC_SHINGLE_HASHES}))"
@@ -253,7 +259,8 @@ def o_band_candidates(docs_table: str = "documents") -> str:
     q31, q50, and the cluster extras so the four compositions cannot
     drift from the operator."""
     bands_union = " UNION ALL ".join(
-        f"SELECT doc_id, md5(sig) AS fp, {b} AS band_idx, band_{b} AS bh FROM sigs"
+        f"SELECT doc_id, {o_h60_from_md5('md5(sig)')} AS fp,"
+        f" {b} AS band_idx, band_{b} AS bh FROM sigs"
         for b in range(LSH_BANDS)
     )
     return f"""sigs AS ({_o_minhash_sig()}),
