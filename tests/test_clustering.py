@@ -148,6 +148,61 @@ def test_semdedup_drops_planted_duplicates(spark):
         assert rows[i]["survivor"] and not rows[100 + i]["survivor"]
 
 
+def test_semdedup_degenerate_cluster_guard(spark):
+    """The adversarial all-identical-vector corpus: every vector lands in
+    ONE cluster, whose uncapped self-join is the n² blowup the blocking
+    exists to avoid. Under the default guard the pair set must be the
+    LINEAR star (n-1 pairs, min-id keeper) and survivors must equal the
+    unguarded exact result."""
+    from weather_monitoring_spark.operators.clustering import (
+        semdedup_pairs,
+        semdedup_survivors,
+    )
+
+    n = 200
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 6), i -> CAST(1.0 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    guarded = semdedup_pairs(emb).collect()
+    # auto cap = max(64, ceil(4*200/8)) = 100 < 200 -> guard fires:
+    # exactly the n-1 star pairs around the min id, never C(n,2).
+    assert len(guarded) == n - 1
+    assert all(r["id_a"] == 0 and r["cosine"] == 1.0 for r in guarded)
+    unguarded = semdedup_pairs(emb, max_cluster_size=None).collect()
+    assert len(unguarded) == n * (n - 1) // 2
+
+    s_g = sorted(
+        (r["vec_id"], r["cluster"], r["survivor"])
+        for r in semdedup_survivors(emb).collect()
+    )
+    s_u = sorted(
+        (r["vec_id"], r["cluster"], r["survivor"])
+        for r in semdedup_survivors(emb, max_cluster_size=None).collect()
+    )
+    assert s_g == s_u
+    assert sum(1 for _, _, surv in s_g if surv) == 1
+
+
+def test_quantized_sum_overflow_guard(spark, monkeypatch):
+    """kmeans_train / ivf_train must refuse to continue when a cluster
+    reaches the int64-overflow member bound (2^27) instead of wrapping
+    silently. The bound is monkeypatched small to make it reachable."""
+    import weather_monitoring_spark.operators.clustering as cl
+    from weather_monitoring_spark.operators.similarity import ivf_train
+
+    emb = _synth_emb(spark, 60)
+    monkeypatch.setattr(cl, "QUANT_MAX_MEMBERS", 8)
+    with pytest.raises(ValueError, match="overflow"):
+        kmeans_train(emb, n_clusters=2, n_iters=1)
+    with pytest.raises(ValueError, match="overflow"):
+        kmeans_train(emb, n_clusters=2, n_iters=1, method="gemm")
+    with pytest.raises(ValueError, match="overflow"):
+        ivf_train(emb, n_cells=2, n_iters=1)
+
+
 def test_gemm_training_partitioning_invariance_and_large_k(spark):
     """The large-k training path keeps the quantized-update property:
     bit-identical centroids at 3 vs 17 input partitions (numpy unit

@@ -39,6 +39,21 @@ def test_minhash_lsh_recall_vs_exact(spark):
     assert not missed, f"LSH missed high-similarity pairs: {missed}"
 
 
+def test_ivf_query_budget_guard(spark):
+    """ivf_topk / ivf_pq_topk collect query vectors driver-side; the
+    max_queries guard must refuse an over-budget query set with a clear
+    error instead of silently shipping it through the driver."""
+    from weather_monitoring_spark.operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    with pytest.raises(ValueError, match="max_queries"):
+        ivf_topk(emb, list(range(11)), max_queries=10)
+    with pytest.raises(ValueError, match="max_queries"):
+        ivf_pq_topk(emb, list(range(11)), max_queries=10)
+    # None overrides knowingly (tiny set here, just the escape hatch)
+    assert ivf_topk(emb, [0], k=3, max_queries=None).count() > 0
+
+
 def test_minhash_methods_agree(spark):
     """The zero-shuffle Arrow signature path must be bit-identical to the
     legacy explode+agg path — same integer math ((h*a+b) mod P over

@@ -68,9 +68,31 @@ from weather_monitoring_spark.operators.similarity import dot_expr
 QUANT_BITS = 36
 QUANT_SCALE = float(2**QUANT_BITS)  # 68719476736.0, exact as a double
 
+#: Hard member bound per cluster for the quantized update: past 2^27
+#: members a per-cluster int64 coordinate sum could exceed 2^63 and
+#: Spark's non-ANSI sum(long) would WRAP SILENTLY, corrupting the
+#: centroid. The training loops therefore count members alongside the
+#: sums and raise past the bound — the sizing rule is k >= n / 2^27
+#: (at 10^9 vectors: k >= 8; any production k is far above). Checked,
+#: not just documented (r6 ADVICE item).
+QUANT_MAX_MEMBERS = 1 << 27
+
 KMEANS_CLUSTERS = 8
 KMEANS_ITERS = 2
 CLUSTER_SAMPLE_CAP = 25
+
+#: SemDeDup degenerate-cluster guard (the sqrt-cap policy of
+#: dedup.band_df_cutoff, re-derived for clusters): a balanced k-means
+#: run puts ~n/k vectors in a cluster, so a cluster holding more than
+#: CAP_FACTOR times that is collapsed mass-duplication (the adversarial
+#: all-identical-vector corpus puts ALL n in one cluster and the
+#: cluster-local self-join re-creates the n² blowup the family exists
+#: to avoid). Over-cap clusters divert to exact-vector star pairs —
+#: linear in members, survivor-preserving for the identical-vector case
+#: that creates degenerate clusters in the first place. The MIN floor
+#: keeps tiny corpora on the exact path.
+SEMDEDUP_CLUSTER_CAP_FACTOR = 4
+SEMDEDUP_CLUSTER_CAP_MIN = 64
 
 
 def _unit_expr(vec_col: str) -> Column:
@@ -152,12 +174,20 @@ def _gemm_quantized_sums(
             starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
             present = sc[starts]
             sums = np.add.reduceat(q[order], starts, axis=0)
-            out = pd.DataFrame({"cluster": present.astype("int32")})
+            counts = np.diff(np.r_[starts, sc.size])
+            out = pd.DataFrame(
+                {
+                    "cluster": present.astype("int32"),
+                    "_n": counts.astype("int64"),
+                }
+            )
             for i in range(dim):
                 out[f"q{i}"] = sums[:, i]
             yield out
 
-    schema = "cluster int, " + ", ".join(f"q{i} long" for i in range(dim))
+    schema = "cluster int, _n long, " + ", ".join(
+        f"q{i} long" for i in range(dim)
+    )
     return emb.select(vec_col).mapInPandas(gen, schema)
 
 
@@ -201,6 +231,7 @@ def kmeans_train(
             cluster, _cos = _assign_cols("u", centroids)
             quant = unit.select(
                 cluster.alias("cluster"),
+                F.lit(1).cast("long").alias("_n"),
                 *[
                     F.floor(F.col("u")[i] * scale).cast("long").alias(f"q{i}")
                     for i in range(dim)
@@ -208,11 +239,26 @@ def kmeans_train(
             )
         sums = (
             quant.groupBy("cluster")
-            .agg(*[F.sum(f"q{i}").alias(f"q{i}") for i in range(dim)])
+            .agg(
+                F.sum("_n").alias("_n"),
+                *[F.sum(f"q{i}").alias(f"q{i}") for i in range(dim)],
+            )
             .collect()
         )
         nxt = [list(c) for c in centroids]  # empty clusters keep position
         for r in sums:
+            # Overflow guard: past QUANT_MAX_MEMBERS the int64 coordinate
+            # sum could exceed 2^63 and wrap silently (non-ANSI sum).
+            # The member count rides the same aggregate, so the check is
+            # exact and free.
+            if r["_n"] >= QUANT_MAX_MEMBERS:
+                raise ValueError(
+                    f"kmeans_train: cluster {r['cluster']} holds {r['_n']} "
+                    f">= 2^{QUANT_MAX_MEMBERS.bit_length() - 1} members — "
+                    "the quantized int64 Lloyd sum could overflow. Raise "
+                    "n_clusters (sizing rule: n_clusters >= n_vectors / "
+                    "2^27)."
+                )
             nxt[r["cluster"]] = _centroid_from_qsums(
                 [r[f"q{i}"] for i in range(dim)]
             )
@@ -340,6 +386,7 @@ def semdedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "fold",
+    max_cluster_size: int | str | None = "auto",
 ) -> DataFrame:
     """SemDeDup candidate generation (Abbas et al. 2023): exact cosine
     near-dup pairs computed only WITHIN each k-means cluster ->
@@ -353,9 +400,26 @@ def semdedup_pairs(
     deterministic k-means makes the blocking (and so the exact result)
     reproducible cross-engine, unlike the paper's RNG k-means.
 
+    ``max_cluster_size`` is the DEGENERATE-CLUSTER guard (the
+    hot-bucket cap policy of ``dedup.minhash_lsh_pairs``, applied to
+    the cluster-local pair join): ``"auto"`` (default) derives
+    ``max(SEMDEDUP_CLUSTER_CAP_MIN, ceil(CAP_FACTOR * n /
+    n_clusters))`` lazily as a broadcast 1-row aggregate, an int pins
+    it, ``None`` disables (oracle cross-checks). A cluster over the cap
+    is collapsed mass-duplication (an all-identical-vector corpus puts
+    all n vectors into ONE cluster, whose self-join would re-create
+    exactly the n² blowup the clustering exists to avoid); its members
+    divert to exact-vector star pairs — ``groupBy`` the vector VALUE
+    (engine-portable: array equality, no float formatting), min-id
+    keeper, cosine literal 1.0 — linear in members and
+    survivor-preserving for identical vectors. Near-identical (not
+    bit-equal) vectors inside an over-cap cluster trade recall for
+    boundedness, mirroring the LSH hot-bucket contract. The DuckDB
+    oracle replays the guard from the same constants.
+
     Shuffle shape: one assignment scan, then one self-equi-join keyed on
-    the cluster id (skew bounded by the k knob). Cosines use the same
-    sequential-fold expression the oracle's list_sum replays."""
+    the cluster id (skew bounded by the k knob AND the cap). Cosines use
+    the same sequential-fold expression the oracle's list_sum replays."""
     from weather_monitoring_spark.operators.similarity import (
         COSINE_NEARDUP_THRESHOLD,
         norm_expr,
@@ -379,25 +443,68 @@ def semdedup_pairs(
         )
         cluster, _cos = _assign_cols("_u", cent)
         t = base.select(F.col(id_col), F.col(vec_col), cluster.alias("_kc"))
-    a = t.select(
+    # Pin: the cluster-size aggregate and the pair join both consume the
+    # assignment; without the pin the k-fold/GEMM assignment runs twice.
+    t = t.localCheckpoint(eager=False)
+
+    hot_pairs = None
+    cold = t
+    if max_cluster_size is not None:
+        csz = t.groupBy("_kc").agg(F.count(F.lit(1)).alias("_csz"))
+        if max_cluster_size == "auto":
+            cut = emb.agg(
+                F.greatest(
+                    F.lit(SEMDEDUP_CLUSTER_CAP_MIN).cast("long"),
+                    F.ceil(
+                        F.lit(SEMDEDUP_CLUSTER_CAP_FACTOR)
+                        * F.count(F.lit(1))
+                        / F.lit(n_clusters)
+                    ),
+                ).alias("_cut")
+            )
+            hot = (
+                csz.crossJoin(F.broadcast(cut))
+                .filter(F.col("_csz") > F.col("_cut"))
+                .select("_kc")
+            )
+        else:
+            hot = csz.filter(F.col("_csz") > max_cluster_size).select("_kc")
+        # At most n_clusters rows by construction — broadcast both legs.
+        cold = t.join(F.broadcast(hot), "_kc", "left_anti")
+        members = t.join(F.broadcast(hot), "_kc", "left_semi")
+        keepers = members.groupBy(vec_col).agg(F.min(id_col).alias("_keeper"))
+        hot_pairs = (
+            members.join(keepers, vec_col)
+            .filter(F.col(id_col) > F.col("_keeper"))
+            .select(
+                F.col("_keeper").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(1.0).alias("cosine"),
+            )
+        )
+
+    a = cold.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
         norm_expr(vec_col).alias("na"),
         F.col("_kc"),
     )
-    b = t.select(
+    b = cold.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
         norm_expr(vec_col).alias("nb"),
         F.col("_kc"),
     )
-    return (
+    pairs = (
         a.join(b, "_kc")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", dot_expr("va", "vb") / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
+    if hot_pairs is not None:
+        pairs = pairs.unionByName(hot_pairs)
+    return pairs
 
 
 def semdedup_survivors(
@@ -408,15 +515,25 @@ def semdedup_survivors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "fold",
+    max_cluster_size: int | str | None = "auto",
 ) -> DataFrame:
     """Full SemDeDup stage: cluster-scoped near-dup pairs -> connected
     components -> one survivor per component (min-id keeper) ->
     (id, cluster, survivor) — same contract as the global
-    x_semantic_dedup, at Σ cluster_size² cost instead of n²."""
+    x_semantic_dedup, at Σ cluster_size² cost instead of n².
+    ``max_cluster_size`` is the degenerate-cluster guard (see
+    :func:`semdedup_pairs`)."""
     from weather_monitoring_spark.operators.graph import dedup_clusters
 
     pairs = semdedup_pairs(
-        emb, n_clusters, n_iters, threshold, id_col, vec_col, method
+        emb,
+        n_clusters,
+        n_iters,
+        threshold,
+        id_col,
+        vec_col,
+        method,
+        max_cluster_size,
     )
     return dedup_clusters(emb, pairs.select("id_a", "id_b"), id_col=id_col)
 

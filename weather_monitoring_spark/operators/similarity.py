@@ -34,6 +34,28 @@ PLANES_PER_TABLE = 4
 COSINE_NEARDUP_THRESHOLD = 0.4
 ANN_TOP_K = 10
 
+#: Driver-side query-set bound for the IVF probes: ``ivf_topk`` /
+#: ``ivf_pq_topk`` collect the QUERY vectors (never the corpus) to the
+#: driver to pick probe cells against the k-row centroid model — valid
+#: only while the query set is audit-sized. The guard makes the
+#: assumption executable (the ``fit_quality_classifier`` ``max_rows``
+#: precedent): past the bound the call raises instead of silently
+#: shipping a corpus through the driver. Batched/full-corpus scoring
+#: belongs to the distributed paths (``cosine_topk`` scores all pairs
+#: engine-side; ``ann_lsh_topk`` buckets corpus-vs-corpus).
+MAX_IVF_QUERIES = 10_000
+
+
+def _check_query_budget(query_ids, max_queries: int, op: str) -> None:
+    if max_queries is not None and len(query_ids) > max_queries:
+        raise ValueError(
+            f"{op}: {len(query_ids)} query ids exceed max_queries="
+            f"{max_queries}. The IVF probe stage collects QUERY vectors "
+            "driver-side (the centroid model is k rows); for query sets "
+            "beyond audit size, batch the calls or use the distributed "
+            "scoring paths. Pass max_queries=None to override knowingly."
+        )
+
 
 def dot_expr(a: str, b: str, dim: int | None = None) -> Column:
     """Sequential double-precision fold of the element products — the
@@ -620,7 +642,10 @@ def ivf_train(
     mean)."""
     import numpy as np
 
-    from weather_monitoring_spark.operators.clustering import QUANT_SCALE
+    from weather_monitoring_spark.operators.clustering import (
+        QUANT_MAX_MEMBERS,
+        QUANT_SCALE,
+    )
 
     seeds = (
         emb.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
@@ -638,6 +663,7 @@ def ivf_train(
             _ivf_assign(emb, cent, id_col, vec_col, carry_vec=True)
             .groupBy("cell")
             .agg(
+                F.count(F.lit(1)).alias("_n"),
                 *[
                     F.sum(F.floor(F.col("v")[i] * F.lit(QUANT_SCALE)).cast("long")).alias(f"q{i}")
                     for i in range(dim)
@@ -647,6 +673,15 @@ def ivf_train(
         )
         new = cent.copy()  # empty cells keep their previous centroid
         for r in sums:
+            # Same overflow guard as kmeans_train: the quantized int64
+            # cell sum is exact only below 2^27 members per cell.
+            if r["_n"] >= QUANT_MAX_MEMBERS:
+                raise ValueError(
+                    f"ivf_train: cell {r['cell']} holds {r['_n']} >= 2^27 "
+                    "members — the quantized int64 Lloyd sum could "
+                    "overflow. Raise n_cells (sizing rule: n_cells >= "
+                    "n_vectors / 2^27)."
+                )
             v = np.array([r[f"q{i}"] for i in range(dim)], dtype=np.float64)
             n = np.linalg.norm(v)
             if n > 0:
@@ -664,6 +699,7 @@ def ivf_topk(
     n_iters: int = IVF_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int | None = MAX_IVF_QUERIES,
 ) -> DataFrame:
     """IVF approximate top-k — the second ANN scale path next to
     random-hyperplane LSH (``ann_lsh_topk``).
@@ -680,9 +716,12 @@ def ivf_topk(
     bucketBy path for LSH). Recall is approximate by design (a true
     neighbor can sit in an unprobed cell) — rows-only checking plus recall
     assertions in tests, like the LSH variant. Since each vector has one
-    cell and probe pairs are distinct, candidate pairs need no dedup."""
+    cell and probe pairs are distinct, candidate pairs need no dedup.
+    ``max_queries`` bounds the driver-side query collect (see
+    MAX_IVF_QUERIES)."""
     import numpy as np
 
+    _check_query_budget(query_ids, max_queries, "ivf_topk")
     cent = ivf_train(emb, n_cells, n_iters, id_col, vec_col)
     assigned = _ivf_assign(emb, cent, id_col, vec_col).localCheckpoint(eager=False)
     qrows = (
@@ -721,6 +760,7 @@ def ivf_pq_topk(
     shortlist_factor: int = PQ_SHORTLIST_FACTOR,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int | None = MAX_IVF_QUERIES,
 ) -> DataFrame:
     """IVF + scalar-quantized coarse scan — the 100 TB composition of the
     two existing index structures: ``ivf_train``/``_ivf_assign`` bound
@@ -753,6 +793,7 @@ def ivf_pq_topk(
 
     from weather_monitoring_spark.operators.embeddings import quantize_embeddings
 
+    _check_query_budget(query_ids, max_queries, "ivf_pq_topk")
     cent = ivf_train(emb, n_cells, n_iters, id_col, vec_col)
     # The persisted-index analogue: cell assignment + quantized codes,
     # one row per corpus vector. Pinned — the probe join is its only

@@ -2382,22 +2382,46 @@ def _o_semdedup():
     from weather_monitoring_spark.operators.clustering import (
         KMEANS_CLUSTERS,
         KMEANS_ITERS,
+        SEMDEDUP_CLUSTER_CAP_FACTOR,
+        SEMDEDUP_CLUSTER_CAP_MIN,
         _o_kmeans_ctes,
     )
 
     ctes = _o_kmeans_ctes(
         KMEANS_CLUSTERS, KMEANS_ITERS, 64, "embeddings", "vec_id", "embedding"
     )
+    # The degenerate-cluster guard replayed from the same constants as
+    # semdedup_pairs(max_cluster_size="auto"): over-cap clusters divert
+    # to exact-vector star pairs (min-id keeper per identical embedding).
     return f"""
         WITH RECURSIVE {ctes},
         asg AS (
             SELECT t.vec_id, t.embedding, s.c
             FROM embeddings t JOIN a{KMEANS_ITERS} s ON s.vec_id = t.vec_id
         ),
+        ccut AS (
+            SELECT greatest({SEMDEDUP_CLUSTER_CAP_MIN},
+                            CAST(ceil({SEMDEDUP_CLUSTER_CAP_FACTOR} * count(*)
+                                      / {KMEANS_CLUSTERS}.0) AS BIGINT)) AS cut
+            FROM embeddings
+        ),
+        hotc AS (
+            SELECT c FROM asg GROUP BY c
+            HAVING count(*) > (SELECT cut FROM ccut)
+        ),
+        coldm AS (SELECT * FROM asg WHERE c NOT IN (SELECT c FROM hotc)),
+        hotm AS (SELECT * FROM asg WHERE c IN (SELECT c FROM hotc)),
+        hotkeep AS (
+            SELECT embedding, min(vec_id) AS keeper FROM hotm GROUP BY embedding
+        ),
         dup_pairs AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM asg a JOIN asg b ON a.c = b.c AND a.vec_id < b.vec_id
+            FROM coldm a JOIN coldm b ON a.c = b.c AND a.vec_id < b.vec_id
             WHERE {_o_cosine('a.embedding', 'b.embedding')} >= {COSINE_NEARDUP_THRESHOLD}
+            UNION ALL
+            SELECT k.keeper AS id_a, m.vec_id AS id_b
+            FROM hotm m JOIN hotkeep k ON m.embedding = k.embedding
+            WHERE m.vec_id > k.keeper
         ),
         sym AS (
             SELECT id_a AS ga, id_b AS gb FROM dup_pairs
