@@ -207,6 +207,63 @@ def test_spark_encode_matches_driver(spark, docs):
         assert r["n_tokens"] == len(r["ids"])
 
 
+def test_published_table_drop_in_swap(spark, tmp_path, monkeypatch):
+    """The drop-in claim, executable: a SECOND, differently-trained
+    merges/vocab pair in the standard file formats swaps in (a) via the
+    explicit-path arguments on the Spark exprs — count/encode must
+    match a driver-side load of the same files and differ from the
+    vendored table — and (b) via $WMS_BPE_DIR for
+    BPETokenizer.vendored()."""
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.functions.bpe import ENV_BPE_DIR
+    from weather_monitoring_spark.operators.tokenize import (
+        bpe_count_expr,
+        bpe_encode_expr,
+        bpe_token_counter,
+    )
+
+    # a deliberately tiny, different training corpus -> different merges
+    merges, vocab = train_bpe(
+        ["aaa bbb aaa bbb ccc", "aaa aaa bbb"], n_merges=20, min_freq=1
+    )
+    alt_dir = tmp_path / "alt_bpe"
+    mp, vp = str(alt_dir / "merges.txt"), str(alt_dir / "vocab.json")
+    save_tables(merges, vocab, mp, vp)
+    alt = BPETokenizer.load(mp, vp)
+    assert alt.merges != TOK.merges
+
+    df = spark.createDataFrame([(1, NATURAL), (2, "aaa bbb aaa")], "id long, text string")
+    got = {
+        r["id"]: (r["n_alt"], list(r["ids_alt"]), r["n_vendored"])
+        for r in df.select(
+            "id",
+            bpe_count_expr("text", mp, vp).alias("n_alt"),
+            bpe_encode_expr("text", mp, vp).alias("ids_alt"),
+            bpe_count_expr("text").alias("n_vendored"),
+        ).collect()
+    }
+    texts = {1: NATURAL, 2: "aaa bbb aaa"}
+    for i, text in texts.items():
+        n_alt, ids_alt, n_ven = got[i]
+        assert n_alt == alt.count(text)
+        assert ids_alt == alt.encode(text)
+        assert n_ven == TOK.count(text)
+    # the two tables genuinely disagree somewhere in this sample
+    assert any(got[i][0] != got[i][2] for i in texts)
+
+    # counter factory binds the alternate table
+    bound = bpe_token_counter(mp, vp)("text")
+    rows = {r["id"]: r["n"] for r in df.select("id", bound.alias("n")).collect()}
+    assert rows == {i: alt.count(t) for i, t in texts.items()}
+
+    # env route (driver-side resolution; executors need executorEnv)
+    monkeypatch.setenv(ENV_BPE_DIR, str(alt_dir))
+    assert BPETokenizer.vendored().merges == alt.merges
+    monkeypatch.delenv(ENV_BPE_DIR)
+    assert BPETokenizer.vendored().merges == TOK.merges
+
+
 def test_spark_count_null_shape(spark):
     from weather_monitoring_spark.operators.tokenize import bpe_count_expr
 
@@ -267,6 +324,82 @@ def test_write_training_shards_bpe_counter(spark, tmp_path):
     # wrong-counter verification: the mismatch is VISIBLE (BPE and
     # whitespace counts differ on this text), not silently absorbed
     assert verify_training_shards(spark, out).count() > 0
+
+
+def test_streaming_shard_packer_bpe_counter(spark, tmp_path):
+    """The streaming curation front door packs with the BPE counter:
+    per-batch shard token totals are BPE-denominated and obey the same
+    budget bounds as the batch packer on the same rows; a checkpointed
+    restart with no new data adds nothing (exactly-once)."""
+    import os
+
+    from weather_monitoring_spark.operators.tokenize import bpe_token_counter
+    from weather_monitoring_spark.operators.training_prep import (
+        verify_training_shards,
+        write_training_shards,
+    )
+    from weather_monitoring_spark.streaming.shard_stream import attach_shard_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [(i, f"doc {i}. " + NATURAL) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.filter("doc_id < 15").write.parquet(str(src / "a.parquet"))
+    df.filter("doc_id >= 15").write.parquet(str(src / "b.parquet"))
+
+    out, ck = str(tmp_path / "shards"), str(tmp_path / "ck")
+    counter = bpe_token_counter()
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        q = attach_shard_stream(
+            stream, out, ck, budget=200, token_counter=counter,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+    run()
+    batch_dirs = sorted(d for d in os.listdir(out) if d.startswith("batch_id="))
+    assert len(batch_dirs) >= 1
+    # each batch dir is a fully-formed shard tree: clean BPE-denominated
+    # verification, visible mismatch under the wrong counter
+    for d in batch_dirs:
+        bdir = os.path.join(out, d)
+        assert verify_training_shards(spark, bdir, token_counter=counter).count() == 0
+        assert verify_training_shards(spark, bdir).count() > 0
+
+    # streaming == batch shard bounds: the union of per-batch manifests
+    # budgets exactly like the batch writer over the same rows — total
+    # tokens equal, and every multi-doc shard within budget
+    stream_manifest = [
+        r
+        for d in batch_dirs
+        for r in spark.read.parquet(os.path.join(out, d, "_manifest")).collect()
+    ]
+    batch_out = str(tmp_path / "batch_shards")
+    batch_manifest = write_training_shards(
+        df, batch_out, budget=200, token_counter=counter
+    ).collect()
+    assert sum(r["n_tokens"] for r in stream_manifest) == sum(
+        r["n_tokens"] for r in batch_manifest
+    )
+    # the packer's bound: a shard holds at most budget + its largest
+    # document (the doc that straddles the boundary stays in the shard
+    # where it starts — same formulation as the batch packer test)
+    max_doc = max(TOK.count(t) for _, t in rows)
+    for r in stream_manifest:
+        assert r["n_tokens"] <= 200 + max_doc
+
+    # restart with no new files: no new batch dirs, manifests unchanged
+    before = {d: os.listdir(os.path.join(out, d)) for d in batch_dirs}
+    run()
+    after_dirs = sorted(d for d in os.listdir(out) if d.startswith("batch_id="))
+    assert after_dirs == batch_dirs
+    assert {d: os.listdir(os.path.join(out, d)) for d in after_dirs} == before
 
 
 def test_fixture_budget_delta_band(spark):

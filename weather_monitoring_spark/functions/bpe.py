@@ -77,6 +77,15 @@ DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "data", "bpe
 MERGES_PATH = os.path.join(DATA_DIR, "merges.txt")
 VOCAB_PATH = os.path.join(DATA_DIR, "vocab.json")
 
+#: Env override for the active table directory (must contain merges.txt
+#: + vocab.json in the standard formats) — the drop-in path for a
+#: published tokenizer. Resolved at :meth:`BPETokenizer.vendored` call
+#: time IN THE CALLING PROCESS: on a cluster that means it must reach
+#: the executor Python workers (``spark.executorEnv.WMS_BPE_DIR``) —
+#: the explicit-path arguments on operators/tokenize.py's exprs travel
+#: in the UDF closure instead and need no env plumbing; prefer those.
+ENV_BPE_DIR = "WMS_BPE_DIR"
+
 #: Pre-token cache bound: cleared when exceeded so a pathological input
 #: (random bytes => unbounded distinct pre-tokens) cannot grow executor
 #: memory without limit.
@@ -163,11 +172,35 @@ class BPETokenizer:
                 vocab = json.load(fh)
         return cls(merges, vocab)
 
+    #: process-wide instance cache, keyed by resolved table paths —
+    #: supersedes the old single-slot lru_cache so a path override can
+    #: coexist with the vendored table in one process.
+    _instances: dict[tuple[str, str | None], "BPETokenizer"] = {}
+
     @classmethod
-    @lru_cache(maxsize=1)
+    def cached(
+        cls, merges_path: str = MERGES_PATH, vocab_path: str | None = VOCAB_PATH
+    ) -> "BPETokenizer":
+        """One instance per process per (merges, vocab) path pair."""
+        key = (merges_path, vocab_path)
+        inst = cls._instances.get(key)
+        if inst is None:
+            inst = cls.load(merges_path, vocab_path)
+            cls._instances[key] = inst
+        return inst
+
+    @classmethod
     def vendored(cls) -> "BPETokenizer":
-        """The checked-in table (one instance per process)."""
-        return cls.load()
+        """The ACTIVE table: ``data/bpe/`` by default, or the directory
+        named by ``$WMS_BPE_DIR`` (standard merges.txt + vocab.json) —
+        the published-tokenizer drop-in, resolved at call time so a
+        swap needs no code change. Cached per process per path."""
+        d = os.environ.get(ENV_BPE_DIR)
+        if d:
+            return cls.cached(
+                os.path.join(d, "merges.txt"), os.path.join(d, "vocab.json")
+            )
+        return cls.cached()
 
     # ---------------- core ----------------
 

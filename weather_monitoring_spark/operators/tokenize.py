@@ -43,17 +43,35 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def bpe_count_expr(text_col: str) -> Column:
+def _resolve_tok(merges_path, vocab_path):
+    """Worker-side tokenizer lookup: explicit paths (shipped in the UDF
+    closure — the cluster-safe drop-in route) beat the vendored/env
+    default. Per-process cached either way."""
+    from weather_monitoring_spark.functions.bpe import BPETokenizer
+
+    if merges_path is not None:
+        return BPETokenizer.cached(merges_path, vocab_path)
+    return BPETokenizer.vendored()
+
+
+def bpe_count_expr(
+    text_col: str,
+    merges_path: str | None = None,
+    vocab_path: str | None = None,
+) -> Column:
     """BIGINT BPE token count of ``text_col`` (null in, null out — the
     same null shape as the whitespace counter ``size(tokens_expr(...))``
-    so the two counters are drop-in interchangeable)."""
+    so the two counters are drop-in interchangeable).
+
+    ``merges_path``/``vocab_path`` select an alternate table in the
+    standard GPT-2 formats (a PUBLISHED tokenizer drops in unchanged);
+    the paths ride the UDF closure to every worker — no env plumbing.
+    Default: the vendored table (or ``$WMS_BPE_DIR``)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     def _count(s):
-        from weather_monitoring_spark.functions.bpe import BPETokenizer
-
-        tok = BPETokenizer.vendored()  # per-process, lazy
+        tok = _resolve_tok(merges_path, vocab_path)  # per-process, lazy
         return pd.Series(
             [None if x is None else tok.count(x) for x in s], dtype="Int64"
         )
@@ -64,17 +82,20 @@ def bpe_count_expr(text_col: str) -> Column:
     return pandas_udf(_count, "long")(F.col(text_col))
 
 
-def bpe_encode_expr(text_col: str) -> Column:
+def bpe_encode_expr(
+    text_col: str,
+    merges_path: str | None = None,
+    vocab_path: str | None = None,
+) -> Column:
     """ARRAY<BIGINT> of BPE token ids (null in, null out). The ids are
-    the vendored table's — swap ``data/bpe/`` for a published pair to
-    get that tokenizer's ids unchanged."""
+    the active table's — pass ``merges_path``/``vocab_path`` (or swap
+    ``data/bpe/``) for a published pair to get that tokenizer's ids
+    unchanged."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     def _encode(s):
-        from weather_monitoring_spark.functions.bpe import BPETokenizer
-
-        tok = BPETokenizer.vendored()
+        tok = _resolve_tok(merges_path, vocab_path)
         return pd.Series(
             [None if x is None else tok.encode(x) for x in s]
         )
@@ -89,10 +110,19 @@ def bpe_encode_expr(text_col: str) -> Column:
 TokenCounter = Callable[[str], Column]
 
 
-def bpe_token_counter() -> TokenCounter:
+def bpe_token_counter(
+    merges_path: str | None = None, vocab_path: str | None = None
+) -> TokenCounter:
     """The ``token_counter=`` argument for ``pack_token_budget`` /
-    ``write_training_shards`` / ``curate_crawl``."""
-    return bpe_count_expr
+    ``write_training_shards`` / ``curate_crawl``. Optional paths bind an
+    alternate (e.g. published) table into the counter."""
+    if merges_path is None and vocab_path is None:
+        return bpe_count_expr
+
+    def _counter(text_col: str) -> Column:
+        return bpe_count_expr(text_col, merges_path, vocab_path)
+
+    return _counter
 
 
 def count_bpe_tokens(
