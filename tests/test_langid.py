@@ -86,6 +86,30 @@ def test_kana_beats_han(spark):
     assert lang_id_trigram(df).collect()[0]["pred_lang"] == "ja"
 
 
+def test_single_stray_script_char_does_not_override(spark):
+    """The r6 ADVICE fix: one Cyrillic (or CJK) character inside an
+    otherwise-English document must NOT reclassify it — the script probe
+    needs >= SCRIPT_MIN_CHARS chars and >= 5% of the letters."""
+    from weather_monitoring_spark.operators.langid import lang_id_trigram
+
+    en = (
+        "The weather service published a detailed forecast for the "
+        "whole region and everyone read it carefully before the trip."
+    )
+    df = spark.createDataFrame(
+        [
+            (1, en + " д"),  # one stray Cyrillic char
+            (2, en + " 好"),  # one stray Han char
+            (3, "Погода д " + en[:40]),  # material Cyrillic (>5%, >=3)
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id_trigram(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "en"
+    assert got[3] == "ru"
+
+
 def test_votes_deterministic(spark, predictions):
     from weather_monitoring_spark.operators.langid import lang_id_trigram
 
@@ -94,6 +118,45 @@ def test_votes_deterministic(spark, predictions):
     )
     again = {r["doc_id"]: tuple(r) for r in lang_id_trigram(df).collect()}
     assert again == {i: tuple(r) for i, r in predictions.items()}
+
+
+def test_heldout_accuracy_floor(spark):
+    """Measured accuracy on the held-out naturalistic eval set
+    (tests/data/langid_eval.tsv — 5 original sentences per language,
+    25 languages: all 18 profile languages + 7 script-detected, none in
+    the profile seed corpus). The measured number
+    and confusion rows are recorded in BASELINE.md; this test pins the
+    floor so a profile regression is loud."""
+    import os
+
+    from weather_monitoring_spark.operators.langid import lang_id_trigram
+
+    path = os.path.join(os.path.dirname(__file__), "data", "langid_eval.tsv")
+    rows = []
+    with open(path, encoding="utf-8") as fh:
+        for i, line in enumerate(fh):
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            lang, text = line.split("\t", 1)
+            rows.append((i, lang, text))
+    assert len({lang for _, lang, _ in rows}) == 25
+    df = spark.createDataFrame(
+        [(i, t) for i, _, t in rows], "doc_id long, text string"
+    )
+    pred = {r["doc_id"]: r["pred_lang"] for r in lang_id_trigram(df).collect()}
+    confusion: dict[tuple[str, str], int] = {}
+    hits = 0
+    for i, truth, _ in rows:
+        got = pred[i]
+        hits += got == truth
+        if got != truth:
+            confusion[(truth, got)] = confusion.get((truth, got), 0) + 1
+    acc = hits / len(rows)
+    # print so a -s run surfaces the measured number for BASELINE.md
+    print(f"langid held-out accuracy: {acc:.4f} ({hits}/{len(rows)})")
+    print("confusion:", sorted(confusion.items()))
+    assert acc >= 0.90, (acc, sorted(confusion.items()))
 
 
 def test_profile_table_shape():

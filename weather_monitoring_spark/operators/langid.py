@@ -5,9 +5,15 @@ detection for languages whose writing system already identifies them.
 
 Decision procedure (documented order, all deterministic):
 
-1. **Script detection** — one regex probe per non-Latin script, in a
-   fixed priority order (kana before Han: Japanese text contains Han
-   characters, so kana presence must win): ja, ko, zh, ru, el, ar, he.
+1. **Script detection** — one per-script character COUNT per non-Latin
+   script, in a fixed priority order (kana before Han: Japanese text
+   contains Han characters, so kana presence must win): ja, ko, zh, ru,
+   el, ar, he. A script wins only with MATERIAL evidence — at least
+   SCRIPT_MIN_CHARS matching characters AND at least 1/SCRIPT_RATIO_MULT
+   of the document's letters (both integer comparisons, mirrored in the
+   oracle). A single stray Cyrillic/CJK character in an otherwise-Latin
+   document no longer reclassifies the whole doc (r6 ADVICE item); the
+   trigram argmax decides instead.
 2. **Trigram profiles** — the document's padded character trigrams
    (lowercase, non-letter runs collapsed to one space) join the
    broadcast profile table; per (doc, lang) the INTEGER rank weights
@@ -54,17 +60,25 @@ PROFILES_PATH = os.path.join(
 NONLETTER_RE = r"[^\p{L}]+"
 
 #: Script probes in DECISION ORDER (kana strictly before Han — see
-#: module doc). Literal char-range classes, identical bytes in both
-#: engines' patterns.
+#: module doc). Bare char ranges; both engines build the positive class
+#: ``[rng]`` and its negation ``[^rng]`` from identical bytes.
 SCRIPT_PROBES: tuple[tuple[str, str], ...] = (
-    ("ja", "[぀-ヿ]"),  # hiragana + katakana
-    ("ko", "[가-힯]"),  # hangul syllables
-    ("zh", "[一-鿿]"),  # CJK unified ideographs
-    ("ru", "[Ѐ-ӿ]"),  # cyrillic
-    ("el", "[Ͱ-Ͽ]"),  # greek
-    ("ar", "[؀-ۿ]"),  # arabic
-    ("he", "[֐-׿]"),  # hebrew
+    ("ja", "぀-ヿ"),  # hiragana + katakana
+    ("ko", "가-힯"),  # hangul syllables
+    ("zh", "一-鿿"),  # CJK unified ideographs
+    ("ru", "Ѐ-ӿ"),  # cyrillic
+    ("el", "Ͱ-Ͽ"),  # greek
+    ("ar", "؀-ۿ"),  # arabic
+    ("he", "֐-׿"),  # hebrew
 )
+
+#: Minimum script evidence before a probe beats the trigram argmax:
+#: at least this many script characters ...
+SCRIPT_MIN_CHARS = 3
+#: ... AND script chars * MULT >= letter chars (i.e. the script is at
+#: least 5% of the document's letters). Integer arithmetic on both
+#: engines — no ratio floats to drift.
+SCRIPT_RATIO_MULT = 20
 
 
 @lru_cache(maxsize=1)
@@ -134,9 +148,13 @@ def lang_id_trigram(
             (F.col("score") - F.coalesce("_second", F.lit(0))).alias("margin"),
         )
     )
+    n_letters = F.length(F.regexp_replace(F.col("_text"), NONLETTER_RE, ""))
     script = None
-    for lang, probe in SCRIPT_PROBES:
-        cond = F.col("_text").rlike(probe)
+    for lang, rng in SCRIPT_PROBES:
+        cnt = F.length(F.regexp_replace(F.col("_text"), f"[^{rng}]+", ""))
+        cond = (cnt >= F.lit(SCRIPT_MIN_CHARS)) & (
+            cnt * F.lit(SCRIPT_RATIO_MULT) >= n_letters
+        )
         script = (
             F.when(cond, F.lit(lang))
             if script is None
@@ -170,9 +188,15 @@ def o_langid_sql(table: str = "documents") -> str:
         f"('{lang}', '{tg.replace(chr(39), chr(39) * 2)}', {w})"
         for lang, tg, w in load_langid_profiles()
     )
+    def _cnt(rng: str) -> str:
+        return f"length(regexp_replace(text, '[^{rng}]+', '', 'g'))"
+
+    n_letters = f"length(regexp_replace(text, '{NONLETTER_RE}', '', 'g'))"
     script_case = " ".join(
-        f"WHEN regexp_matches(text, '{probe}') THEN '{lang}'"
-        for lang, probe in SCRIPT_PROBES
+        f"WHEN {_cnt(rng)} >= {SCRIPT_MIN_CHARS}"
+        f" AND {_cnt(rng)} * {SCRIPT_RATIO_MULT} >= {n_letters}"
+        f" THEN '{lang}'"
+        for lang, rng in SCRIPT_PROBES
     )
     return f"""
         WITH prof(lang, trigram, w) AS (VALUES {vals}),
