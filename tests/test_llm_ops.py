@@ -75,6 +75,29 @@ def test_minhash_methods_agree(spark):
         minhash_signatures(docs, method="nope")
 
 
+def test_minhash_arrow_plan_has_no_doc_exchange(spark):
+    """The r7 scale property, pinned at the plan level on a REAL parquet
+    corpus (a range-derived synthetic corpus value-clusters doc_id and
+    hides the agg path's exchange): the Arrow signature build plans NO
+    hashpartitioning(doc_id) exchange; the legacy agg path does."""
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plans = {
+        m: minhash_signatures(docs, method=m)
+        .agg(F.sum(F.length("sig")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        for m in ("arrow", "agg")
+    }
+    assert "Exchange hashpartitioning(doc_id" not in plans["arrow"]
+    assert "ArrowEvalPython" in plans["arrow"]
+    assert "Exchange hashpartitioning(doc_id" in plans["agg"]
+
+
 def test_minhash_arrow_handles_empty_and_null_docs(spark):
     """Shingle-less documents (< 3 tokens) and NULL text produce the
     all-null-minhash row (sig '') on both paths."""
