@@ -95,19 +95,24 @@ def gram_positions(
     )
 
 
-def _gram_key_positions(
+def _gram_key_rows(
     docs: DataFrame,
     n: int,
     id_col: str,
     text_col: str,
 ) -> DataFrame:
-    """(id, pos, gk) — like :func:`gram_positions` but carrying a 60-bit
-    BIGINT gram key (``md5('sg:' || gram)`` packed per
-    functions/text.h60_from_md5_sql) instead of the gram string.
+    """(id, _gs array<struct<pos, gk>>) — one row per document carrying
+    its gram starts as 60-bit BIGINT keys (``md5('sg:' || gram)`` packed
+    per functions/text.h60_from_md5_sql) instead of gram strings.
 
-    This is what the span-detection internals shuffle: an 8-byte key per
-    occurrence instead of the ~n-token text (the r6 25x probe's span
-    row spilled at 5M docs shuffling full 8-gram strings — 96.7→649 s).
+    This un-exploded form is what the span-detection internals pin and
+    derive both legs from: the duplicate-gram leg takes the row-LOCAL
+    distinct of ``gk`` (so its aggregate is a plain count over distinct
+    (gk, id) pairs — no count_distinct expand, the construction that
+    still spilled 24 GB at the 5M-doc probe), and the flag leg explodes
+    the structs for positions. An 8-byte key per occurrence crosses any
+    exchange instead of the ~n-token text (the r6 25x probe's span row
+    spilled at 5M docs shuffling full 8-gram strings — 96.7→649 s).
     Key equality stands in for gram equality at a 60-bit collision rate
     (~occurrences²/2^61 — orders below the corpus's real duplication),
     and the DuckDB oracles hash the same bytes, so cross-engine results
@@ -119,14 +124,11 @@ def _gram_key_positions(
         .filter(F.size("_tk") >= n)
         .select(
             id_col,
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(_tk) - {n} + 1),"
-                    f" i -> struct(CAST(i AS BIGINT) AS pos, {gk} AS gk))"
-                )
-            ).alias("_g"),
+            F.expr(
+                f"transform(sequence(1, size(_tk) - {n} + 1),"
+                f" i -> struct(CAST(i AS BIGINT) AS pos, {gk} AS gk))"
+            ).alias("_gs"),
         )
-        .select(id_col, "_g.pos", "_g.gk")
     )
 
 
@@ -138,12 +140,29 @@ def duplicated_grams(
     text_col: str = "text",
 ) -> DataFrame:
     """(gram, n_docs, keeper) for grams in >= ``min_docs`` distinct
-    documents; ``keeper`` is the lowest holding doc_id."""
+    documents; ``keeper`` is the lowest holding doc_id. (The audit view
+    keeps gram STRINGS; the masking internals use packed keys.)
+
+    Per-document gram distinct is computed row-locally before the
+    explode, so the aggregate counts pre-deduplicated (gram, id) pairs
+    with a plain count — no count_distinct expand (the
+    ``_flagged_positions`` rationale)."""
+    gram = f"array_join(slice(_tk, i, {n}), ' ')"
     return (
-        gram_positions(docs, n=n, id_col=id_col, text_col=text_col)
+        docs.select(F.col(id_col), tokens_expr(text_col).alias("_tk"))
+        .filter(F.size("_tk") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform("
+                    f"sequence(1, size(_tk) - {n} + 1), i -> {gram}))"
+                )
+            ).alias("gram"),
+        )
         .groupBy("gram")
         .agg(
-            F.count_distinct(id_col).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.min(id_col).alias("keeper"),
         )
         .filter(F.col("n_docs") >= min_docs)
@@ -161,25 +180,38 @@ def _flagged_positions(
     """(id, pos) of duplicated-gram starts; keeper occurrences excluded
     when ``keep_first``.
 
-    The gram table feeds both the duplicate aggregation and the flag
-    join, so it is pinned (localCheckpoint, lazy) — without the pin the
-    tokenize+explode pass over the full corpus runs twice (same pattern
-    as ``textops.bigram_lm``'s pair table). It carries the packed
-    60-bit gram KEY, not the gram string (``_gram_key_positions``), so
-    the pin, the aggregate exchange, and the flag join all move 8-byte
-    keys."""
-    grams = _gram_key_positions(
+    The per-document gram-key ARRAY feeds both the duplicate
+    aggregation and the flag join, so it is pinned un-exploded
+    (localCheckpoint, lazy; one row per doc) — without the pin the
+    tokenize pass over the full corpus runs twice (same pattern as
+    ``textops.bigram_lm``'s pair table). The duplicate leg explodes the
+    row-LOCAL distinct of the keys, so distinct (gk, id) pairs reach
+    the aggregate pre-deduplicated and ``n_docs`` is a plain count —
+    the previous ``count_distinct(doc_id)`` planned a two-phase
+    distinct expand over every occurrence, the last construction still
+    spilling at the 5M-doc probe after the key packing."""
+    grams = _gram_key_rows(
         docs, n=n, id_col=id_col, text_col=text_col
     ).localCheckpoint(eager=False)
     dup = (
-        grams.groupBy("gk")
+        grams.select(
+            F.col(id_col),
+            F.explode(F.expr("array_distinct(transform(_gs, s -> s.gk))")).alias(
+                "gk"
+            ),
+        )
+        .groupBy("gk")
         .agg(
-            F.count_distinct(id_col).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.min(id_col).alias("keeper"),
         )
         .filter(F.col("n_docs") >= min_docs)
     )
-    flagged = grams.join(dup.select("gk", "keeper"), "gk")
+    flagged = (
+        grams.select(F.col(id_col), F.explode("_gs").alias("_g"))
+        .select(id_col, "_g.pos", "_g.gk")
+        .join(dup.select("gk", "keeper"), "gk")
+    )
     if keep_first:
         flagged = flagged.filter(F.col(id_col) != F.col("keeper"))
     return flagged.select(id_col, "pos")
