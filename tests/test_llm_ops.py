@@ -39,6 +39,46 @@ def test_minhash_lsh_recall_vs_exact(spark):
     assert not missed, f"LSH missed high-similarity pairs: {missed}"
 
 
+def test_ivf_persisted_index_partition_pruning(spark, tmp_path):
+    """The persisted-index path, end to end: ivf_write_index writes the
+    cell-partitioned table + centroid model; ivf_probe_index over the
+    SAME corpus returns exactly ivf_topk's rows (same deterministic
+    training -> same probes -> same exact scores), and its scan plans
+    PARTITION pruning on cell — the 100 TB probe cost claim, executable."""
+    from weather_monitoring_spark.operators.similarity import (
+        ivf_probe_index,
+        ivf_write_index,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    out = str(tmp_path / "ivf_index")
+    ivf_write_index(emb, out)
+    qids = [0, 1, 2, 3, 4]
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    ]
+    probed = ivf_probe_index(spark, out, queries)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    got = sorted(
+        (r["qid"], r["vec_id"], r["cosine"].hex(), r["rank"])
+        for r in probed.collect()
+    )
+    want = sorted(
+        (r["qid"], r["vec_id"], r["cosine"].hex(), r["rank"])
+        for r in ivf_topk(emb, qids).collect()
+    )
+    assert got == want
+    # determinism of the persisted artifact: writing again is identical
+    out2 = str(tmp_path / "ivf_index2")
+    c1 = ivf_write_index(emb, out2)
+    assert [[v.hex() for v in row] for row in c1.tolist()] == [
+        [v.hex() for v in row]
+        for row in __import__("json").load(open(out + "/_centroids.json"))
+    ]
+
+
 def test_ivf_query_budget_guard(spark):
     """ivf_topk / ivf_pq_topk collect query vectors driver-side; the
     max_queries guard must refuse an over-budget query set with a clear

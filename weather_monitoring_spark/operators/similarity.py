@@ -743,6 +743,104 @@ def ivf_topk(
     return _pairs_exact_topk(pair_ids, emb, query_ids, k, id_col, vec_col)
 
 
+def ivf_write_index(
+    emb: DataFrame,
+    out_dir: str,
+    n_cells: int = IVF_CELLS,
+    n_iters: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train and PERSIST the IVF index: a ``cell=N/`` partitioned parquet
+    table of (id, vector) plus the k-row centroid model
+    (``_centroids.json`` — driver-side by design, it IS the model).
+    Returns the centroid ndarray.
+
+    This makes ``ivf_topk``'s 100 TB claim ("at scale the assignment is
+    a persisted column and the table is partitioned by cell, so a probe
+    is a handful of partition-pruned scans") EXECUTABLE instead of
+    narrative: ``ivf_probe_index`` reads this directory with a cell
+    filter that Spark turns into partition pruning (PartitionFilters in
+    the scan — pinned by tests/test_llm_ops.py::
+    test_ivf_persisted_index_partition_pruning), so a probe touches
+    ``n_probe``/``n_cells`` of the files, never the corpus. Training is
+    deterministic (md5-seeded), so an index written twice from the same
+    corpus is identical."""
+    import json as _json
+    import os as _os
+
+    cent = ivf_train(emb, n_cells, n_iters, id_col, vec_col)
+    (
+        _ivf_assign(emb, cent, id_col, vec_col)
+        .join(emb.select(id_col, vec_col), id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out_dir)
+    )
+    with open(_os.path.join(out_dir, "_centroids.json"), "w") as fh:
+        _json.dump([[float(v) for v in row] for row in cent], fh)
+    return cent
+
+
+def ivf_probe_index(
+    spark,
+    index_dir: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = ANN_TOP_K,
+    n_probe: int = IVF_PROBES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int | None = MAX_IVF_QUERIES,
+) -> DataFrame:
+    """Query a PERSISTED IVF index (``ivf_write_index``) -> (qid, id,
+    cosine, rank), identical semantics to ``ivf_topk`` over the same
+    corpus/model (pinned by test). ``queries`` is [(qid, vector), ...] —
+    external query vectors, driver-side by the ``max_queries``-guarded
+    tiny-set premise.
+
+    The scan carries ``cell IN (probed cells)`` which Spark evaluates
+    as PARTITION pruning against the ``cell=N/`` directory layout — the
+    plan reads only the probed cells' files. An indexed row whose id
+    equals a qid is excluded (self-match), mirroring ``ivf_topk``."""
+    import json as _json
+    import os as _os
+
+    import numpy as np
+
+    _check_query_budget(queries, max_queries, "ivf_probe_index")
+    with open(_os.path.join(index_dir, "_centroids.json")) as fh:
+        cent = np.asarray(_json.load(fh), dtype=np.float64)
+    probe: list[tuple[int, int]] = []
+    for qid, vec in queries:
+        q = np.asarray(vec, dtype=np.float64)
+        n = np.linalg.norm(q)
+        scores = (q / (n if n > 0 else 1.0)) @ cent.T
+        for c in np.argsort(-scores, kind="stable")[:n_probe]:
+            probe.append((int(qid), int(c)))
+    cells = sorted({c for _, c in probe})
+    index = spark.read.parquet(index_dir).filter(F.col("cell").isin(cells))
+    probe_df = spark.createDataFrame(probe, "qid long, cell int")
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(v) for v in vec]) for qid, vec in queries],
+        f"qid long, qvec array<float>",
+    )
+    cands = (
+        index.join(F.broadcast(probe_df), "cell")
+        .filter(F.col("qid") != F.col(id_col))
+        .join(F.broadcast(qdf), "qid")
+    )
+    scored = cands.withColumn(
+        "cosine",
+        dot_expr(vec_col, "qvec") / (norm_expr(vec_col) * norm_expr("qvec")),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "cosine", "rank")
+    )
+
+
 #: ivf_pq_topk coarse-stage shortlist: how many quantized-scored
 #: candidates per query survive into exact full-precision re-scoring,
 #: as a multiple of k. 4x absorbs int8 ranking jitter near the k-th
