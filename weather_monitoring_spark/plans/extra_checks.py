@@ -1318,6 +1318,44 @@ EXTRA_SPECS.append(
     )
 )
 
+def _duplicated_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup audit view proper: every word 8-gram held by
+    >= 2 distinct documents, with its count and min-id keeper. r7: the
+    per-document gram distinct is row-local (array_distinct before the
+    explode) so the aggregate is a plain count — no count_distinct
+    expand; the oracle's SELECT DISTINCT replays the same semantics."""
+    from weather_monitoring_spark.operators.spans import duplicated_grams
+
+    return duplicated_grams(load_table(spark, sf_dir, "documents"))
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_duplicated_grams",
+        doc=_duplicated_grams.__doc__ or "",
+        spark=_duplicated_grams,
+        oracle=f"""
+            WITH tk AS (
+                SELECT doc_id, {o_tokens('text')} AS t FROM documents
+            ), pos AS (
+                SELECT doc_id, t,
+                       unnest(range(1, len(t) - {DUP_SPAN_N} + 2)) AS pos
+                FROM tk WHERE len(t) >= {DUP_SPAN_N}
+            ), gp AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(t[pos:pos + {DUP_SPAN_N} - 1], ' ') AS gram
+                FROM pos
+            )
+            SELECT gram, CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS keeper
+            FROM gp GROUP BY gram
+            HAVING count(*) >= {DUP_SPAN_MIN_DOCS}
+        """,
+        tags=("extra", "dedup", "spans"),
+    )
+)
+
+
 EXTRA_SPECS.append(
     QuerySpec(
         name="x_strip_dup_spans",
