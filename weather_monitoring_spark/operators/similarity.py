@@ -782,6 +782,42 @@ def ivf_write_index(
     return cent
 
 
+def ivf_append_index(
+    new_emb: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Append a batch of new vectors to a persisted IVF index WITHOUT
+    retraining: the batch is assigned against the STORED centroid model
+    (one zero-shuffle GEMM pass) and its rows append into the existing
+    ``cell=N/`` partitions. The index history is never read and never
+    shuffled — the ``dedup_against_index`` asymmetry, applied to ANN:
+    daily batches cost O(batch), not O(corpus). Returns the centroid
+    ndarray used.
+
+    Contract notes: ids are the caller's to keep unique across appends
+    (the probe would return a duplicated id twice); centroid drift is
+    the caller's retraining policy — appending shifts the data
+    distribution but never the stored model, so assignments stay
+    consistent with every earlier batch by construction."""
+    import json as _json
+    import os as _os
+
+    import numpy as np
+
+    with open(_os.path.join(index_dir, "_centroids.json")) as fh:
+        cent = np.asarray(_json.load(fh), dtype=np.float64)
+    (
+        _ivf_assign(new_emb, cent, id_col, vec_col)
+        .join(new_emb.select(id_col, vec_col), id_col)
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(index_dir)
+    )
+    return cent
+
+
 def ivf_probe_index(
     spark,
     index_dir: str,
