@@ -150,9 +150,19 @@ def main() -> None:
         results.append(out)
         print(json.dumps(out), flush=True)
 
+    # Append to the history file (earlier runs' rows are the comparison
+    # baseline — overwriting them would lose the evidence this file
+    # exists to keep).
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "probe_spill_stages.json")
+    history: list = []
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                history = json.load(fh)
+        except (OSError, ValueError):
+            history = []
     with open(path, "w") as fh:
-        json.dump(results, fh, indent=1)
+        json.dump(history + results, fh, indent=1)
 
 
 if __name__ == "__main__":

@@ -263,6 +263,13 @@ def test_published_table_drop_in_swap(spark, tmp_path, monkeypatch):
     monkeypatch.delenv(ENV_BPE_DIR)
     assert BPETokenizer.vendored().merges == TOK.merges
 
+    # vocab without merges cannot select a table: must raise, never
+    # silently fall back to the vendored ids
+    with pytest.raises(ValueError, match="merges_path"):
+        bpe_count_expr("text", vocab_path=vp)
+    with pytest.raises(ValueError, match="merges_path"):
+        bpe_token_counter(vocab_path=vp)
+
 
 def test_spark_count_null_shape(spark):
     from weather_monitoring_spark.operators.tokenize import bpe_count_expr

@@ -18,6 +18,28 @@ def _varied(prefix: str, n: int = 60) -> str:
     return " ".join(f"{prefix}{i}" for i in range(n))
 
 
+def test_store_format_version_refusal(spark, tmp_path):
+    """A store written under a different band-key format (pre-r7 hex
+    strings vs r7 60-bit BIGINTs) must be refused at construction with
+    a clear error — a type-coerced join against mixed stores would
+    silently match nothing and let near-dups back in."""
+    import json
+    import os
+
+    import pytest
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    with open(os.path.join(store, "meta.json"), "w") as f:
+        json.dump({"last_batch_id": 3, "format": 1}, f)
+    with pytest.raises(ValueError, match="format 1"):
+        StreamingDocDedup(spark, store)
+    # current-format store constructs fine
+    with open(os.path.join(store, "meta.json"), "w") as f:
+        json.dump({"last_batch_id": 3, "format": 2}, f)
+    StreamingDocDedup(spark, store)
+
+
 def test_streaming_dedup_exact_and_fuzzy(spark, tmp_path):
     dd = StreamingDocDedup(spark, str(tmp_path / "store"))
     base = _varied("alpha")

@@ -71,11 +71,16 @@ def test_ivf_persisted_index_partition_pruning(spark, tmp_path):
     )
     assert got == want
     # determinism of the persisted artifact: writing again is identical
+    # (model sidecar read back through Spark — any-Hadoop-FS contract)
+    from weather_monitoring_spark.operators.similarity import (
+        _read_centroid_model,
+    )
+
     out2 = str(tmp_path / "ivf_index2")
     c1 = ivf_write_index(emb, out2)
+    stored = _read_centroid_model(spark, out)
     assert [[v.hex() for v in row] for row in c1.tolist()] == [
-        [v.hex() for v in row]
-        for row in __import__("json").load(open(out + "/_centroids.json"))
+        [v.hex() for v in row] for row in stored.tolist()
     ]
 
 

@@ -535,6 +535,25 @@ def ann_lsh_topk(
     return _pairs_exact_topk(pair_ids, emb, query_ids, k, id_col, vec_col)
 
 
+def _score_and_rank(
+    cands: DataFrame, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Shared exact tail of EVERY ANN path: candidates carrying
+    (qid, qvec, vector) are scored with the sequential fold and ranked
+    to top-k per query (ties to the smaller id). One definition, so
+    tie-breaking and score arithmetic cannot diverge between the
+    in-memory and persisted-index paths."""
+    scored = cands.withColumn(
+        "cosine", dot_expr(vec_col, "qvec") / (norm_expr(vec_col) * norm_expr("qvec"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "cosine", "rank")
+    )
+
+
 def _pairs_exact_topk(
     pair_ids: DataFrame,
     emb: DataFrame,
@@ -554,15 +573,7 @@ def _pairs_exact_topk(
         ),
         "qid",
     ).join(emb.select(id_col, vec_col), id_col)
-    scored = cands.withColumn(
-        "cosine", dot_expr(vec_col, "qvec") / (norm_expr(vec_col) * norm_expr("qvec"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", id_col, "cosine", "rank")
-    )
+    return _score_and_rank(cands, k, id_col, vec_col)
 
 
 #: IVF defaults: ~sqrt(N) cells is the classic rule; 16 cells at the
@@ -571,6 +582,25 @@ def _pairs_exact_topk(
 IVF_CELLS = 16
 IVF_PROBES = 4
 IVF_ITERS = 2
+
+
+def _probe_cells(
+    cent, queries: list[tuple[int, list[float]]], n_probe: int
+) -> list[tuple[int, int]]:
+    """Driver-side probe-cell selection shared by every IVF query path
+    (in-memory and persisted-index): each query's ``n_probe`` nearest
+    centroids by cosine — unit-normalized query, stable argsort so ties
+    are deterministic. One definition, so the paths cannot diverge."""
+    import numpy as np
+
+    probe: list[tuple[int, int]] = []
+    for qid, vec in queries:
+        q = np.asarray(vec, dtype=np.float64)
+        n = np.linalg.norm(q)
+        scores = (q / (n if n > 0 else 1.0)) @ cent.T
+        for c in np.argsort(-scores, kind="stable")[:n_probe]:
+            probe.append((int(qid), int(c)))
+    return probe
 
 
 def _ivf_assign(
@@ -719,21 +749,13 @@ def ivf_topk(
     cell and probe pairs are distinct, candidate pairs need no dedup.
     ``max_queries`` bounds the driver-side query collect (see
     MAX_IVF_QUERIES)."""
-    import numpy as np
-
     _check_query_budget(query_ids, max_queries, "ivf_topk")
     cent = ivf_train(emb, n_cells, n_iters, id_col, vec_col)
     assigned = _ivf_assign(emb, cent, id_col, vec_col).localCheckpoint(eager=False)
     qrows = (
         emb.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
     )
-    probe: list[tuple[int, int]] = []
-    for r in qrows:
-        q = np.asarray(r[1], dtype=np.float64)
-        n = np.linalg.norm(q)
-        scores = (q / (n if n > 0 else 1.0)) @ cent.T
-        for c in np.argsort(-scores, kind="stable")[:n_probe]:
-            probe.append((int(r[0]), int(c)))
+    probe = _probe_cells(cent, [(r[0], r[1]) for r in qrows], n_probe)
     probe_df = emb.sparkSession.createDataFrame(probe, "qid long, cell int")
     pair_ids = (
         assigned.join(F.broadcast(probe_df), "cell")
@@ -741,6 +763,30 @@ def ivf_topk(
         .select("qid", id_col)
     )
     return _pairs_exact_topk(pair_ids, emb, query_ids, k, id_col, vec_col)
+
+
+def _write_centroid_model(spark, cent, index_dir: str) -> None:
+    """Persist the k-row centroid model as a tiny parquet table at
+    ``<index_dir>/_centroids`` (one row per cell, double coordinates).
+    Through Spark — not a local ``open()`` — so the index works on ANY
+    Hadoop filesystem (hdfs://, s3a://, ...), which is the whole point
+    of a persisted index; the underscore prefix keeps it out of the
+    main table's partition discovery (the ``_manifest`` precedent,
+    operators/training_prep.write_training_shards)."""
+    rows = [(int(i), [float(v) for v in row]) for i, row in enumerate(cent)]
+    spark.createDataFrame(rows, "cell int, v array<double>").repartition(
+        1
+    ).write.mode("overwrite").parquet(index_dir + "/_centroids")
+
+
+def _read_centroid_model(spark, index_dir: str):
+    import numpy as np
+
+    rows = spark.read.parquet(index_dir + "/_centroids").collect()
+    return np.asarray(
+        [r["v"] for r in sorted(rows, key=lambda r: r["cell"])],
+        dtype=np.float64,
+    )
 
 
 def ivf_write_index(
@@ -752,9 +798,9 @@ def ivf_write_index(
     vec_col: str = "embedding",
 ):
     """Train and PERSIST the IVF index: a ``cell=N/`` partitioned parquet
-    table of (id, vector) plus the k-row centroid model
-    (``_centroids.json`` — driver-side by design, it IS the model).
-    Returns the centroid ndarray.
+    table of (id, vector) plus the k-row centroid model (``_centroids``
+    parquet sidecar — driver-sized by design, it IS the model). Returns
+    the centroid ndarray.
 
     This makes ``ivf_topk``'s 100 TB claim ("at scale the assignment is
     a persisted column and the table is partitioned by cell, so a probe
@@ -765,10 +811,8 @@ def ivf_write_index(
     test_ivf_persisted_index_partition_pruning), so a probe touches
     ``n_probe``/``n_cells`` of the files, never the corpus. Training is
     deterministic (md5-seeded), so an index written twice from the same
-    corpus is identical."""
-    import json as _json
-    import os as _os
-
+    corpus is identical. All I/O goes through Spark, so ``out_dir`` may
+    be any Hadoop-filesystem URI."""
     cent = ivf_train(emb, n_cells, n_iters, id_col, vec_col)
     (
         _ivf_assign(emb, cent, id_col, vec_col)
@@ -777,8 +821,7 @@ def ivf_write_index(
         .partitionBy("cell")
         .parquet(out_dir)
     )
-    with open(_os.path.join(out_dir, "_centroids.json"), "w") as fh:
-        _json.dump([[float(v) for v in row] for row in cent], fh)
+    _write_centroid_model(emb.sparkSession, cent, out_dir)
     return cent
 
 
@@ -801,13 +844,7 @@ def ivf_append_index(
     the caller's retraining policy — appending shifts the data
     distribution but never the stored model, so assignments stay
     consistent with every earlier batch by construction."""
-    import json as _json
-    import os as _os
-
-    import numpy as np
-
-    with open(_os.path.join(index_dir, "_centroids.json")) as fh:
-        cent = np.asarray(_json.load(fh), dtype=np.float64)
+    cent = _read_centroid_model(new_emb.sparkSession, index_dir)
     (
         _ivf_assign(new_emb, cent, id_col, vec_col)
         .join(new_emb.select(id_col, vec_col), id_col)
@@ -838,21 +875,9 @@ def ivf_probe_index(
     as PARTITION pruning against the ``cell=N/`` directory layout — the
     plan reads only the probed cells' files. An indexed row whose id
     equals a qid is excluded (self-match), mirroring ``ivf_topk``."""
-    import json as _json
-    import os as _os
-
-    import numpy as np
-
     _check_query_budget(queries, max_queries, "ivf_probe_index")
-    with open(_os.path.join(index_dir, "_centroids.json")) as fh:
-        cent = np.asarray(_json.load(fh), dtype=np.float64)
-    probe: list[tuple[int, int]] = []
-    for qid, vec in queries:
-        q = np.asarray(vec, dtype=np.float64)
-        n = np.linalg.norm(q)
-        scores = (q / (n if n > 0 else 1.0)) @ cent.T
-        for c in np.argsort(-scores, kind="stable")[:n_probe]:
-            probe.append((int(qid), int(c)))
+    cent = _read_centroid_model(spark, index_dir)
+    probe = _probe_cells(cent, queries, n_probe)
     cells = sorted({c for _, c in probe})
     index = spark.read.parquet(index_dir).filter(F.col("cell").isin(cells))
     probe_df = spark.createDataFrame(probe, "qid long, cell int")
@@ -865,16 +890,7 @@ def ivf_probe_index(
         .filter(F.col("qid") != F.col(id_col))
         .join(F.broadcast(qdf), "qid")
     )
-    scored = cands.withColumn(
-        "cosine",
-        dot_expr(vec_col, "qvec") / (norm_expr(vec_col) * norm_expr("qvec")),
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", id_col, "cosine", "rank")
-    )
+    return _score_and_rank(cands, k, id_col, vec_col)
 
 
 #: ivf_pq_topk coarse-stage shortlist: how many quantized-scored
@@ -923,8 +939,6 @@ def ivf_pq_topk(
     no RNG); recall vs the exact baseline is asserted cross-engine in
     tests/test_oracle_parity.py alongside the plain-IVF oracle, and the
     scale probe records both variants' wall-clock on the same corpus."""
-    import numpy as np
-
     from weather_monitoring_spark.operators.embeddings import quantize_embeddings
 
     _check_query_budget(query_ids, max_queries, "ivf_pq_topk")
@@ -941,13 +955,7 @@ def ivf_pq_topk(
     qrows = (
         emb.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
     )
-    probe: list[tuple[int, int]] = []
-    for r in qrows:
-        qv = np.asarray(r[1], dtype=np.float64)
-        n = np.linalg.norm(qv)
-        scores = (qv / (n if n > 0 else 1.0)) @ cent.T
-        for c in np.argsort(-scores, kind="stable")[:n_probe]:
-            probe.append((int(r[0]), int(c)))
+    probe = _probe_cells(cent, [(r[0], r[1]) for r in qrows], n_probe)
     probe_df = emb.sparkSession.createDataFrame(probe, "qid long, cell int")
     queries = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec_full")

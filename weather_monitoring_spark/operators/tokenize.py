@@ -43,6 +43,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_table_paths(merges_path, vocab_path) -> None:
+    """Driver-side argument guard: a vocab without merges cannot select
+    a table (the merges file IS the tokenizer; vocab only renames ids),
+    and silently falling back to the vendored table would hand the
+    caller the wrong ids while they believe the published vocab is
+    active."""
+    if merges_path is None and vocab_path is not None:
+        raise ValueError(
+            "vocab_path given without merges_path — pass both files of "
+            "the table (merges.txt selects the tokenizer; vocab.json "
+            "maps its ids)."
+        )
+
+
 def _resolve_tok(merges_path, vocab_path):
     """Worker-side tokenizer lookup: explicit paths (shipped in the UDF
     closure — the cluster-safe drop-in route) beat the vendored/env
@@ -70,6 +84,8 @@ def bpe_count_expr(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    _check_table_paths(merges_path, vocab_path)
+
     def _count(s):
         tok = _resolve_tok(merges_path, vocab_path)  # per-process, lazy
         return pd.Series(
@@ -94,6 +110,8 @@ def bpe_encode_expr(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    _check_table_paths(merges_path, vocab_path)
+
     def _encode(s):
         tok = _resolve_tok(merges_path, vocab_path)
         return pd.Series(
@@ -116,6 +134,7 @@ def bpe_token_counter(
     """The ``token_counter=`` argument for ``pack_token_budget`` /
     ``write_training_shards`` / ``curate_crawl``. Optional paths bind an
     alternate (e.g. published) table into the counter."""
+    _check_table_paths(merges_path, vocab_path)
     if merges_path is None and vocab_path is None:
         return bpe_count_expr
 

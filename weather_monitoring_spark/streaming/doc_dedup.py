@@ -40,6 +40,15 @@ from pyspark.sql.streaming import StreamingQuery
 
 from weather_monitoring_spark.operators.dedup import LSH_BANDS, minhash_signatures
 
+#: Persisted-store format version. 2 = 60-bit BIGINT band keys (the r7
+#: key packing in operators/dedup.minhash_signatures); 1 (or absent) =
+#: the pre-r7 32-char md5 hex strings. A store written under one format
+#: must not be read under the other — mixed parquet partitions fail the
+#: scan, and a type-coerced join would silently match NOTHING, letting
+#: near-dups of the existing corpus back in — so construction refuses a
+#: format-mismatched store with a clear error instead of degrading.
+STORE_FORMAT = 2
+
 
 class StreamingDocDedup:
     def __init__(self, spark: SparkSession, store_dir: str) -> None:
@@ -49,6 +58,18 @@ class StreamingDocDedup:
         self.bands_dir = os.path.join(store_dir, "bands")
         self._meta = os.path.join(store_dir, "meta.json")
         os.makedirs(store_dir, exist_ok=True)
+        if os.path.exists(self._meta):
+            with open(self._meta) as f:
+                fmt = json.load(f).get("format", 1)
+            if fmt != STORE_FORMAT:
+                raise ValueError(
+                    f"StreamingDocDedup store at {store_dir} was written "
+                    f"with band-store format {fmt}; this build reads/"
+                    f"writes format {STORE_FORMAT} (60-bit BIGINT band "
+                    "keys). Rebuild the store by replaying the corpus "
+                    "through a fresh store_dir, or run the matching "
+                    "engine version against it."
+                )
 
     def corpus(self) -> DataFrame:
         return self.spark.read.parquet(self.corpus_dir).drop("batch_id")
@@ -145,7 +166,7 @@ class StreamingDocDedup:
             self._batch_partition(self.bands_dir, batch_id)
         )
         with open(self._meta + ".tmp", "w") as f:
-            json.dump({"last_batch_id": batch_id}, f)
+            json.dump({"last_batch_id": batch_id, "format": STORE_FORMAT}, f)
         os.replace(self._meta + ".tmp", self._meta)
 
     def attach(
