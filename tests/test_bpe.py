@@ -365,7 +365,7 @@ def test_streaming_shard_packer_bpe_counter(spark, tmp_path):
         )
         q = attach_shard_stream(
             stream, out, ck, budget=200, token_counter=counter,
-            trigger={"availableNow": True},
+            emit_token_ids=True, trigger={"availableNow": True},
         )
         q.awaitTermination(120)
 
@@ -400,6 +400,11 @@ def test_streaming_shard_packer_bpe_counter(spark, tmp_path):
     max_doc = max(TOK.count(t) for _, t in rows)
     for r in stream_manifest:
         assert r["n_tokens"] <= 200 + max_doc
+
+    # emit_token_ids=True: streaming shards are loader-ready and the
+    # budgeted counts equal size(input_ids) row-for-row
+    rows_out = spark.read.parquet(os.path.join(out, batch_dirs[0])).collect()
+    assert all(r["n_tokens"] == len(r["input_ids"]) for r in rows_out)
 
     # restart with no new files: no new batch dirs, manifests unchanged
     before = {d: os.listdir(os.path.join(out, d)) for d in batch_dirs}

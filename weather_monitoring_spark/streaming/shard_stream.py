@@ -58,12 +58,15 @@ def attach_shard_stream(
     text_col: str = "text",
     file_format: str = "parquet",
     token_counter: TokenCounter | None = None,
+    emit_token_ids: bool = False,
     trigger: dict | None = None,
 ) -> StreamingQuery:
     """Attach the shard packer to a streaming documents DataFrame.
 
     Writes ``<out_dir>/batch_id=N/shard_id=M/`` partitions plus a
-    per-batch ``_manifest``; returns the started query. ``trigger``
+    per-batch ``_manifest``; returns the started query.
+    ``emit_token_ids=True`` adds loader-ready ``input_ids`` to each
+    shard row (the batch writer's option, unchanged). ``trigger``
     defaults to ``{"processingTime": "10 seconds"}`` — pass
     ``{"availableNow": True}`` for drain-and-stop runs (tests, replay).
     """
@@ -80,6 +83,7 @@ def attach_shard_stream(
             text_col=text_col,
             file_format=file_format,
             token_counter=token_counter,
+            emit_token_ids=emit_token_ids,
         )
 
     trig = trigger or {"processingTime": "10 seconds"}
