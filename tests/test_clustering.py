@@ -186,6 +186,40 @@ def test_semdedup_degenerate_cluster_guard(spark):
     assert sum(1 for _, _, surv in s_g if surv) == 1
 
 
+def test_cluster_topics_recovers_planted_vocabulary(spark):
+    """Three tight embedding bundles, each paired with a distinct
+    vocabulary: every cluster's top term must be its planted word, and
+    the shared filler word (df = all clusters) must rank below it."""
+    from weather_monitoring_spark.operators.clustering import cluster_topics
+
+    words = {0: "alpha", 1: "bravo", 2: "charlie"}
+    emb = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 6), i -> CAST("
+            "CASE WHEN i - 1 = id % 3 THEN 1.0 ELSE "
+            "(CAST(conv(substring(md5(concat(id, ':', i)), 1, 4), 16, 10) AS DOUBLE)"
+            " / 65536.0 - 0.5) * 0.1 END AS FLOAT))"
+        ).alias("embedding"),
+    )
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat(CASE CAST(id % 3 AS INT) WHEN 0 THEN 'alpha alpha' "
+            "WHEN 1 THEN 'bravo bravo' ELSE 'charlie charlie' END, "
+            "' filler common words')"
+        ).alias("text"),
+    )
+    rows = cluster_topics(docs, emb, n_clusters=3, top_m=2).collect()
+    top = {r["cluster"]: r["token"] for r in rows if r["term_rank"] == 1}
+    # cluster ids depend on seeding; the SET of top terms must be the
+    # planted vocabulary, one per cluster
+    assert sorted(top.values()) == sorted(words.values())
+    # the shared filler never beats a planted term
+    assert all(r["token"] not in ("filler", "common", "words")
+               for r in rows if r["term_rank"] == 1)
+
+
 def test_quantized_sum_overflow_guard(spark, monkeypatch):
     """kmeans_train / ivf_train must refuse to continue when a cluster
     reaches the int64-overflow member bound (2^27) instead of wrapping

@@ -538,6 +538,87 @@ def semdedup_survivors(
     return dedup_clusters(emb, pairs.select("id_a", "id_b"), id_col=id_col)
 
 
+#: Top terms reported per cluster in cluster_topics.
+CLUSTER_TOPIC_TERMS = 5
+
+
+def cluster_topics(
+    docs: DataFrame,
+    emb: DataFrame,
+    n_clusters: int = KMEANS_CLUSTERS,
+    n_iters: int = KMEANS_ITERS,
+    top_m: int = CLUSTER_TOPIC_TERMS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "fold",
+) -> DataFrame:
+    """What is each embedding cluster ABOUT? Label k-means clusters with
+    their distinguishing terms: cluster-level TF-IDF over the documents
+    assigned to each cluster -> (cluster, token, tf, df, score,
+    term_rank), term_rank 1..top_m per cluster.
+
+    This is the corpus-exploration companion to the clustering family
+    (the SemDeDup-paper workflow: cluster the embedding space, then ask
+    what the clusters contain before deciding per-cluster policy). The
+    "document" unit of the TF-IDF is the CLUSTER: ``tf`` = term
+    occurrences across the cluster's documents, ``df`` = number of
+    clusters containing the term, ``score = tf * (K / df)`` with K =
+    observed cluster count — the raw inverse frequency, NOT log(),
+    for the cross-engine bit-stability reason ``textops.tfidf_topk``
+    documents. Ties rank by (score desc, token asc). Deterministic
+    end-to-end (quantized k-means + integer counts + one IEEE divide),
+    so the ENTIRE composition — clustering included — replays in DuckDB
+    (``extra: x_cluster_topics``).
+
+    Scale shape: assignment is the zero-Exchange projection; the
+    (cluster, token) aggregate shuffles term counts with map-side
+    partials (bounded by clusters x vocabulary); the cluster-df
+    aggregate and the per-cluster top-m window ride the same keys.
+    Documents join to assignments on the id — at 100 TB that join is
+    the reason embeddings carry the document id in the first place."""
+    from weather_monitoring_spark.functions.text import tokens_expr
+
+    assigned = kmeans_embeddings(
+        emb, n_clusters, n_iters, vec_id_col, vec_col, method
+    ).select(F.col(vec_id_col).alias("_aid"), "cluster")
+    labeled = docs.join(
+        assigned, docs[id_col] == F.col("_aid"), "inner"
+    ).select("cluster", F.col(id_col), F.col(text_col))
+    tok = labeled.select(
+        "cluster", F.explode(tokens_expr(text_col)).alias("token")
+    )
+    tf = (
+        tok.groupBy("cluster", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n_clust = tf.agg(
+        F.count_distinct("cluster").cast("double").alias("_k")
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_clust))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double") * (F.col("_k") / F.col("df").cast("double")),
+        )
+        .drop("_k")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= top_m)
+        .select("cluster", "token", "tf", "df", "score", "term_rank")
+    )
+
+
 # ---- DuckDB oracle mirrors ------------------------------------------------
 
 

@@ -2488,3 +2488,69 @@ EXTRA_SPECS.append(
         tags=("extra", "embeddings", "clustering", "dedup", "pipeline"),
     )
 )
+
+
+def _cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster topic labels: cluster-level TF-IDF (cluster = the
+    'document' unit; raw N/df inverse frequency, no log — bit-stable)
+    over the documents assigned to each k-means cluster, top 5 terms
+    per cluster. The whole composition — deterministic quantized
+    k-means included — replays in DuckDB and must hash-match."""
+    from weather_monitoring_spark.operators.clustering import cluster_topics
+
+    return cluster_topics(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+
+
+def _o_cluster_topics():
+    from weather_monitoring_spark.operators.clustering import (
+        CLUSTER_TOPIC_TERMS,
+        KMEANS_CLUSTERS,
+        KMEANS_ITERS,
+        _o_kmeans_ctes,
+    )
+
+    ctes = _o_kmeans_ctes(
+        KMEANS_CLUSTERS, KMEANS_ITERS, 64, "embeddings", "vec_id", "embedding"
+    )
+    return f"""
+        WITH {ctes},
+        lab AS (
+            SELECT s.c AS cluster, d.doc_id, d.text
+            FROM documents d JOIN a{KMEANS_ITERS} s ON s.vec_id = d.doc_id
+        ),
+        tok AS (
+            SELECT cluster, unnest({o_tokens('text')}) AS token FROM lab
+        ),
+        tf AS (
+            SELECT cluster, token, CAST(count(*) AS BIGINT) AS tf
+            FROM tok GROUP BY cluster, token
+        ),
+        dfq AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+        ),
+        kc AS (SELECT CAST(count(DISTINCT cluster) AS DOUBLE) AS k FROM tf),
+        scored AS (
+            SELECT tf.cluster, tf.token, tf.tf, dfq.df,
+                   CAST(tf.tf AS DOUBLE) * ((SELECT k FROM kc) / CAST(dfq.df AS DOUBLE)) AS score
+            FROM tf JOIN dfq USING (token)
+        )
+        SELECT cluster, token, tf, df, score, term_rank FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY cluster
+                       ORDER BY score DESC, token ASC) AS BIGINT) AS term_rank
+            FROM scored)
+        WHERE term_rank <= {CLUSTER_TOPIC_TERMS}
+    """
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_cluster_topics",
+        doc=_cluster_topics.__doc__ or "",
+        spark=_cluster_topics,
+        oracle=_o_cluster_topics(),
+        tags=("extra", "embeddings", "clustering", "text"),
+    )
+)
