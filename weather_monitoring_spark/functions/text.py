@@ -118,8 +118,9 @@ def o_h60_from_md5(md5_expr: str) -> str:
 
 def minhash_sql(hashes_col: str, k: int) -> str:
     """Spark SQL: k-th MinHash as an affine remix of the base hashes.
-    (Documentation form — the operator computes the same values via
-    explode + min() aggregate, which codegens; see
+    (Documentation form — the operator computes the same values
+    row-locally in one Arrow pass by default, with the explode + min()
+    aggregate kept as method="agg"; see
     operators/dedup.minhash_signatures. Kept as the 1:1 structural
     mirror of the DuckDB oracle fragment o_minhash below.)"""
     a, b = minhash_params(k)
