@@ -198,3 +198,94 @@ def test_curate_corpus_verdicts_and_single_projection(spark):
     # the whole gate is one projection — no shuffle in the plan
     plan = curate_corpus(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------- Gopher rule set ----------------------------------------
+
+from weather_monitoring_spark.operators.quality import gopher_rules
+
+#: 20 words, mean length 4.55, six distinct required stopwords, all
+#: alphabetic — repeated 3x it passes every Gopher rule.
+_PROSE = (
+    "the quick brown foxes jumped over lazy dogs and that they have "
+    "slept with comfort of being safely home tonight"
+)
+
+
+def _gopher(spark, rows, **kw):
+    df = _docs(spark, rows)
+    return {r["doc_id"]: r for r in gopher_rules(df, **kw).collect()}
+
+
+def test_gopher_kept_and_signal_values(spark):
+    out = _gopher(spark, [(1, " ".join([_PROSE] * 3))])
+    r = out[1]
+    assert r["verdict"] == "kept"
+    assert r["n_words"] == 60
+    assert r["mean_word_len"] == pytest.approx(4.55)
+    assert r["frac_alpha_words"] == 1.0
+    assert r["symbol_ratio"] == 0.0
+    assert r["n_stopwords"] == 6
+
+
+def test_gopher_word_count_rules(spark):
+    out = _gopher(spark, [(1, "short doc"), (2, None), (3, "")])
+    assert out[1]["verdict"] == "too_few_words"
+    assert out[2]["verdict"] == "too_few_words" and out[2]["n_words"] == 0
+    assert out[3]["verdict"] == "too_few_words"
+    # max bound via threshold override (not a 100k-word literal)
+    over = _gopher(spark, [(4, " ".join([_PROSE] * 3))], max_words=59)
+    assert over[4]["verdict"] == "too_many_words"
+
+
+def test_gopher_word_length_rule(spark):
+    long_words = " ".join(["supercalifragilistic"] * 60)
+    ones = " ".join(["a"] * 60)
+    out = _gopher(spark, [(1, long_words), (2, ones)])
+    assert out[1]["verdict"] == "word_length"
+    assert out[1]["mean_word_len"] == 20.0
+    assert out[2]["verdict"] == "word_length"
+
+
+def test_gopher_symbol_ratio_rule(spark):
+    text = " ".join([_PROSE] * 3) + " " + " ".join(["#"] * 7)
+    out = _gopher(spark, [(1, text)])
+    assert out[1]["verdict"] == "symbol_ratio"
+    assert out[1]["n_words"] == 67
+    assert out[1]["symbol_ratio"] == pytest.approx(7 / 67)
+
+
+def test_gopher_bullet_and_ellipsis_rules(spark):
+    bullets = "\n".join(["- the quick brown foxes jumped"] * 10)
+    # 4 of 10 lines end with '...': ellipsis frac 0.4 while the symbol
+    # ratio stays at 4/60 <= 0.1 (so the earlier rule does not fire).
+    lines = ["the quick brown foxes jumped high"] * 6 + [
+        "the quick brown foxes jumped so..."
+    ] * 4
+    out = _gopher(spark, [(1, bullets), (2, "\n".join(lines))])
+    assert out[1]["verdict"] == "bullet_lines"
+    assert out[1]["frac_bullet_lines"] == 1.0
+    assert out[2]["verdict"] == "ellipsis_lines"
+    assert out[2]["frac_ellipsis_lines"] == pytest.approx(0.4)
+
+
+def test_gopher_alpha_and_stopword_rules(spark):
+    numbers = " ".join([_PROSE] * 2) + " " + " ".join(["12345"] * 20)
+    no_stops = " ".join(["quick brown foxes jumped over lazy dogs today"] * 8)
+    out = _gopher(spark, [(1, numbers), (2, no_stops)])
+    assert out[1]["verdict"] == "non_alpha_words"
+    assert out[1]["frac_alpha_words"] == pytest.approx(40 / 60)
+    assert out[2]["verdict"] == "stopwords"
+    assert out[2]["n_stopwords"] == 0
+
+
+def test_gopher_precedence_first_failing_rule_wins(spark):
+    # fails word count AND symbols AND stopwords -> earliest rule named
+    out = _gopher(spark, [(1, "# # #")])
+    assert out[1]["verdict"] == "too_few_words"
+
+
+def test_gopher_plan_is_exchange_free(spark):
+    df = _docs(spark, [(1, _PROSE)])
+    plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -317,3 +317,224 @@ def curate_corpus(
         .otherwise(F.lit("kept"))
     )
     return staged.withColumn("verdict", verdict)
+
+
+# ---------------- Gopher document-quality rules --------------------------
+#
+# The full heuristic rule set from Rae et al. 2021 ("Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher",
+# arXiv:2112.11446, Appendix A1.1) — the published filter stack the
+# Dolma / RefinedWeb / FineWeb pipelines all re-implement. Thresholds
+# are the paper's published defaults, exposed as keyword arguments.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+#: The paper's required-stopword list (>= GOPHER_MIN_STOPWORDS distinct
+#: must appear, evidence the text is running English prose).
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+#: Whitespace "word" splitter — Gopher words keep their punctuation
+#: (unlike ``tokens_expr``), so symbol ratios and mean word length see
+#: the raw surface forms. Explicit class, not ``\\s``: Java counts
+#: ``\\x0B`` as ``\\s``, RE2 does not — the explicit class is the
+#: RE2 ∩ Java common subset both engines interpret identically.
+GOPHER_WS_RE = "[ \\t\\n\\r\\f]+"
+
+#: Line-start characters counted as bullets.
+GOPHER_BULLETS: tuple[str, ...] = ("•", "-", "*")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+    min_mean_word_len: float = GOPHER_MIN_MEAN_WORD_LEN,
+    max_mean_word_len: float = GOPHER_MAX_MEAN_WORD_LEN,
+    max_symbol_ratio: float = GOPHER_MAX_SYMBOL_RATIO,
+    max_bullet_frac: float = GOPHER_MAX_BULLET_FRAC,
+    max_ellipsis_frac: float = GOPHER_MAX_ELLIPSIS_FRAC,
+    min_alpha_frac: float = GOPHER_MIN_ALPHA_FRAC,
+    min_stopwords: int = GOPHER_MIN_STOPWORDS,
+) -> DataFrame:
+    """The complete Gopher quality rule set as ONE zero-shuffle
+    projection: per document, every signal the paper's Appendix-A1.1
+    heuristics gate on, plus a first-failing-rule verdict (the
+    ``curate_corpus`` precedence discipline — every document gets
+    ``kept`` or the name of the first rule it failed, so the verdict
+    distribution is publishable with the data drop).
+
+    Signals: ``n_words`` (whitespace words, punctuation attached),
+    ``mean_word_len``, ``frac_alpha_words`` (words containing an ASCII
+    letter), ``symbol_ratio`` (``#`` / ``...`` / ``…`` occurrences per
+    word), ``frac_bullet_lines`` / ``frac_ellipsis_lines`` (over
+    non-blank trimmed lines), ``n_stopwords`` (distinct required
+    stopwords present).
+
+    Cross-engine exactness: word/line statistics are exact BIGINTs; each
+    ratio is ONE IEEE division of identical operands (bit-stable — the
+    repetition_signals discipline), so the whole frame hash-matches the
+    DuckDB oracle. Patterns ride the Column API, never SQL string
+    literals (the htmlops escaping discipline — Spark's SQL parser
+    rewrites unknown backslash escapes). Scale shape: pure column
+    algebra inside the scan's whole-stage codegen — no shuffle, no
+    Python, at any corpus size."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    df = docs.select(
+        F.col(id_col),
+        F.filter(F.split(txt, GOPHER_WS_RE), lambda x: x != F.lit("")).alias(
+            "_w"
+        ),
+        F.filter(
+            F.transform(F.split(txt, "\\n"), lambda l: F.trim(l)),
+            lambda l: l != F.lit(""),
+        ).alias("_l"),
+        tokens_expr(text_col).alias("_tk"),
+        (
+            F.regexp_count(txt, F.lit("#"))
+            + F.regexp_count(txt, F.lit("\\.\\.\\."))
+            + F.regexp_count(txt, F.lit("…"))
+        ).cast("bigint").alias("_sym"),
+    )
+    nw = F.size("_w").cast("bigint")
+    nl = F.size("_l").cast("bigint")
+    zero = F.lit(0.0)
+    chars = F.aggregate(
+        "_w", F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+    )
+    alpha = F.size(
+        F.filter("_w", lambda x: x.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    bul = F.size(
+        F.filter(
+            "_l", lambda l: F.substring(l, 1, 1).isin(list(GOPHER_BULLETS))
+        )
+    ).cast("bigint")
+    ell = F.size(
+        F.filter("_l", lambda l: l.like("%...") | l.like("%…"))
+    ).cast("bigint")
+    nstop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(F.col("_tk"), s),
+        )
+    ).cast("bigint")
+    sig = df.select(
+        id_col,
+        nw.alias("n_words"),
+        F.when(nw == 0, zero)
+        .otherwise(chars.cast("double") / nw.cast("double"))
+        .alias("mean_word_len"),
+        F.when(nw == 0, zero)
+        .otherwise(alpha.cast("double") / nw.cast("double"))
+        .alias("frac_alpha_words"),
+        F.when(nw == 0, zero)
+        .otherwise(F.col("_sym").cast("double") / nw.cast("double"))
+        .alias("symbol_ratio"),
+        F.when(nl == 0, zero)
+        .otherwise(bul.cast("double") / nl.cast("double"))
+        .alias("frac_bullet_lines"),
+        F.when(nl == 0, zero)
+        .otherwise(ell.cast("double") / nl.cast("double"))
+        .alias("frac_ellipsis_lines"),
+        nstop.alias("n_stopwords"),
+    )
+    verdict = (
+        F.when(F.col("n_words") < min_words, F.lit("too_few_words"))
+        .when(F.col("n_words") > max_words, F.lit("too_many_words"))
+        .when(
+            (F.col("mean_word_len") < min_mean_word_len)
+            | (F.col("mean_word_len") > max_mean_word_len),
+            F.lit("word_length"),
+        )
+        .when(F.col("symbol_ratio") > max_symbol_ratio, F.lit("symbol_ratio"))
+        .when(F.col("frac_bullet_lines") > max_bullet_frac, F.lit("bullet_lines"))
+        .when(
+            F.col("frac_ellipsis_lines") > max_ellipsis_frac,
+            F.lit("ellipsis_lines"),
+        )
+        .when(F.col("frac_alpha_words") < min_alpha_frac, F.lit("non_alpha_words"))
+        .when(F.col("n_stopwords") < min_stopwords, F.lit("stopwords"))
+        .otherwise(F.lit("kept"))
+    )
+    return sig.withColumn("verdict", verdict)
+
+
+def o_gopher_rules_sql(source: str = "documents") -> str:
+    """Full DuckDB mirror of ``gopher_rules`` at the default thresholds:
+    same whitespace class, same line trimming, same single-division
+    ratios, same verdict precedence — shared-verbatim constants."""
+    from weather_monitoring_spark.functions.text import o_tokens
+
+    bullets = ", ".join(f"'{b}'" for b in GOPHER_BULLETS)
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(coalesce(text, ''),
+                       '{GOPHER_WS_RE}'), x -> x <> '') AS w,
+                   list_filter(list_transform(
+                       regexp_split_to_array(coalesce(text, ''), '\\n'),
+                       l -> trim(l)), l -> l <> '') AS l,
+                   {o_tokens("coalesce(text, '')")} AS tk,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '#'))
+                      + len(regexp_extract_all(coalesce(text, ''), '\\.\\.\\.'))
+                      + len(regexp_extract_all(coalesce(text, ''), '…'))
+                     AS BIGINT) AS sym
+            FROM {source}
+        ), sig AS (
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_words,
+                   CASE WHEN len(w) = 0 THEN 0.0 ELSE
+                     CAST(coalesce(list_sum(list_transform(w,
+                         x -> CAST(len(x) AS BIGINT))), 0) AS DOUBLE)
+                     / CAST(len(w) AS DOUBLE) END AS mean_word_len,
+                   CASE WHEN len(w) = 0 THEN 0.0 ELSE
+                     CAST(len(list_filter(w,
+                         x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                     / CAST(len(w) AS DOUBLE) END AS frac_alpha_words,
+                   CASE WHEN len(w) = 0 THEN 0.0 ELSE
+                     CAST(sym AS DOUBLE) / CAST(len(w) AS DOUBLE)
+                   END AS symbol_ratio,
+                   CASE WHEN len(l) = 0 THEN 0.0 ELSE
+                     CAST(len(list_filter(l,
+                         x -> substr(x, 1, 1) IN ({bullets}))) AS DOUBLE)
+                     / CAST(len(l) AS DOUBLE) END AS frac_bullet_lines,
+                   CASE WHEN len(l) = 0 THEN 0.0 ELSE
+                     CAST(len(list_filter(l,
+                         x -> x LIKE '%...' OR x LIKE '%…')) AS DOUBLE)
+                     / CAST(len(l) AS DOUBLE) END AS frac_ellipsis_lines,
+                   CAST(len(list_filter([{stops}],
+                       s -> list_contains(tk, s))) AS BIGINT) AS n_stopwords
+            FROM base
+        )
+        SELECT *,
+               CASE
+                 WHEN n_words < {GOPHER_MIN_WORDS} THEN 'too_few_words'
+                 WHEN n_words > {GOPHER_MAX_WORDS} THEN 'too_many_words'
+                 WHEN mean_word_len < {GOPHER_MIN_MEAN_WORD_LEN}
+                   OR mean_word_len > {GOPHER_MAX_MEAN_WORD_LEN}
+                   THEN 'word_length'
+                 WHEN symbol_ratio > {GOPHER_MAX_SYMBOL_RATIO} THEN 'symbol_ratio'
+                 WHEN frac_bullet_lines > {GOPHER_MAX_BULLET_FRAC}
+                   THEN 'bullet_lines'
+                 WHEN frac_ellipsis_lines > {GOPHER_MAX_ELLIPSIS_FRAC}
+                   THEN 'ellipsis_lines'
+                 WHEN frac_alpha_words < {GOPHER_MIN_ALPHA_FRAC}
+                   THEN 'non_alpha_words'
+                 WHEN n_stopwords < {GOPHER_MIN_STOPWORDS} THEN 'stopwords'
+                 ELSE 'kept'
+               END AS verdict
+        FROM sig
+    """

@@ -2554,3 +2554,36 @@ EXTRA_SPECS.append(
         tags=("extra", "embeddings", "clustering", "text"),
     )
 )
+
+
+# ---- Gopher quality rules (operators/quality.py) -------------------------
+
+
+def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete Gopher heuristic rule set (Rae et al. 2021, Appendix
+    A1.1) in one zero-shuffle projection: word-count bounds, mean word
+    length, symbol-to-word ratio, bullet/ellipsis line fractions,
+    alphabetic-word fraction, required-stopword floor — plus the
+    first-failing-rule verdict every document gets (the curate_corpus
+    audit discipline). All ratios are single IEEE divisions of exact
+    BIGINTs, so the full frame hash-matches the oracle."""
+    from weather_monitoring_spark.operators.quality import gopher_rules
+
+    return gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+def _o_gopher() -> str:
+    from weather_monitoring_spark.operators.quality import o_gopher_rules_sql
+
+    return o_gopher_rules_sql()
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_gopher_rules",
+        doc=_gopher_rules.__doc__ or "",
+        spark=_gopher_rules,
+        oracle=_o_gopher(),
+        tags=("extra", "quality", "curation"),
+    )
+)
