@@ -86,3 +86,63 @@ def test_quality_survivors_keep_best_copy_not_min_id(spark):
     per_cluster = Counter(r.cluster for r in out.values() if r.survivor)
     assert all(v == 1 for v in per_cluster.values())
     assert len(per_cluster) == 3
+
+
+# ---------------- leakage-safe split -------------------------------------
+
+from pyspark.sql import functions as F
+
+from weather_monitoring_spark.operators.graph import leakage_safe_split
+
+
+def _docs_ids(spark, n):
+    return spark.range(n).select(F.col("id").alias("doc_id"))
+
+
+def test_split_keeps_clusters_together_and_closes_the_id_hash_leak(spark):
+    # 50 planted near-dup pairs (2k, 2k+1) among 200 docs.
+    docs = _docs_ids(spark, 200)
+    pairs = _edges(spark, [(2 * k, 2 * k + 1) for k in range(50)])
+    out = leakage_safe_split(docs, pairs).collect()
+    split = {r["doc_id"]: r["split"] for r in out}
+    for k in range(50):
+        assert split[2 * k] == split[2 * k + 1]
+    # the per-document q59-style hash split WOULD separate at least one
+    # planted pair (deterministic md5 — this documents the leak the
+    # cluster-hash split closes).
+    id_bucket = (
+        docs.select(
+            "doc_id",
+            F.expr(
+                "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),"
+                " ':split')), 1, 8), 16, 10) AS BIGINT) % 100"
+            ).alias("b"),
+        )
+        .toPandas()
+        .set_index("doc_id")["b"]
+    )
+    def tier(b):
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+    leaked = [
+        k for k in range(50)
+        if tier(id_bucket[2 * k]) != tier(id_bucket[2 * k + 1])
+    ]
+    assert leaked, "expected the id-hash split to separate some pair"
+
+
+def test_split_fractions_and_determinism(spark):
+    docs = _docs_ids(spark, 500)
+    pairs = _edges(spark, [])
+    a = leakage_safe_split(docs, pairs).orderBy("doc_id").collect()
+    b = (
+        leakage_safe_split(docs.repartition(13), pairs)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == b  # partitioning-independent assignment
+    counts = {}
+    for r in a:
+        assert 0 <= r["bucket"] < 100
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    # 80/10/10 within loose bounds on 500 singletons
+    assert counts["train"] > 300 and counts["val"] > 10 and counts["test"] > 10

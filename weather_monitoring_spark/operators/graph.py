@@ -148,3 +148,48 @@ def quality_survivors(
         "quality",
         (F.col(id_col) == F.col("_keeper")).alias("survivor"),
     )
+
+
+#: leakage_safe_split defaults: 80/10/10, the q59 salt discipline.
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10
+SPLIT_SALT = "split"
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = SPLIT_TRAIN_PCT,
+    val_pct: int = SPLIT_VAL_PCT,
+    salt: str = SPLIT_SALT,
+) -> DataFrame:
+    """Dedup-aware train/val/test split: hash the near-dup CLUSTER label,
+    not the document id, so every member of a near-duplicate cluster
+    lands in the SAME split. A per-document content-hash split (q59)
+    leaks: a near-duplicate pair split across train and test is the eval
+    contamination decontamination pipelines exist to prevent — splitting
+    by cluster closes that leak by construction, with no RNG and no
+    coordination (the split of any document is a pure function of its
+    cluster's min id and the salt).
+
+    Returns (id, cluster, bucket, split): cluster = connected-component
+    label over the verified near-dup pair graph (itself for singletons),
+    bucket = md5-derived 0..99 (the q59 construction applied to the
+    cluster label), split in {'train','val','test'} by the pct bounds.
+
+    Scale shape: the clustering (pointer-jumping components over pair
+    ids) dominates and moves only (node, label) tuples; the split
+    assignment is a zero-shuffle projection on top. Documents never
+    cross the wire."""
+    labeled = dedup_clusters(docs, pairs, id_col=id_col).select(id_col, "cluster")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(concat(CAST(cluster AS STRING),"
+        f" ':{salt}')), 1, 8), 16, 10) AS BIGINT) % 100"
+    )
+    return labeled.withColumn("bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("bucket") < train_pct, "train")
+        .when(F.col("bucket") < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )

@@ -2587,3 +2587,88 @@ EXTRA_SPECS.append(
         tags=("extra", "quality", "curation"),
     )
 )
+
+
+# ---- leakage-safe split (operators/graph.py) -----------------------------
+
+
+def _leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split: near-dup clusters (MinHash-LSH
+    candidates -> candidate-bounded exact Jaccard -> connected
+    components) are hashed by CLUSTER label, so near-duplicates can
+    never straddle train and test — the leak a per-document hash split
+    (q59) permits and decontamination pipelines exist to patch. The
+    recursive oracle replays the clustering fixpoint AND the md5 bucket
+    mapping, so the full assignment hash-matches."""
+    from weather_monitoring_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_verify,
+    )
+    from weather_monitoring_spark.operators.graph import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    verified = ngram_jaccard_verify(docs, minhash_lsh_pairs(docs))
+    return leakage_safe_split(docs, verified.select("id_a", "id_b"))
+
+
+def _o_leakage_split() -> str:
+    from weather_monitoring_spark.operators.graph import (
+        SPLIT_SALT,
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+    )
+
+    bucket = (
+        "CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR) ||"
+        f" ':{SPLIT_SALT}'), 1, 8)) AS BIGINT) % 100"
+    )
+    return f"""
+        WITH RECURSIVE {o_band_candidates()},
+        {O_FILTERED_SH},
+        shared AS (
+            SELECT c.id_a, c.id_b, count(*) AS shared
+            FROM cand c
+            JOIN sh a ON a.id = c.id_a
+            JOIN sh b ON b.id = c.id_b AND b.s = a.s
+            GROUP BY 1, 2
+        ),
+        dup_pairs AS (
+            SELECT id_a, id_b
+            FROM shared JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
+            WHERE shared * 1.0 / (x.n + y.n - shared) >= {JACCARD_THRESHOLD}
+        ),
+        sym AS (
+            SELECT id_a AS a, id_b AS b FROM dup_pairs
+            UNION
+            SELECT id_b, id_a FROM dup_pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+        ),
+        comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+        lab AS (
+            SELECT d.doc_id,
+                   CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        ), bk AS (
+            SELECT doc_id, cluster, {bucket} AS bucket FROM lab
+        )
+        SELECT doc_id, cluster, bucket,
+               CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM bk
+    """
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_leakage_safe_split",
+        doc=_leakage_safe_split.__doc__ or "",
+        spark=_leakage_safe_split,
+        oracle=_o_leakage_split(),
+        tags=("extra", "split", "dedup", "graph"),
+    )
+)
