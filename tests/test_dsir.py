@@ -172,3 +172,43 @@ def test_log_table_is_quantized_and_monotone():
     vals = [Decimal(s) for s in tbl]
     assert all(a < b for a, b in zip(vals, vals[1:]))
     assert all(len(s.split(".")[1]) == 18 for s in tbl)
+
+# ---------------- corpus divergence --------------------------------------
+
+from weather_monitoring_spark.operators.dsir import corpus_divergence
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_divergence_identical_corpora_is_exactly_zero(spark):
+    a = _corpus(spark, [(1, "the cat sat"), (2, "dogs bark loudly")])
+    b = _corpus(spark, [(7, "the cat sat"), (9, "dogs bark loudly")])
+    r = corpus_divergence(a, b).collect()[0]
+    assert r["tv_distance"] == 0.0 and r["chi2_divergence"] == 0.0
+    assert r["mass_a"] == r["mass_b"]
+    assert r["n_active_a"] == r["n_active_b"]
+
+
+def test_divergence_orders_a_planted_shift(spark):
+    base = [(i, "the cat sat on the mat") for i in range(20)]
+    near = [(i, "the cat sat on the mat") for i in range(15)] + [
+        (i, "a dog ran in the park") for i in range(15, 20)
+    ]
+    far = [(i, "quantum flux harmonics destabilize relativistic manifolds")
+           for i in range(20)]
+    a = _corpus(spark, base)
+    d_near = corpus_divergence(a, _corpus(spark, near)).collect()[0]
+    d_far = corpus_divergence(a, _corpus(spark, far)).collect()[0]
+    assert 0.0 < d_near["tv_distance"] < d_far["tv_distance"] <= 1.0
+    assert 0.0 < d_near["chi2_divergence"] < d_far["chi2_divergence"]
+
+
+def test_divergence_is_partitioning_invariant(spark):
+    a = _corpus(spark, [(i, f"alpha beta gamma {i}") for i in range(40)])
+    b = _corpus(spark, [(i, f"delta epsilon zeta {i}") for i in range(40)])
+    r1 = corpus_divergence(a, b).collect()[0]
+    r2 = corpus_divergence(a.repartition(17), b.repartition(3)).collect()[0]
+    assert r1["tv_distance"].hex() == r2["tv_distance"].hex()
+    assert r1["chi2_divergence"].hex() == r2["chi2_divergence"].hex()

@@ -255,3 +255,165 @@ def o_dsir_weights_sql(raw_pred: str = "TRUE", target_pred: str = "TRUE") -> str
 
 def o_h32_dsir(col: str) -> str:
     return f"CAST(('0x' || substr(md5('dsir' || ':' || {col}), 1, 8)) AS BIGINT)"
+
+
+# ---------------- corpus divergence (drift observability) ----------------
+
+
+def corpus_divergence(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributional distance between two corpora over the SAME hashed
+    n-gram feature space the DSIR models use — the drift-observability
+    number a mixture pipeline watches per ingest batch ("has this
+    source's language shifted since the weights were tuned?").
+
+    Returns ONE row: (n_buckets, mass_a, mass_b, n_active_a, n_active_b,
+    tv_distance, chi2_divergence) where the distributions are the
+    add-one-smoothed clipped bucket models p_i = (c_i + 1) / (Σc + B),
+    ``tv_distance`` = ½·Σ|p_i − q_i| (total variation, in [0, 1]) and
+    ``chi2_divergence`` = Σ(p_i − q_i)²/q_i (Pearson χ², the KL
+    second-order approximation).
+
+    Why TV and χ² rather than KL: a KL over arbitrary totals needs
+    ``ln(N)`` for unbounded N — a transcendental outside the literal
+    log-table construction, and ``ln`` is NOT cross-engine bit-stable
+    (module doc). TV and χ² are pure +,−,×,÷ of identical operands, so
+    with one fixed summation order they are bit-exact on both engines:
+    each per-bucket term is IEEE arithmetic on two exact divisions, and
+    the total is a SEQUENTIAL fold over the full B-bucket list in
+    bucket order (the mixture_weights discipline — never a partial-agg
+    double sum).
+
+    Scale shape: each corpus aggregates once into a ≤B-row model
+    (map-side partials); everything after — the B-row join, the 1-row
+    mass frame, the sorted fold — is arithmetic on bounded frames.
+    Documents never cross the wire; cost is independent of corpus size
+    beyond the two model scans."""
+    spark = corpus_a.sparkSession
+    ma = dsir_model(corpus_a, id_col, text_col).withColumnRenamed("c", "ca")
+    mb = dsir_model(corpus_b, id_col, text_col).withColumnRenamed("c", "cb")
+    buckets = spark.range(DSIR_BUCKETS).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    j = (
+        buckets.join(F.broadcast(ma), "bucket", "left")
+        .join(F.broadcast(mb), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+        )
+    )
+    mass = j.agg(
+        (F.sum("ca") + F.lit(DSIR_BUCKETS)).cast("long").alias("mass_a"),
+        (F.sum("cb") + F.lit(DSIR_BUCKETS)).cast("long").alias("mass_b"),
+    )
+    pa = (F.col("ca") + 1).cast("double") / F.col("mass_a").cast("double")
+    pb = (F.col("cb") + 1).cast("double") / F.col("mass_b").cast("double")
+    terms = j.crossJoin(F.broadcast(mass)).select(
+        "bucket",
+        "ca",
+        "cb",
+        "mass_a",
+        "mass_b",
+        F.abs(pa - pb).alias("t_tv"),
+        ((pa - pb) * (pa - pb) / pb).alias("t_chi"),
+    )
+    acc = terms.agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket", "t_tv", "t_chi"))
+        ).alias("_arr"),
+        F.min("mass_a").alias("mass_a"),
+        F.min("mass_b").alias("mass_b"),
+        F.sum((F.col("ca") > 0).cast("long")).alias("n_active_a"),
+        F.sum((F.col("cb") > 0).cast("long")).alias("n_active_b"),
+    )
+    return acc.select(
+        F.lit(DSIR_BUCKETS).cast("long").alias("n_buckets"),
+        "mass_a",
+        "mass_b",
+        "n_active_a",
+        "n_active_b",
+        (
+            F.aggregate(
+                "_arr", F.lit(0.0), lambda a, x: a + x["t_tv"]
+            )
+            * F.lit(0.5)
+        ).alias("tv_distance"),
+        F.aggregate("_arr", F.lit(0.0), lambda a, x: a + x["t_chi"]).alias(
+            "chi2_divergence"
+        ),
+    )
+
+
+def o_corpus_divergence_sql(
+    pred_a: str = "doc_id % 2 = 0", pred_b: str = "doc_id % 2 = 1"
+) -> str:
+    """Full DuckDB mirror of ``corpus_divergence`` over the ``documents``
+    view split by two predicates: same gram construction, same clipped
+    models, same add-one smoothing, same bucket-ordered sequential
+    folds."""
+    from weather_monitoring_spark.functions.text import o_tokens
+
+    grams = (
+        "SELECT doc_id, unnest(list_concat(t, list_transform(range(1, len(t)),"
+        " i -> t[i] || ' ' || t[i+1]))) AS g FROM tk"
+    )
+    return f"""
+        WITH tk_a AS (
+            SELECT doc_id, {o_tokens('text')} AS t FROM documents WHERE {pred_a}
+        ), tk_b AS (
+            SELECT doc_id, {o_tokens('text')} AS t FROM documents WHERE {pred_b}
+        ), g_a AS (
+            SELECT {o_h32_dsir('g')} % {DSIR_BUCKETS} AS bucket
+            FROM ({grams.replace('FROM tk', 'FROM tk_a')})
+        ), g_b AS (
+            SELECT {o_h32_dsir('g')} % {DSIR_BUCKETS} AS bucket
+            FROM ({grams.replace('FROM tk', 'FROM tk_b')})
+        ), m_a AS (
+            SELECT bucket, least(count(*), {DSIR_COUNT_CLIP}) AS ca
+            FROM g_a GROUP BY bucket
+        ), m_b AS (
+            SELECT bucket, least(count(*), {DSIR_COUNT_CLIP}) AS cb
+            FROM g_b GROUP BY bucket
+        ), bk AS (
+            SELECT CAST(unnest(range(0, {DSIR_BUCKETS})) AS BIGINT) AS bucket
+        ), j AS (
+            SELECT bucket,
+                   CAST(coalesce(ca, 0) AS BIGINT) AS ca,
+                   CAST(coalesce(cb, 0) AS BIGINT) AS cb
+            FROM bk LEFT JOIN m_a USING (bucket) LEFT JOIN m_b USING (bucket)
+        ), mass AS (
+            SELECT CAST(sum(ca) + {DSIR_BUCKETS} AS BIGINT) AS mass_a,
+                   CAST(sum(cb) + {DSIR_BUCKETS} AS BIGINT) AS mass_b
+            FROM j
+        ), terms AS (
+            SELECT bucket, ca, cb, mass_a, mass_b,
+                   abs(CAST(ca + 1 AS DOUBLE) / CAST(mass_a AS DOUBLE)
+                     - CAST(cb + 1 AS DOUBLE) / CAST(mass_b AS DOUBLE)) AS t_tv,
+                   (CAST(ca + 1 AS DOUBLE) / CAST(mass_a AS DOUBLE)
+                  - CAST(cb + 1 AS DOUBLE) / CAST(mass_b AS DOUBLE))
+                 * (CAST(ca + 1 AS DOUBLE) / CAST(mass_a AS DOUBLE)
+                  - CAST(cb + 1 AS DOUBLE) / CAST(mass_b AS DOUBLE))
+                 / (CAST(cb + 1 AS DOUBLE) / CAST(mass_b AS DOUBLE)) AS t_chi
+            FROM j CROSS JOIN mass
+        )
+        SELECT CAST({DSIR_BUCKETS} AS BIGINT) AS n_buckets,
+               min(mass_a) AS mass_a,
+               min(mass_b) AS mass_b,
+               CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_active_a,
+               CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_active_b,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(t_tv ORDER BY bucket)), (a, b) -> a + b) * 0.5
+                   AS tv_distance,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(t_chi ORDER BY bucket)), (a, b) -> a + b)
+                   AS chi2_divergence
+        FROM terms
+    """

@@ -2672,3 +2672,40 @@ EXTRA_SPECS.append(
         tags=("extra", "split", "dedup", "graph"),
     )
 )
+
+
+# ---- corpus divergence (operators/dsir.py) -------------------------------
+
+
+def _corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional drift between two corpus halves (even vs odd
+    doc_id) over the DSIR hashed-gram feature space: total-variation
+    distance + Pearson chi-square on add-one-smoothed clipped bucket
+    models. TV/chi2 instead of KL because ln(N) for unbounded totals is
+    not cross-engine bit-stable; these are pure IEEE arithmetic summed
+    by ONE bucket-ordered sequential fold on both engines, so the row
+    hash-matches exactly."""
+    from weather_monitoring_spark.operators.dsir import corpus_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_divergence(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+def _o_divergence() -> str:
+    from weather_monitoring_spark.operators.dsir import o_corpus_divergence_sql
+
+    return o_corpus_divergence_sql()
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_corpus_divergence",
+        doc=_corpus_divergence.__doc__ or "",
+        spark=_corpus_divergence,
+        oracle=_o_divergence(),
+        tags=("extra", "training-prep", "observability"),
+    )
+)
