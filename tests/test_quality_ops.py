@@ -289,3 +289,38 @@ def test_gopher_plan_is_exchange_free(spark):
     df = _docs(spark, [(1, _PROSE)])
     plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_gopher_rules_run_in_structured_streaming(tmp_path, spark):
+    """gopher_rules is a pure projection, so the identical operator runs
+    unchanged on the streaming front door — streaming verdicts equal the
+    batch verdicts on the same rows."""
+    src = str(tmp_path / "gsrc")
+    out = str(tmp_path / "gout")
+    ckpt = str(tmp_path / "gckpt")
+    rows = [
+        (1, " ".join([_PROSE] * 3)),
+        (2, "short doc"),
+        (3, " ".join(["supercalifragilistic"] * 60)),
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = (
+        gopher_rules(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r["doc_id"]: r["verdict"] for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r["doc_id"]: r["verdict"]
+        for r in gopher_rules(
+            spark.createDataFrame(rows, "doc_id bigint, text string")
+        ).collect()
+    }
+    assert got == batch == {1: "kept", 2: "too_few_words", 3: "word_length"}
