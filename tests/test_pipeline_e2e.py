@@ -303,3 +303,44 @@ def test_curate_crawl_optional_classifier_gate(spark):
     )
     assert loose.curated.count() == base.curated.count()
     assert strict.curated.count() == 0 and strict.clean.count() == 0
+
+
+def test_curate_crawl_optional_gopher_gate(spark):
+    """gopher_kwargs adds the Gopher rule gate inside the curated stage:
+    all-pass thresholds change nothing, and with real thresholds the
+    kept set is EXACTLY the docs gopher_rules marks 'kept' on the
+    baseline curated stage (the integration point, not the operator —
+    the operator itself is oracle-checked as x_gopher_rules)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    from run_curation_demo import synthetic_crawl
+
+    from weather_monitoring_spark.operators.quality import gopher_rules
+    from weather_monitoring_spark.pipelines import curate_crawl
+
+    crawl = synthetic_crawl(spark, 400).localCheckpoint(eager=True)
+    base = curate_crawl(crawl)
+    allpass = dict(
+        min_words=0, max_words=10**9, min_mean_word_len=0.0,
+        max_mean_word_len=1e9, max_symbol_ratio=1e9, max_bullet_frac=1e9,
+        max_ellipsis_frac=1e9, min_alpha_frac=0.0, min_stopwords=0,
+    )
+    same = curate_crawl(crawl, gopher_kwargs=allpass)
+    assert same.curated.count() == base.curated.count()
+
+    # isolate the word-count rule (the synthetic md5-word corpus fails
+    # the stopword/word-length rules at the paper defaults)
+    wc_only = dict(allpass, min_words=30)
+    gated = curate_crawl(crawl, gopher_kwargs=wc_only)
+    expect = {
+        r["doc_id"]
+        for r in gopher_rules(base.curated, **wc_only)
+        .filter("verdict = 'kept'")
+        .collect()
+    }
+    got = {r["doc_id"] for r in gated.curated.collect()}
+    assert got == expect and 0 < len(got) < base.curated.count()

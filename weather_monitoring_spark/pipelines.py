@@ -69,6 +69,7 @@ def curate_crawl(
     shard_budget: int = 100_000,
     checkpoint: bool = True,
     token_counter=None,
+    gopher_kwargs: dict | None = None,
 ) -> CurationStages:
     """Run the full crawl -> training-corpus curation chain.
 
@@ -89,6 +90,11 @@ def curate_crawl(
     operators/training_prep.TokenCounter) selects the shard-budget
     denomination — pass ``operators.tokenize.bpe_token_counter()`` for
     tokenizer-faithful budgets; None keeps the whitespace counter.
+    ``gopher_kwargs`` (optional) adds the full Gopher rule set
+    (operators/quality.gopher_rules) as a second rule gate in the same
+    ``curated`` stage, applied to the normalized text with the given
+    threshold overrides (``{}`` for the paper defaults) — like every
+    gate, it stays a zero-shuffle projection.
     """
 
     def pin(df: DataFrame) -> DataFrame:
@@ -110,6 +116,13 @@ def curate_crawl(
         .filter(F.col("verdict") == "kept")
         .select("doc_id", F.col("text_norm").alias("text"), "n_tokens")
     )
+    if gopher_kwargs is not None:
+        from weather_monitoring_spark.operators.quality import gopher_rules
+
+        g_keep = gopher_rules(curated, **gopher_kwargs).filter(
+            F.col("verdict") == "kept"
+        )
+        curated = curated.join(g_keep.select("doc_id"), "doc_id", "left_semi")
     if score_weights is not None:
         from weather_monitoring_spark.operators.scoring import quality_scores
 
