@@ -40,12 +40,25 @@ def synthetic_crawl(spark, n_docs: int):
       because 0.8n is a multiple of 50 for the supported sizes);
     - body content keyed mod 0.5n (exact-dup pairs surviving URL dedup);
     - every 37th doc perturbs its first word (near-dup, not exact-dup);
-    - every 61st doc has a 5-word body (fails the min_tokens gate).
+    - every 61st doc has a 5-word body (fails the min_tokens gate);
+    - every 53rd doc (unless also 61st) has a 22-word body in a
+      SALTED word space: long enough to pass min_tokens=20, short
+      enough to fail Gopher min_words=30 — the class that makes the
+      optional gopher gate observably fire. The salt keeps its words
+      disjoint from the 80-word docs sharing its body key, so it forms
+      its own exact/near-dup groups and never cross-contaminates the
+      decontamination stage (3 shared word-3-grams flag a doc).
     """
     from pyspark.sql import functions as F
 
-    body_key = f"id % {max(1, int(n_docs * 0.5))}"
-    body_len = "CASE WHEN id % 61 = 0 THEN 5 ELSE 80 END"
+    n5 = max(1, int(n_docs * 0.5))
+    body_key = (
+        f"CASE WHEN id % 53 = 0 THEN concat(CAST(id % {n5} AS STRING), ':s') "
+        f"ELSE CAST(id % {n5} AS STRING) END"
+    )
+    body_len = (
+        "CASE WHEN id % 61 = 0 THEN 5 WHEN id % 53 = 0 THEN 22 ELSE 80 END"
+    )
     prefix = (
         "CASE WHEN id % 37 = 0 THEN concat('v', CAST(id AS STRING)) "
         "ELSE 'stable' END"

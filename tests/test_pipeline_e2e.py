@@ -204,13 +204,19 @@ def _simulate_curation(n: int, bench_k: int = 50):
     def prefix(i):
         return f"v{i}" if i % 37 == 0 else "stable"
 
+    def short(i):
+        # the 22-word salted-word-space class: its bodies share no
+        # words with the 80-word docs of the same body key, so it
+        # groups only with itself in both dedup stages.
+        return i % 53 == 0
+
     exact_groups: dict = {}
     for i in curated:
-        exact_groups.setdefault((prefix(i), i % n5), []).append(i)
+        exact_groups.setdefault((prefix(i), i % n5, short(i)), []).append(i)
     exact_keep = sorted(min(g) for g in exact_groups.values())
     near_groups: dict = {}
     for i in exact_keep:
-        near_groups.setdefault(i % n5, []).append(i)
+        near_groups.setdefault((i % n5, short(i)), []).append(i)
     survivors = sorted(min(g) for g in near_groups.values())
     bench = set(
         sorted(

@@ -183,9 +183,24 @@ def leakage_safe_split(
     assignment is a zero-shuffle projection on top. Documents never
     cross the wire."""
     labeled = dedup_clusters(docs, pairs, id_col=id_col).select(id_col, "cluster")
-    bucket = F.expr(
-        "CAST(conv(substring(md5(concat(CAST(cluster AS STRING),"
-        f" ':{salt}')), 1, 8), 16, 10) AS BIGINT) % 100"
+    # Column API, not an interpolated SQL literal: a quote/backslash in
+    # the salt must reach md5 verbatim, never the SQL parser (the
+    # gopher_rules escaping discipline).
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("cluster").cast("string"), F.lit(":" + salt)
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
     )
     return labeled.withColumn("bucket", bucket).withColumn(
         "split",

@@ -367,6 +367,7 @@ def gopher_rules(
     max_ellipsis_frac: float = GOPHER_MAX_ELLIPSIS_FRAC,
     min_alpha_frac: float = GOPHER_MIN_ALPHA_FRAC,
     min_stopwords: int = GOPHER_MIN_STOPWORDS,
+    carry: tuple = (),
 ) -> DataFrame:
     """The complete Gopher quality rule set as ONE zero-shuffle
     projection: per document, every signal the paper's Appendix-A1.1
@@ -389,10 +390,17 @@ def gopher_rules(
     literals (the htmlops escaping discipline — Spark's SQL parser
     rewrites unknown backslash escapes). Scale shape: pure column
     algebra inside the scan's whole-stage codegen — no shuffle, no
-    Python, at any corpus size."""
+    Python, at any corpus size.
+
+    ``carry`` threads extra input columns through to the output
+    unchanged, so a caller gating a corpus (pipelines.curate_crawl)
+    can filter on ``verdict`` and keep its payload columns in ONE
+    projection instead of joining the verdict back — the gate stays
+    shuffle-free end to end."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
     df = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.filter(F.split(txt, GOPHER_WS_RE), lambda x: x != F.lit("")).alias(
             "_w"
         ),
@@ -432,6 +440,7 @@ def gopher_rules(
     ).cast("bigint")
     sig = df.select(
         id_col,
+        *carry,
         nw.alias("n_words"),
         F.when(nw == 0, zero)
         .otherwise(chars.cast("double") / nw.cast("double"))

@@ -119,10 +119,14 @@ def curate_crawl(
     if gopher_kwargs is not None:
         from weather_monitoring_spark.operators.quality import gopher_rules
 
-        g_keep = gopher_rules(curated, **gopher_kwargs).filter(
-            F.col("verdict") == "kept"
+        # carry= keeps the payload in the verdict projection, so the
+        # gate is a filter over one Project chain — no join, no
+        # exchange (the docstring's zero-shuffle claim, made literal).
+        curated = (
+            gopher_rules(curated, carry=("text", "n_tokens"), **gopher_kwargs)
+            .filter(F.col("verdict") == "kept")
+            .select("doc_id", "text", "n_tokens")
         )
-        curated = curated.join(g_keep.select("doc_id"), "doc_id", "left_semi")
     if score_weights is not None:
         from weather_monitoring_spark.operators.scoring import quality_scores
 
