@@ -482,21 +482,46 @@ def minhash_lsh_pairs(
     return pairs.distinct()
 
 
-def _simhash_packed_hashes_sql(tokens_col: str) -> str:
-    """Spark SQL: one SIGNED int64 per token packing the two 32-bit md5
-    words (offsets 1 and 9 of the digest) as ``(hi - 2^31) * 2^32 + lo``.
-    The bias keeps the product inside int64 under ANSI arithmetic (hi in
-    [0, 2^32) -> biased in [-2^31, 2^31), times 2^32 spans the full long
-    range exactly); the unbiased 64-bit token hash ``(hi << 32) | lo``
-    is the packed value with bit 63 flipped — a single XOR on the
-    consumer side (``_simhash_arrow_expr``)."""
-    lo = "CAST(conv(substring(m, 1, 8), 16, 10) AS BIGINT)"
-    hi = "CAST(conv(substring(m, 9, 8), 16, 10) AS BIGINT)"
-    inner = f"({hi} - 2147483648) * 4294967296 + {lo}"
-    return (
-        f"transform({tokens_col}, t -> "
-        f"{inner.replace('m', chr(95) + chr(95) + 'M').replace(chr(95) + chr(95) + 'M', 'md5(concat(%s, t))' % repr('sh:'))})"
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(id, simhash bigint): per-token 64-bit hash, per-bit +-1 votes
+    weighted by term frequency, bit set where the vote is positive. Bit 63
+    maps to the BIGINT sign bit (two's complement), so the full 64-bit
+    signature rides a single long; xor/bit_count are sign-agnostic in
+    both engines (verified — DuckDB bit_count(-1) = 64).
+
+    One explode + one hash-aggregation; the 64 per-bit sums are columns of
+    a single groupBy (map-side partials apply), not 64 passes. The token
+    md5 is evaluated ONCE; the two 32-bit hash words are independent
+    substrings of the same digest (functions/text.h32_from_hex_sql)."""
+    tok = (
+        docs.withColumn("_tk", tokens_expr(text_col))
+        .select(F.col(id_col).alias("id"), F.explode("_tk").alias("t"))
+        .withColumn("m", F.expr("md5(concat('sh', ':', t))"))
+        .withColumn("h_lo", F.expr(h32_from_hex_sql("m", 1)))
+        .withColumn("h_hi", F.expr(h32_from_hex_sql("m", 9)))
     )
+    votes = [
+        F.sum(
+            F.when(
+                F.expr(f"({'h_lo' if b < 32 else 'h_hi'} >> {b % 32}) & 1") == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"v_{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*votes)
+    sim = None
+    for b in range(bits):
+        # Bit 63 is the sign bit: its weight is long-min, every partial
+        # sum stays in range (positive bits total < 2^63, added first).
+        weight = -(1 << 63) if b == 63 else (1 << b)
+        term = F.when(F.col(f"v_{b}") > 0, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else (sim + term)
+    return agg.select(F.col("id").alias("doc_id"), sim.alias("simhash"))
 
 
 def simhash_block_widths(
