@@ -151,6 +151,34 @@ def test_minhash_methods_agree(spark):
         minhash_signatures(docs, method="nope")
 
 
+def test_simhash_methods_agree(spark):
+    """The zero-shuffle Arrow SimHash path must be bit-identical to the
+    legacy explode + 64-column vote aggregate — same md5 words, same
+    vote math, different execution shape. Empty-token docs must be
+    absent from BOTH (the agg path's explode drops them; the arrow path
+    filters size(_tk) > 0 to match the unnest-based oracle)."""
+    from weather_monitoring_spark.operators.dedup import simhash_signatures
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    extra = docs.sparkSession.createDataFrame(
+        [(10_000_001, ""), (10_000_002, None), (10_000_003, "     ")],
+        "doc_id long, text string",
+    )
+    docs = docs.select("doc_id", "text").unionByName(extra)
+    arrow = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(docs, method="arrow").collect()
+    }
+    agg = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(docs, method="agg").collect()
+    }
+    assert arrow == agg
+    assert 10_000_001 not in arrow and 10_000_002 not in arrow
+    with pytest.raises(ValueError):
+        simhash_signatures(docs, method="nope")
+
+
 def test_minhash_arrow_plan_has_no_doc_exchange(spark):
     """The r7 scale property, pinned at the plan level on a REAL parquet
     corpus (a range-derived synthetic corpus value-clusters doc_id and

@@ -482,19 +482,112 @@ def minhash_lsh_pairs(
     return pairs.distinct()
 
 
+def _simhash_packed_hashes_sql(tokens_col: str) -> str:
+    """Spark SQL: BIGINT array, one packed 64-bit hash per token —
+    ``(h_hi << 32) | h_lo`` where h_lo/h_hi are the two independent
+    32-bit words of ONE md5 evaluation per token (digest offsets 1 and
+    9, the same words h32_from_hex_sql hands the aggregate path).
+    ``shiftleft`` is a bitwise op in Spark, so h_hi landing in the sign
+    bit wraps two's-complement without tripping ANSI overflow; the
+    consumer reads the value back as uint64. Two nested transforms keep
+    the md5 evaluated once: the inner one materializes the digest array,
+    the outer one packs."""
+    md5s = f"transform({tokens_col}, t -> md5(concat('sh', ':', t)))"
+    lo = h32_from_hex_sql("m", 1)
+    hi = h32_from_hex_sql("m", 9)
+    return f"transform({md5s}, m -> shiftleft({hi}, 32) | {lo})"
+
+
+def _simhash_arrow_expr(packed, bits: int = SIMHASH_BITS):
+    """Arrow-batched Column: array of packed 64-bit token hashes -> the
+    SimHash signature BIGINT, computed ROW-LOCALLY in vectorized numpy.
+
+    Why a Pandas UDF here (same rationale as _minhash_arrow_expr): the
+    explode + 64-column sum() aggregate pays a full corpus EXCHANGE
+    whose partial rows carry 64 int64 vote cells each — the dominant
+    cost of the blocked-SimHash probe row (~201 s at 2.5M docs, r7).
+    The per-document signature needs no shuffle at all: every token of
+    a document sits in its own row, so one Arrow pass tallies the
+    64 per-bit votes (np.add.reduceat over the batch-flattened hash
+    array, one reduceat per bit) and packs the sign bits. Exact integer
+    math end-to-end, so signatures are bit-identical to the aggregate
+    path — pinned by tests/test_llm_ops.py::test_simhash_methods_agree
+    and the unchanged x_simhash_signatures / q34 oracles."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _sh(s):
+        import numpy as np
+
+        arrs = [None if x is None else np.asarray(x, dtype=np.int64) for x in s]
+        lens = np.array([0 if a is None else a.size for a in arrs], dtype=np.int64)
+        nz = lens > 0
+        n_nz = int(nz.sum())
+        sig = np.zeros(0, dtype=np.int64)
+        if n_nz:
+            flat = np.concatenate(
+                [a for a in arrs if a is not None and a.size]
+            ).view(np.uint64)
+            starts = np.zeros(n_nz, dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            n_tok = lens[nz].astype(np.uint64)
+            acc = np.zeros(n_nz, dtype=np.uint64)
+            one = np.uint64(1)
+            for b in range(bits):
+                ones = np.add.reduceat((flat >> np.uint64(b)) & one, starts)
+                # vote = 2*ones - n; bit set iff vote > 0 (ties stay 0).
+                acc |= (2 * ones > n_tok).astype(np.uint64) << np.uint64(b)
+            sig = acc.view(np.int64)
+        out: list = []
+        j = 0
+        for keep in nz:
+            if keep:
+                out.append(int(sig[j]))
+                j += 1
+            else:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    _sh.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_sh, "long")(packed)
+
+
 def simhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    method: str = "arrow",
 ) -> DataFrame:
     """(id, simhash bigint): per-token 64-bit hash, per-bit +-1 votes
     weighted by term frequency, bit set where the vote is positive. Bit 63
     maps to the BIGINT sign bit (two's complement), so the full 64-bit
     signature rides a single long; xor/bit_count are sign-agnostic in
-    both engines (verified — DuckDB bit_count(-1) = 64).
+    both engines (verified — DuckDB bit_count(-1) = 64). Documents whose
+    token array is empty (or NULL text) produce no signature row in
+    either method — matching the oracle's ``unnest``.
 
-    One explode + one hash-aggregation; the 64 per-bit sums are columns of
-    a single groupBy (map-side partials apply), not 64 passes. The token
-    md5 is evaluated ONCE; the two 32-bit hash words are independent
-    substrings of the same digest (functions/text.h32_from_hex_sql)."""
+    ``method="arrow"`` (default): the packed per-token hashes stay a
+    codegen'd md5 projection (_simhash_packed_hashes_sql — md5 evaluated
+    ONCE per token) and the 64 per-bit vote tallies are one row-local
+    Arrow pass (_simhash_arrow_expr) — the whole signature build is a
+    ZERO-SHUFFLE projection at any corpus size. ``method="agg"`` is the
+    legacy explode + 64-column sum() aggregate (one corpus exchange with
+    64 int64 vote cells per partial row); kept as the all-JVM
+    cross-check, bit-identical output (test_simhash_methods_agree)."""
+    if method == "arrow":
+        return (
+            docs.withColumn("_tk", tokens_expr(text_col))
+            .filter(F.expr("size(_tk) > 0"))
+            .select(
+                F.col(id_col).alias("doc_id"),
+                _simhash_arrow_expr(
+                    F.expr(_simhash_packed_hashes_sql("_tk")), bits
+                ).alias("simhash"),
+            )
+        )
+    if method != "agg":
+        raise ValueError(f"unknown simhash method: {method!r}")
     tok = (
         docs.withColumn("_tk", tokens_expr(text_col))
         .select(F.col(id_col).alias("id"), F.explode("_tk").alias("t"))
@@ -567,6 +660,32 @@ def simhash_table_key_exprs(max_hamming: int = HAMMING_THRESHOLD) -> list[str]:
     return keys
 
 
+def simhash_packed_key_exprs(max_hamming: int = HAMMING_THRESHOLD) -> list[str]:
+    """One Spark/ANSI SQL BIGINT expression per Manku table packing
+    (table_index, table_key) into a single long:
+    ``table_index * 2^W + key`` with W = the widest table's key width
+    (uniform shift keeps the packing prefix-free across tables). With
+    the default k=5 / d=3 config: W = 26, 10 tables -> values < 2^30.
+    The point is the shuffle row: the candidate self-join keys on ONE
+    8-byte long instead of an (int tbl, bigint key) pair — the q31
+    60-bit band-key precedent applied to the SimHash exchange.
+    Raises when the packing cannot fit int64 (W + table-index bits >
+    63, e.g. d=0's full-signature tables) — callers fall back to the
+    two-column join."""
+    widths = simhash_block_widths()
+    combos = simhash_tables(max_hamming=max_hamming)
+    kw = max(sum(widths[j] for j in combo) for combo in combos)
+    idx_bits = max(1, (len(combos) - 1).bit_length())
+    if kw + idx_bits > 63:
+        raise ValueError(
+            f"packed key needs {kw}+{idx_bits} bits — use the (tbl, key) pair"
+        )
+    return [
+        f"({i * (1 << kw)} + {k})"
+        for i, k in enumerate(simhash_table_key_exprs(max_hamming))
+    ]
+
+
 def simhash_neardup_pairs(
     docs: DataFrame,
     max_hamming: int = HAMMING_THRESHOLD,
@@ -617,18 +736,31 @@ def simhash_neardup_pairs(
         )
     if method != "blocked":
         raise ValueError(f"unknown method {method!r}")
-    key_arr = F.array(*[F.expr(k) for k in simhash_table_key_exprs(max_hamming)])
+    # One 8-byte join key per (table, key): table index packed into the
+    # bits above the key (simhash_packed_key_exprs) — the candidate
+    # shuffle carries (id, sig, bkey) longs only. The two-column
+    # (tbl, key) form survives solely for configs whose keys overflow
+    # the packing (e.g. max_hamming=0's full-signature tables).
+    try:
+        packed = simhash_packed_key_exprs(max_hamming)
+        key_cols = ["bkey"]
+        exploded = F.explode(F.array(*[F.expr(k) for k in packed])).alias("bkey")
+        sel = [exploded]
+    except ValueError:
+        key_cols = ["tbl", "key"]
+        key_arr = F.array(*[F.expr(k) for k in simhash_table_key_exprs(max_hamming)])
+        sel = [F.posexplode(key_arr).alias("tbl", "key")]
     blocks = sigs.select(
         F.col("doc_id").alias("id"),
         F.col("simhash").alias("sig"),
-        F.posexplode(key_arr).alias("tbl", "key"),
-    # Pin: the signature aggregation feeds both self-join sides.
+        *sel,
+    # Pin: the signature projection feeds both self-join sides.
     ).localCheckpoint(eager=False)
 
     hot_pairs = None
     cold = blocks
     if max_block_df is not None:
-        bdf = blocks.groupBy("tbl", "key").agg(F.count(F.lit(1)).alias("df"))
+        bdf = blocks.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("df"))
         if max_block_df == "auto":
             cut = docs.agg(
                 F.greatest(
@@ -639,13 +771,13 @@ def simhash_neardup_pairs(
             hot = (
                 bdf.crossJoin(F.broadcast(cut))
                 .filter(F.col("df") > F.col("_cut"))
-                .select("tbl", "key")
+                .select(*key_cols)
             )
         else:
-            hot = bdf.filter(F.col("df") > max_block_df).select("tbl", "key")
-        cold = blocks.join(F.broadcast(hot), ["tbl", "key"], "left_anti")
+            hot = bdf.filter(F.col("df") > max_block_df).select(*key_cols)
+        cold = blocks.join(F.broadcast(hot), key_cols, "left_anti")
         members = (
-            blocks.join(F.broadcast(hot), ["tbl", "key"], "left_semi")
+            blocks.join(F.broadcast(hot), key_cols, "left_semi")
             .select("id", "sig")
             .distinct()
         )
@@ -661,13 +793,11 @@ def simhash_neardup_pairs(
         )
 
     a, b = cold.alias("a"), cold.alias("b")
+    join_cond = F.col("a.id") < F.col("b.id")
+    for kc in key_cols:
+        join_cond = (F.col(f"a.{kc}") == F.col(f"b.{kc}")) & join_cond
     pairs = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        a.join(b, join_cond)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
