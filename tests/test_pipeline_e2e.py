@@ -350,3 +350,50 @@ def test_curate_crawl_optional_gopher_gate(spark):
     }
     got = {r["doc_id"] for r in gated.curated.collect()}
     assert got == expect and 0 < len(got) < base.curated.count()
+
+
+def test_curate_crawl_leakage_safe_split(spark):
+    """split_pcts threads leakage_safe_split through the pipeline: the
+    split frame covers exactly the clean docs, matches an independent
+    leakage_safe_split over the pre-survivor stage restricted to clean,
+    and every planted near-dup pair (recomputed on exact_unique — the
+    graph the pipeline itself splits by) has both ends in the SAME
+    split."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    from run_curation_demo import synthetic_crawl
+
+    from weather_monitoring_spark.operators.dedup import minhash_lsh_pairs
+    from weather_monitoring_spark.operators.graph import leakage_safe_split
+    from weather_monitoring_spark.pipelines import curate_crawl
+
+    crawl = synthetic_crawl(spark, 800).localCheckpoint(eager=True)
+    base = curate_crawl(crawl)
+    assert base.split is None
+
+    stages = curate_crawl(crawl, split_pcts=(80, 10))
+    got = {
+        r["doc_id"]: (r["cluster"], r["split"])
+        for r in stages.split.collect()
+    }
+    clean_ids = {r["doc_id"] for r in stages.clean.select("doc_id").collect()}
+    assert set(got) == clean_ids
+    assert {s for _, s in got.values()} <= {"train", "val", "test"}
+
+    pairs = minhash_lsh_pairs(stages.exact_unique).select("id_a", "id_b")
+    indep = {
+        r["doc_id"]: (r["cluster"], r["split"])
+        for r in leakage_safe_split(
+            stages.exact_unique, pairs, train_pct=80, val_pct=10
+        ).collect()
+    }
+    assert {d: v for d, v in indep.items() if d in clean_ids} == got
+    # planted near-dup pairs: both members always share a split
+    planted = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert planted, "fixture must plant near-dup pairs"
+    for a, b in planted:
+        assert indep[a][1] == indep[b][1], (a, b)

@@ -56,6 +56,7 @@ class CurationStages:
     exact_unique: DataFrame  # after exact content dedup
     survivors: DataFrame  # after near-dup clustering, one per cluster
     clean: DataFrame  # after benchmark decontamination
+    split: DataFrame | None  # leakage-safe split when split_pcts given
     manifest: DataFrame | None  # shard manifest when shard_dir given
 
 
@@ -70,6 +71,8 @@ def curate_crawl(
     checkpoint: bool = True,
     token_counter=None,
     gopher_kwargs: dict | None = None,
+    split_pcts: tuple[int, int] | None = None,
+    split_salt: str | None = None,
 ) -> CurationStages:
     """Run the full crawl -> training-corpus curation chain.
 
@@ -95,6 +98,16 @@ def curate_crawl(
     ``curated`` stage, applied to the normalized text with the given
     threshold overrides (``{}`` for the paper defaults) — like every
     gate, it stays a zero-shuffle projection.
+    ``split_pcts`` (optional) = (train_pct, val_pct): assign every
+    ``clean`` document a leakage-safe train/val/test split
+    (operators/graph.leakage_safe_split) keyed on its NEAR-DUP CLUSTER
+    label over the pipeline's own LSH pair graph — not its doc id — so
+    a document's split is stable no matter which cluster member
+    survived dedup, and any near-dup pair that (under a looser dedup
+    policy) reaches the corpus lands in the same split by construction.
+    The cluster labels come from the pre-survivor pair graph on
+    ``exact_unique``; the returned ``split`` frame is restricted to
+    ``clean`` docs. ``split_salt`` overrides the split hash salt.
     """
 
     def pin(df: DataFrame) -> DataFrame:
@@ -173,6 +186,23 @@ def curate_crawl(
             )
         )
 
+    split = None
+    if split_pcts is not None:
+        from weather_monitoring_spark.operators.graph import leakage_safe_split
+
+        kwargs = {"train_pct": split_pcts[0], "val_pct": split_pcts[1]}
+        if split_salt is not None:
+            kwargs["salt"] = split_salt
+        # Cluster labels over the FULL pre-survivor pair graph, then
+        # restricted to the final corpus: the label (min id of the
+        # near-dup component) is identical for every member, so the
+        # surviving copy inherits the split its whole cluster shares.
+        split = pin(
+            leakage_safe_split(exact_unique, pairs, **kwargs).join(
+                clean.select("doc_id"), "doc_id", "left_semi"
+            )
+        )
+
     manifest = None
     if shard_dir is not None:
         manifest = write_training_shards(
@@ -190,5 +220,6 @@ def curate_crawl(
         exact_unique=exact_unique,
         survivors=survivors,
         clean=clean,
+        split=split,
         manifest=manifest,
     )
