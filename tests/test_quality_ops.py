@@ -291,6 +291,19 @@ def test_gopher_plan_is_exchange_free(spark):
     assert "Exchange" not in plan
 
 
+def test_gopher_carry_collision_raises(spark):
+    """A carry name that collides with a computed output column (or the
+    id column) would emit duplicate/ambiguous columns — rejected up
+    front with the offending names."""
+    from pyspark.sql import functions as F
+
+    df = _docs(spark, [(1, _PROSE)]).withColumn("n_words", F.lit(7))
+    with pytest.raises(ValueError, match="n_words"):
+        gopher_rules(df, carry=("n_words",))
+    with pytest.raises(ValueError, match="doc_id"):
+        gopher_rules(df, carry=("doc_id",))
+
+
 def test_gopher_rules_run_in_structured_streaming(tmp_path, spark):
     """gopher_rules is a pure projection, so the identical operator runs
     unchanged on the streaming front door — streaming verdicts equal the

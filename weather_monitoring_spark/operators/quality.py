@@ -396,7 +396,26 @@ def gopher_rules(
     unchanged, so a caller gating a corpus (pipelines.curate_crawl)
     can filter on ``verdict`` and keep its payload columns in ONE
     projection instead of joining the verdict back — the gate stays
-    shuffle-free end to end."""
+    shuffle-free end to end. Carry names must not collide with the
+    fixed output columns (or ``id_col``) — the projection would emit
+    duplicate/ambiguous names — so collisions raise up front."""
+    reserved = {
+        id_col,
+        "n_words",
+        "mean_word_len",
+        "frac_alpha_words",
+        "symbol_ratio",
+        "frac_bullet_lines",
+        "frac_ellipsis_lines",
+        "n_stopwords",
+        "verdict",
+    }
+    clash = [c for c in carry if c in reserved]
+    if clash:
+        raise ValueError(
+            f"gopher_rules: carry column(s) {clash} collide with the "
+            f"output columns {sorted(reserved)} — rename before carrying"
+        )
     txt = F.coalesce(F.col(text_col), F.lit(""))
     df = docs.select(
         F.col(id_col),
