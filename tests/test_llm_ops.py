@@ -115,6 +115,49 @@ def test_ivf_append_index_batch_visibility(spark, tmp_path):
     assert len(stored_cell) == 1
 
 
+def test_ivf_reindex_matches_fresh_build(spark, tmp_path):
+    """The index-maintenance recipe: an append-heavy index (base build +
+    batch appends against the stale model) reindexed in place must equal
+    ivf_write_index run fresh on the union corpus — bit-identical
+    centroids AND identical (id -> cell) assignment — so drift repair
+    can be automated without changing probe semantics. The out_dir mode
+    must leave the source index untouched."""
+    from weather_monitoring_spark.operators.similarity import (
+        _read_centroid_model,
+        ivf_append_index,
+        ivf_reindex,
+        ivf_write_index,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    batch = emb.filter(F.col("vec_id") >= 300)
+    out = str(tmp_path / "ivf_appended")
+    ivf_write_index(base, out)
+    ivf_append_index(batch, out)
+    stale = _read_centroid_model(spark, out)
+
+    fresh_dir = str(tmp_path / "ivf_fresh")
+    fresh_cent = ivf_write_index(emb, fresh_dir)
+
+    # out_dir mode first: source must stay on the stale model
+    side_dir = str(tmp_path / "ivf_side")
+    side_cent = ivf_reindex(spark, out, out_dir=side_dir)
+    assert side_cent.tobytes() == fresh_cent.tobytes()
+    assert _read_centroid_model(spark, out).tobytes() == stale.tobytes()
+
+    re_cent = ivf_reindex(spark, out)
+    assert re_cent.tobytes() == fresh_cent.tobytes()
+
+    def cells(path):
+        return {
+            r["vec_id"]: r["cell"] for r in spark.read.parquet(path).collect()
+        }
+
+    assert cells(out) == cells(fresh_dir) == cells(side_dir)
+    assert _read_centroid_model(spark, out).tobytes() == fresh_cent.tobytes()
+
+
 def test_ivf_query_budget_guard(spark):
     """ivf_topk / ivf_pq_topk collect query vectors driver-side; the
     max_queries guard must refuse an over-budget query set with a clear

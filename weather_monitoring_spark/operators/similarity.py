@@ -855,6 +855,69 @@ def ivf_append_index(
     return cent
 
 
+def ivf_reindex(
+    spark,
+    index_dir: str,
+    out_dir: str | None = None,
+    n_cells: int = IVF_CELLS,
+    n_iters: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Retrain + rewrite a persisted IVF index from its OWN stored
+    corpus — the maintenance recipe for append drift. ``ivf_append_index``
+    deliberately never moves the centroid model, so a long run of
+    appends shifts the data distribution away from the cells that
+    partition it (hot cells grow, probe recall decays). When to run it
+    is a measurement, not a guess: track ``operators/dsir.
+    corpus_divergence`` between the corpus at last train time and the
+    corpus now (or simply the cell-size histogram skew) and reindex when
+    it crosses the caller's drift budget — the same
+    schedule-on-evidence policy as ``compact_archive``'s
+    closed-partition compaction.
+
+    Training is the deterministic md5-seeded ``ivf_train`` over the
+    full stored corpus, so a reindex of an append-heavy index is
+    BIT-IDENTICAL (centroids and cell assignment both) to
+    ``ivf_write_index`` run fresh on the same vectors — pinned by
+    tests/test_llm_ops.py::test_ivf_reindex_matches_fresh_build. That
+    equivalence is what makes the recipe safe to automate.
+
+    Modes mirror ``compact_archive``: ``out_dir=None`` rewrites in
+    place — the corpus is pinned (eager ``localCheckpoint``) BEFORE the
+    overwrite so no stage re-reads the path mid-delete, the path cache
+    is refreshed on both sides, and the pinned blocks are released in a
+    ``finally``; unlike the archive there is no per-partition scope
+    (retraining moves cell boundaries globally, so the whole index is
+    always rewritten). ``out_dir=str`` writes a fresh index and the
+    caller does the atomic swap. Concurrency is the caller's: do not
+    run concurrent ``ivf_append_index`` batches into a reindex-in-place
+    (appends are batch writes — there is no streaming-query registry to
+    guard on, unlike ``active_archive_writers``)."""
+    spark.catalog.refreshByPath(index_dir)
+    corpus = (
+        spark.read.parquet(index_dir)
+        .select(id_col, vec_col)
+        .localCheckpoint(eager=True)
+    )
+    try:
+        cent = ivf_train(corpus, n_cells, n_iters, id_col, vec_col)
+        target = index_dir if out_dir is None else out_dir
+        (
+            _ivf_assign(corpus, cent, id_col, vec_col)
+            .join(corpus.select(id_col, vec_col), id_col)
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(target)
+        )
+        _write_centroid_model(spark, cent, target)
+    finally:
+        if out_dir is None:
+            spark.catalog.refreshByPath(index_dir)
+        corpus.unpersist()
+    return cent
+
+
 def ivf_probe_index(
     spark,
     index_dir: str,
