@@ -8,10 +8,17 @@ work, WITH shuffle-byte accounting:
 2. span masking             — r7: 60-bit packed gram keys instead of
    8-token gram strings on the exchange;
 3. winnow fingerprint index — r7: row-local per-doc distinct, the global
-   distinct() exchange removed outright.
+   distinct() exchange removed outright;
+4. SimHash signatures + blocked pairs (r9): zero-shuffle Arrow vote
+   pass (method="arrow") vs the legacy explode + 64-column sum exchange
+   (method="agg"), and the blocked self-join on packed single-long
+   block keys — the r7 ~201 s / 2.5M docs row this refactor targets.
+   Both paths' sum-of-popcount checksums must match (bit-equality at
+   probe scale, not just in tests).
 
-Usage: python scripts/probe_spill_stages.py [n_docs ...]
-       (default: 2000000 5000000 — the two r6 comparison points)
+Usage: python scripts/probe_spill_stages.py [n_docs ...] [--stages=a,b]
+       (default: 2000000 5000000 — the two r6 comparison points;
+       --stages filters stage names by substring, e.g. --stages=simhash)
 
 Per stage it records wall seconds plus the DELTA in shuffle write/read
 bytes and memory/disk spill bytes, read from the Spark UI REST API
@@ -53,13 +60,22 @@ def _stage_totals(ui: str) -> dict[str, int]:
 
 
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [2_000_000, 5_000_000]
+    stage_filter = None
+    sizes = []
+    for a in sys.argv[1:]:
+        if a.startswith("--stages="):
+            stage_filter = a.split("=", 1)[1].split(",")
+        else:
+            sizes.append(int(a))
+    sizes = sizes or [2_000_000, 5_000_000]
 
     from pyspark.sql import functions as F
 
     from weather_monitoring_spark.operators.dedup import (
         minhash_lsh_pairs,
         minhash_signatures,
+        simhash_neardup_pairs,
+        simhash_signatures,
     )
     from weather_monitoring_spark.operators.spans import strip_dup_spans
     from weather_monitoring_spark.operators.winnow import fingerprint_index
@@ -107,6 +123,10 @@ def main() -> None:
         )
 
         def timed(name, fn):
+            if stage_filter is not None and not any(
+                s in name for s in stage_filter
+            ):
+                return
             before = _stage_totals(ui)
             t0 = time.perf_counter()
             val = fn()
@@ -145,6 +165,24 @@ def main() -> None:
             .collect()[0][0],
         )
         timed("winnow_index", lambda: fingerprint_index(docs).count())
+
+        # Full-evaluation checksum (sum of popcounts — bounded by
+        # 64 * n_docs, no BIGINT overflow) depends on every signature
+        # bit, so neither path can be column-pruned; arrow == agg is
+        # the probe-scale bit-equality check.
+        timed(
+            "simhash_sig_arrow",
+            lambda: simhash_signatures(docs, method="arrow")
+            .agg(F.sum(F.bit_count("simhash")).cast("long"))
+            .collect()[0][0],
+        )
+        timed(
+            "simhash_sig_agg",
+            lambda: simhash_signatures(docs, method="agg")
+            .agg(F.sum(F.bit_count("simhash")).cast("long"))
+            .collect()[0][0],
+        )
+        timed("simhash_blocked_pairs", lambda: simhash_neardup_pairs(docs).count())
 
         docs.unpersist()
         results.append(out)

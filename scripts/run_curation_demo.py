@@ -17,7 +17,15 @@ tests/test_pipeline_e2e.py against a pure-Python simulation.
 
 Prints one JSON line: per-stage surviving row counts and seconds.
 
-Usage: python scripts/run_curation_demo.py [n_docs]
+Usage: python scripts/run_curation_demo.py [n_docs] [--gopher]
+
+``--gopher`` enables the optional Gopher rule gate inside the curated
+stage, isolated to the word-count rule (min_words=30 over all-pass
+thresholds): the synthetic corpus's md5-hex words cannot satisfy the
+paper's stopword/word-length defaults — a real-prose corpus would use
+``gopher_kwargs={}`` — but the planted 22-word doc class passes the
+min_tokens=20 gate and fails min_words=30, so the gate's drop is
+visible in the ``curated`` count.
 """
 
 from __future__ import annotations
@@ -83,7 +91,9 @@ def synthetic_crawl(spark, n_docs: int):
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    args = [a for a in sys.argv[1:] if a != "--gopher"]
+    gopher = "--gopher" in sys.argv[1:]
+    n_docs = int(args[0]) if args else 100_000
 
     from pyspark.sql import functions as F
 
@@ -123,9 +133,20 @@ def main() -> None:
         )
         out["bench_docs"] = bench.count()
 
+        gopher_kwargs = None
+        if gopher:
+            gopher_kwargs = dict(
+                min_words=30, max_words=10**9, min_mean_word_len=0.0,
+                max_mean_word_len=1e9, max_symbol_ratio=1e9,
+                max_bullet_frac=1e9, max_ellipsis_frac=1e9,
+                min_alpha_frac=0.0, min_stopwords=0,
+            )
+        out["gopher_gate"] = gopher
+
         t0 = time.perf_counter()
         stages = curate_crawl(
-            crawl, bench=bench, shard_dir=shard_dir, shard_budget=100_000
+            crawl, bench=bench, shard_dir=shard_dir, shard_budget=100_000,
+            gopher_kwargs=gopher_kwargs,
         )
         # counts are on pinned frames: each stage's work is timed once,
         # inside curate_crawl's eager checkpoints.

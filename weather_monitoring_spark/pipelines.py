@@ -129,6 +129,15 @@ def curate_crawl(
         .filter(F.col("verdict") == "kept")
         .select("doc_id", F.col("text_norm").alias("text"), "n_tokens")
     )
+    if gopher_kwargs is not None or score_weights is not None:
+        # Materialization barrier before the optional gates: without it,
+        # projection collapse re-inlines curate_corpus's text_norm
+        # expression into EVERY signal column of the next gate (~6
+        # evaluations of the normalization chain per row — measured 25x
+        # on the gopher gate at 100k pages: 58.5 s fused vs 2.3 s
+        # pinned). With checkpoint=False the caller keeps the fused
+        # single-pass plan and pays that blowup knowingly.
+        curated = pin(curated)
     if gopher_kwargs is not None:
         from weather_monitoring_spark.operators.quality import gopher_rules
 
