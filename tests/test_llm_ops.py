@@ -194,6 +194,41 @@ def test_minhash_methods_agree(spark):
         minhash_signatures(docs, method="nope")
 
 
+def test_simhash_segmented_reduce_batch_boundary_carry(spark):
+    """The mapInPandas vote reduce must merge a document whose exploded
+    tokens straddle Arrow batch boundaries: with maxRecordsPerBatch
+    forced to 100, docs of ~250 distinct-ish tokens span 3+ batches
+    each (including whole batches that are a single mid-document
+    segment), and a carried doc that ends EXACTLY at a batch boundary
+    exercises the emit-ahead path. Signatures must equal the aggregate
+    path bit-for-bit, across multiple partitions."""
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.operators.dedup import simhash_signatures
+
+    # 40 docs x 250 tokens; token streams differ per doc. doc 7 gets
+    # exactly 100 tokens so its segment can end on a batch edge.
+    rows = [
+        (i, " ".join(f"w{i}x{j % 97}" for j in range(100 if i == 7 else 250)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        arrow = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(docs, method="arrow").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    agg = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(docs, method="agg").collect()
+    }
+    assert arrow == agg and len(arrow) == 40
+
+
 def test_simhash_methods_agree(spark):
     """The zero-shuffle Arrow SimHash path must be bit-identical to the
     legacy explode + 64-column vote aggregate — same md5 words, same
@@ -203,8 +238,23 @@ def test_simhash_methods_agree(spark):
     from weather_monitoring_spark.operators.dedup import simhash_signatures
 
     docs = load_table(spark, SF_SMALL, "documents")
+    # Adversarial tokenization rows (r9: the arrow path tokenizes via
+    # codegen split + a Python empties-drop while the agg path uses
+    # tokens_expr's filter() — these must agree): leading/trailing
+    # separators, consecutive separators, unicode uppercase that
+    # case-folds INTO ascii (Kelvin sign K -> k, fullwidth stays
+    # non-ascii), accents as separators, digits, and degenerate docs.
     extra = docs.sparkSession.createDataFrame(
-        [(10_000_001, ""), (10_000_002, None), (10_000_003, "     ")],
+        [
+            (10_000_001, ""),
+            (10_000_002, None),
+            (10_000_003, "     "),
+            (10_000_004, "...leading!! and--trailing..."),
+            (10_000_005, "MiXeD CaSe 123abc ABC123"),
+            (10_000_006, "Kelvin İstanbul café naïve"),
+            (10_000_007, "tabs\tand\nnewlines\r\nsplit too"),
+            (10_000_008, "éèê"),
+        ],
         "doc_id long, text string",
     )
     docs = docs.select("doc_id", "text").unionByName(extra)
@@ -220,6 +270,34 @@ def test_simhash_methods_agree(spark):
     assert 10_000_001 not in arrow and 10_000_002 not in arrow
     with pytest.raises(ValueError):
         simhash_signatures(docs, method="nope")
+
+
+def test_simhash_arrow_plan_single_python_eval(spark):
+    """The zero-shuffle SimHash build must cross into Python exactly
+    ONCE (the mapInPandas segmented reduce) with NO doc_id exchange and
+    NO interpreted higher-order functions on the JVM side: the r8
+    packed-hash variant kept the md5 inside a transform() lambda
+    (CodegenFallback — interpreted Conv/ArrayTransform eval dominated
+    probe-scale task time), and an intermediate rewrite that filtered
+    on the UDF's null output got the UDF duplicated into TWO python
+    eval nodes by predicate pushdown (a 64-worker pipe storm at probe
+    scale)."""
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.operators.dedup import simhash_signatures
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = (
+        simhash_signatures(docs, method="arrow")
+        .agg(F.sum(F.bit_count("simhash")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning(doc_id" not in plan
+    assert "transform(" not in plan
 
 
 def test_minhash_arrow_plan_has_no_doc_exchange(spark):

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from weather_monitoring_spark.functions.text import (
     MINHASH_P,
+    TOKEN_SPLIT_RE,
     h32_from_hex_sql,
     h60_from_md5_sql,
     minhash_params,
@@ -482,74 +483,101 @@ def minhash_lsh_pairs(
     return pairs.distinct()
 
 
-def _simhash_packed_hashes_sql(tokens_col: str) -> str:
-    """Spark SQL: BIGINT array, one packed 64-bit hash per token —
-    ``(h_hi << 32) | h_lo`` where h_lo/h_hi are the two independent
-    32-bit words of ONE md5 evaluation per token (digest offsets 1 and
-    9, the same words h32_from_hex_sql hands the aggregate path).
-    ``shiftleft`` is a bitwise op in Spark, so h_hi landing in the sign
-    bit wraps two's-complement without tripping ANSI overflow; the
-    consumer reads the value back as uint64. Two nested transforms keep
-    the md5 evaluated once: the inner one materializes the digest array,
-    the outer one packs."""
-    md5s = f"transform({tokens_col}, t -> md5(concat('sh', ':', t)))"
-    lo = h32_from_hex_sql("m", 1)
-    hi = h32_from_hex_sql("m", 9)
-    return f"transform({md5s}, m -> shiftleft({hi}, 32) | {lo})"
+def _simhash_packed_hash_sql(token_col: str) -> str:
+    """Spark SQL (plain projection, codegen'd): ONE packed 64-bit hash
+    for a single token column — ``(h_hi << 32) | h_lo`` where h_lo/h_hi
+    are hex chars 1-8 / 9-16 of ``md5('sh:' || token)``, the exact
+    words h32_from_hex_sql hands the aggregate path. The md5 appears
+    textually twice but whole-stage codegen's subexpression elimination
+    evaluates it once per row; ``shiftleft`` is bitwise, so h_hi landing
+    in the sign bit wraps two's-complement without tripping ANSI
+    overflow. Critically this is NOT inside a transform() lambda:
+    higher-order functions are CodegenFallback, and the r8 packed-array
+    variant's interpreted Conv/ArrayTransform eval dominated probe-scale
+    task time (verified by jstack)."""
+    md5e = f"md5(concat('sh', ':', {token_col}))"
+    return (
+        f"shiftleft({h32_from_hex_sql(md5e, 9)}, 32) | {h32_from_hex_sql(md5e, 1)}"
+    )
 
 
-def _simhash_arrow_expr(packed, bits: int = SIMHASH_BITS):
-    """Arrow-batched Column: array of packed 64-bit token hashes -> the
-    SimHash signature BIGINT, computed ROW-LOCALLY in vectorized numpy.
+def _simhash_segmented_reduce(bits: int = SIMHASH_BITS):
+    """mapInPandas generator: (doc_id, _h packed token hash) rows,
+    PARTITION-ORDERED with each document's tokens consecutive (the
+    explode contract — a generator emits its output rows adjacently and
+    never crosses a partition boundary), -> one (doc_id, simhash) row
+    per document. The per-bit vote tally is a row-local segmented
+    reduce: ONE np.unpackbits turns the batch's hashes into an
+    (n_tokens, 64) bit matrix (byte k of a little-endian uint64 holds
+    bits 8k..8k+7, so columns are bits 0..63 in order), one
+    np.add.reduceat per batch sums votes per document segment
+    (dtype=int64 so counts can't overflow the uint8 cells), and a doc
+    whose tokens straddle Arrow batch boundaries rides a (id, ones[64],
+    n) carry merged into the next batch's first segment. vote =
+    2*ones - n; bit set iff vote > 0 (ties stay 0) — bit-identical to
+    the aggregate path (test_simhash_methods_agree, x_simhash_signatures,
+    q34). Assumes doc ids are unique (the dedup contract): a duplicate
+    id would fold into one signature only if its rows happen to be
+    adjacent."""
 
-    Why a Pandas UDF here (same rationale as _minhash_arrow_expr): the
-    explode + 64-column sum() aggregate pays a full corpus EXCHANGE
-    whose partial rows carry 64 int64 vote cells each — the dominant
-    cost of the blocked-SimHash probe row (~201 s at 2.5M docs, r7).
-    The per-document signature needs no shuffle at all: every token of
-    a document sits in its own row, so one Arrow pass tallies the
-    64 per-bit votes (np.add.reduceat over the batch-flattened hash
-    array, one reduceat per bit) and packs the sign bits. Exact integer
-    math end-to-end, so signatures are bit-identical to the aggregate
-    path — pinned by tests/test_llm_ops.py::test_simhash_methods_agree
-    and the unchanged x_simhash_signatures / q34 oracles."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    def _sh(s):
+    def gen(batches):
         import numpy as np
+        import pandas as pd
 
-        arrs = [None if x is None else np.asarray(x, dtype=np.int64) for x in s]
-        lens = np.array([0 if a is None else a.size for a in arrs], dtype=np.int64)
-        nz = lens > 0
-        n_nz = int(nz.sum())
-        sig = np.zeros(0, dtype=np.int64)
-        if n_nz:
-            flat = np.concatenate(
-                [a for a in arrs if a is not None and a.size]
-            ).view(np.uint64)
-            starts = np.zeros(n_nz, dtype=np.int64)
-            np.cumsum(lens[nz][:-1], out=starts[1:])
-            n_tok = lens[nz].astype(np.uint64)
-            acc = np.zeros(n_nz, dtype=np.uint64)
-            one = np.uint64(1)
-            for b in range(bits):
-                ones = np.add.reduceat((flat >> np.uint64(b)) & one, starts)
-                # vote = 2*ones - n; bit set iff vote > 0 (ties stay 0).
-                acc |= (2 * ones > n_tok).astype(np.uint64) << np.uint64(b)
-            sig = acc.view(np.int64)
-        out: list = []
-        j = 0
-        for keep in nz:
-            if keep:
-                out.append(int(sig[j]))
-                j += 1
-            else:
-                out.append(None)
-        return pd.Series(out, dtype=object)
+        carry_id = None
+        carry_ones = None
+        carry_n = 0
 
-    _sh.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    return pandas_udf(_sh, "long")(packed)
+        def pack(ones2d, ns):
+            bitset = (2 * ones2d > ns[:, None]).astype(np.uint8)
+            if bits < 64:
+                bitset[:, bits:] = 0
+            return (
+                np.packbits(bitset, axis=1, bitorder="little")
+                .view(np.uint64)
+                .ravel()
+                .view(np.int64)
+            )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            hs = pdf["_h"].to_numpy().astype("<i8", copy=False)
+            bitmat = np.unpackbits(
+                hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
+            change = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+            starts = np.concatenate((np.zeros(1, dtype=np.int64), change))
+            ones = np.add.reduceat(bitmat, starts, axis=0, dtype=np.int64)
+            ends = np.concatenate((change, np.array([len(ids)], dtype=np.int64)))
+            ns = ends - starts
+            seg_ids = ids[starts]
+            done_id = None
+            if carry_id is not None:
+                if seg_ids[0] == carry_id:
+                    ones[0] += carry_ones
+                    ns[0] += carry_n
+                else:
+                    # The carried document ended exactly at the batch
+                    # boundary — emit it ahead of this batch's segments.
+                    done_id = carry_id
+                    done_sig = pack(carry_ones[None, :], np.array([carry_n]))[0]
+            carry_id = int(seg_ids[-1])
+            carry_ones = ones[-1].copy()
+            carry_n = int(ns[-1])
+            out_ids = seg_ids[:-1]
+            out_sigs = pack(ones[:-1], ns[:-1])
+            if done_id is not None:
+                out_ids = np.concatenate(([done_id], out_ids))
+                out_sigs = np.concatenate(([done_sig], out_sigs))
+            if len(out_ids):
+                yield pd.DataFrame({"doc_id": out_ids, "simhash": out_sigs})
+        if carry_id is not None:
+            sig = pack(carry_ones[None, :], np.array([carry_n]))
+            yield pd.DataFrame({"doc_id": [carry_id], "simhash": sig})
+
+    return gen
 
 
 def simhash_signatures(
@@ -567,24 +595,38 @@ def simhash_signatures(
     token array is empty (or NULL text) produce no signature row in
     either method — matching the oracle's ``unnest``.
 
-    ``method="arrow"`` (default): the packed per-token hashes stay a
-    codegen'd md5 projection (_simhash_packed_hashes_sql — md5 evaluated
-    ONCE per token) and the 64 per-bit vote tallies are one row-local
-    Arrow pass (_simhash_arrow_expr) — the whole signature build is a
-    ZERO-SHUFFLE projection at any corpus size. ``method="agg"`` is the
-    legacy explode + 64-column sum() aggregate (one corpus exchange with
+    ``method="arrow"`` (default): explode + per-token packed md5 hash as
+    PLAIN whole-stage-codegen projections (no higher-order functions —
+    the r8 packed-array transform() was CodegenFallback, and its
+    interpreted Conv/ArrayTransform eval dominated probe-scale task
+    time), then ONE row-local mapInPandas segmented reduce tallies the
+    per-bit votes and packs signatures (_simhash_segmented_reduce) —
+    a document's exploded tokens are consecutive within their
+    partition, so the per-doc aggregation needs NO exchange at any
+    corpus size, and the Arrow transfer is two fixed-width int64
+    columns (16 bytes/token; an array<string> or array<bigint> UDF
+    input materializes hundreds of millions of Python objects —
+    measured ~2x slower at 5M docs). ``method="agg"`` is the legacy
+    explode + 64-column sum() aggregate (one corpus exchange with
     64 int64 vote cells per partial row); kept as the all-JVM
     cross-check, bit-identical output (test_simhash_methods_agree)."""
     if method == "arrow":
-        return (
-            docs.withColumn("_tk", tokens_expr(text_col))
-            .filter(F.expr("size(_tk) > 0"))
-            .select(
+        tok = (
+            docs.select(
                 F.col(id_col).alias("doc_id"),
-                _simhash_arrow_expr(
-                    F.expr(_simhash_packed_hashes_sql("_tk")), bits
-                ).alias("simhash"),
+                F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)).alias(
+                    "_t"
+                ),
             )
+            # Codegen row filter, NOT tokens_expr's filter() lambda:
+            # split boundaries yield '' fragments; explode of a NULL
+            # split (NULL text) yields no rows — so empty-token docs
+            # are absent, matching the agg path and the unnest oracle.
+            .filter(F.col("_t") != "")
+            .select("doc_id", F.expr(_simhash_packed_hash_sql("_t")).alias("_h"))
+        )
+        return tok.mapInPandas(
+            _simhash_segmented_reduce(bits), "doc_id long, simhash long"
         )
     if method != "agg":
         raise ValueError(f"unknown simhash method: {method!r}")
