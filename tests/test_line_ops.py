@@ -288,3 +288,67 @@ def test_paragraph_dedup_all_duplicate_doc_survives_empty(spark):
     assert got[2]["text_clean"] == "" and got[2]["n_kept"] == 0
     # exactly one copy survives corpus-wide
     assert sum(r["n_kept"] for r in got.values()) == 1
+
+
+# ---------------- mojibake repair ------------------------------------------
+
+
+def test_fix_mojibake_table_known_cases(spark):
+    from weather_monitoring_spark.operators.textops import fix_mojibake
+
+    df = spark.createDataFrame(
+        [
+            (1, "He said â€œhello worldâ€\x9d and left."),
+            (2, "CafÃ© rÃ©sumÃ© â€” naÃ¯ve?"),  # Ã¯ is NOT in the table
+            (3, "clean text stays clean"),
+            (4, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in fix_mojibake(df).collect()}
+    assert out[1]["text_fixed"] == "He said “hello world” and left."
+    assert out[1]["changed"] is True
+    # table repairs the é and the em dash; Ã¯ is outside the table
+    assert out[2]["text_fixed"] == "Café résumé — naÃ¯ve?"
+    assert out[3]["text_fixed"] == "clean text stays clean"
+    assert out[3]["changed"] is False
+    assert out[4]["text_fixed"] == "" and out[4]["changed"] is False
+
+
+def test_fix_mojibake_full_mode_repairs_beyond_the_table(spark):
+    """The byte-round-trip mode repairs ANY damaged code point — CJK and
+    emoji mojibake the fixed table cannot know — and leaves clean text
+    (including genuine 'â' words) untouched unless the run decodes as
+    valid UTF-8."""
+    from weather_monitoring_spark.operators.textops import _w1252, fix_mojibake
+
+    def damage(s: str) -> str:
+        return _w1252(s.encode("utf-8"))
+
+    df = spark.createDataFrame(
+        [
+            (1, f"title {damage('日本語')} body"),
+            (2, f"emoji {damage('🙂')} here"),
+            (3, "the word â alone stays"),
+            (4, damage("’") + " and " + damage("é")),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in fix_mojibake(df, mode="full").collect()}
+    assert out[1]["text_fixed"] == "title 日本語 body"
+    assert out[2]["text_fixed"] == "emoji 🙂 here"
+    assert out[3]["text_fixed"] == "the word â alone stays"
+    assert out[3]["changed"] is False
+    assert out[4]["text_fixed"] == "’ and é"
+
+
+def test_fix_mojibake_table_mode_is_exchange_free_and_modes_validated(spark):
+    import pytest
+
+    from weather_monitoring_spark.operators.textops import fix_mojibake
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    plan = fix_mojibake(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    with pytest.raises(ValueError, match="mode"):
+        fix_mojibake(df, mode="nope")

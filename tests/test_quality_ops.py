@@ -337,3 +337,115 @@ def test_gopher_rules_run_in_structured_streaming(tmp_path, spark):
         ).collect()
     }
     assert got == batch == {1: "kept", 2: "too_few_words", 3: "word_length"}
+
+
+# ---------------- C4 rule set ---------------------------------------------
+
+from weather_monitoring_spark.operators.quality import c4_rules
+
+#: five prose lines that each pass the C4 keep predicate, with six
+#: sentence-terminal marks total -> page verdict 'kept'.
+_C4_PAGE = "\n".join(
+    [
+        "The quick brown fox jumped over the lazy dog.",
+        "A second proper sentence stands here!",
+        "Is the third line also a question?",
+        "Fourth line ends with a period. Twice over.",
+        "The fifth and final line closes now.",
+    ]
+)
+
+
+def _c4(spark, rows, **kw):
+    df = _docs(spark, rows)
+    return {r["doc_id"]: r for r in c4_rules(df, **kw).collect()}
+
+
+def test_c4_kept_page_and_counts(spark):
+    out = _c4(spark, [(1, _C4_PAGE)])
+    r = out[1]
+    assert r["verdict"] == "kept"
+    assert r["n_lines"] == 5
+    assert r["n_lines_kept"] == 5
+    assert r["n_sentences"] == 6
+    assert r["text_clean"] == _C4_PAGE
+
+
+def test_c4_line_filters_drop_the_right_lines(spark):
+    page = "\n".join(
+        [
+            "No terminal punctuation on this line",  # dropped: no terminal
+            "Too short.",  # dropped: < 3 words
+            "Please enable JavaScript to continue.",  # dropped: javascript
+            "   ",  # blank after trim: not counted at all
+            _C4_PAGE,
+        ]
+    )
+    out = _c4(spark, [(1, page)])
+    r = out[1]
+    assert r["n_lines"] == 8  # 3 dropped-but-nonblank + 5 kept
+    assert r["n_lines_kept"] == 5
+    assert r["text_clean"] == _C4_PAGE
+    assert r["verdict"] == "kept"
+
+
+def test_c4_terminal_quote_endings_kept(spark):
+    page = '\n'.join(
+        [
+            'He said "stop right there."',
+            "She replied with a shout!",
+            "Quoted closing also counts here”",
+            "Another proper sentence. And one more.",
+            "The last line closes properly now.",
+        ]
+    )
+    out = _c4(spark, [(1, page)])
+    assert out[1]["n_lines_kept"] == 5
+    assert out[1]["verdict"] == "kept"
+
+
+def test_c4_page_level_drops_and_precedence(spark):
+    out = _c4(
+        spark,
+        [
+            (1, _C4_PAGE + "\nfunction() { return 1; }"),
+            (2, _C4_PAGE + "\nWe sell lorem ipsum filler."),
+            (3, _C4_PAGE + "\nThis page mentions xxx today."),
+            (4, "Only two sentences here.\nThe second one is this!"),
+            # brace AND lorem AND bad word -> earliest rule named
+            (5, "{ lorem ipsum xxx }"),
+            (6, None),
+            (7, ""),
+        ],
+    )
+    assert out[1]["verdict"] == "brace"
+    assert out[2]["verdict"] == "lorem_ipsum"
+    assert out[3]["verdict"] == "bad_words"
+    assert out[4]["verdict"] == "too_few_sentences"
+    assert out[5]["verdict"] == "brace"
+    assert out[6]["verdict"] == "too_few_sentences"
+    assert out[6]["n_lines"] == 0 and out[6]["text_clean"] == ""
+    assert out[7]["verdict"] == "too_few_sentences"
+
+
+def test_c4_bad_words_parametrized(spark):
+    # the published filter's word list is caller-supplied data
+    out = _c4(spark, [(1, _C4_PAGE + "\nA zork appears in this tale.")],
+              bad_words=("zork",))
+    assert out[1]["verdict"] == "bad_words"
+
+
+def test_c4_plan_is_exchange_free(spark):
+    df = _docs(spark, [(1, _C4_PAGE)])
+    plan = c4_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_c4_carry_threads_payload_and_collisions_raise(spark):
+    from pyspark.sql import functions as F
+
+    df = _docs(spark, [(1, _C4_PAGE)]).withColumn("url", F.lit("u1"))
+    r = c4_rules(df, carry=("url",)).collect()[0]
+    assert r["url"] == "u1" and r["verdict"] == "kept"
+    with pytest.raises(ValueError, match="text_clean"):
+        c4_rules(df.withColumn("text_clean", F.lit("x")), carry=("text_clean",))

@@ -566,3 +566,163 @@ def o_gopher_rules_sql(source: str = "documents") -> str:
                END AS verdict
         FROM sig
     """
+
+
+# ---------------- C4 rule set (Raffel et al. 2020, JMLR) ------------------
+#
+# The C4 cleaning heuristics are LINE-level (keep a line only if it looks
+# like prose) plus four PAGE-level drops — a different axis than the
+# doc-level Gopher signals above, and the two compose: real pipelines run
+# C4-style line cleaning FIRST (it rewrites the text), then doc gates.
+# The paper's remaining step, three-sentence span dedup, is the span
+# family (operators/spans.py::x_dup_spans / x_strip_dup_spans).
+
+C4_MIN_SENTENCES = 5
+C4_MIN_LINE_WORDS = 3
+C4_TERMINAL_RE = "[.!?\"”’]$"  # period/bang/question/closing quote
+C4_SENTENCE_RE = "[.!?]"
+# The published filter uses the external LDNOOBW word list; the list is
+# caller-supplied DATA (like the BPE merge table) — this default is a
+# small inoffensive placeholder so the operator is runnable/testable.
+C4_BAD_WORDS: tuple[str, ...] = ("nsfw", "xxx")
+
+
+def c4_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_sentences: int = C4_MIN_SENTENCES,
+    min_line_words: int = C4_MIN_LINE_WORDS,
+    bad_words: tuple[str, ...] = C4_BAD_WORDS,
+    carry: tuple = (),
+) -> DataFrame:
+    """The C4 cleaning rule set (Raffel et al. 2020, section 2.2) as ONE
+    zero-shuffle projection. Per document: trim lines, KEEP a line only
+    if it ends in terminal punctuation (period / ! / ? / closing quote),
+    has >= ``min_line_words`` whitespace words, and does not mention
+    "javascript" (case-insensitive); rebuild ``text_clean`` from the
+    kept lines. Page verdict (first-failing precedence, on the RAW
+    text, matching the paper's page-level drops): ``brace`` if the page
+    contains ``{``, ``lorem_ipsum`` if it contains the phrase,
+    ``bad_words`` if any token is on the supplied word list, then
+    ``too_few_sentences`` if the CLEANED text has fewer than
+    ``min_sentences`` sentence-terminal marks, else ``kept``.
+
+    Outputs: (id, text_clean, n_lines BIGINT non-blank, n_lines_kept
+    BIGINT, n_sentences BIGINT, verdict) — counts are exact BIGINTs and
+    the strings are byte-built, so the whole frame hash-matches the
+    DuckDB oracle with no IEEE concern at all.
+
+    Scale shape: pure array algebra (split -> nested filter -> join)
+    inside the scan's whole-stage codegen — no shuffle, no Python, at
+    any corpus size; patterns ride the Column API (htmlops escaping
+    discipline). ``carry`` threads payload columns through unchanged
+    (gopher_rules contract, same collision guard)."""
+    reserved = {
+        id_col,
+        "text_clean",
+        "n_lines",
+        "n_lines_kept",
+        "n_sentences",
+        "verdict",
+    }
+    clash = [c for c in carry if c in reserved]
+    if clash:
+        raise ValueError(
+            f"c4_rules: carry column(s) {clash} collide with the output "
+            f"columns {sorted(reserved)} — rename before carrying"
+        )
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(txt, "\\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+
+    def _keep(l: Column) -> Column:
+        n_words = F.size(
+            F.filter(F.split(l, GOPHER_WS_RE), lambda x: x != F.lit(""))
+        )
+        return (
+            l.rlike(C4_TERMINAL_RE)
+            & (n_words >= F.lit(min_line_words))
+            & ~F.lower(l).contains("javascript")
+        )
+
+    df = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        txt.alias("_t"),
+        lines.alias("_l"),
+        F.filter(lines, _keep).alias("_k"),
+        tokens_expr(text_col).alias("_tk"),
+    )
+    clean = F.array_join("_k", "\n")
+    n_sent = F.regexp_count(clean, F.lit(C4_SENTENCE_RE)).cast("bigint")
+    verdict = (
+        F.when(F.col("_t").contains("{"), F.lit("brace"))
+        .when(F.lower("_t").contains("lorem ipsum"), F.lit("lorem_ipsum"))
+        .when(
+            F.arrays_overlap("_tk", F.array(*[F.lit(w) for w in bad_words])),
+            F.lit("bad_words"),
+        )
+        .when(n_sent < min_sentences, F.lit("too_few_sentences"))
+        .otherwise(F.lit("kept"))
+    )
+    return df.select(
+        id_col,
+        *carry,
+        clean.alias("text_clean"),
+        F.size("_l").cast("bigint").alias("n_lines"),
+        F.size("_k").cast("bigint").alias("n_lines_kept"),
+        n_sent.alias("n_sentences"),
+        verdict.alias("verdict"),
+    )
+
+
+def o_c4_rules_sql(source: str = "documents") -> str:
+    """Full DuckDB mirror of ``c4_rules`` at the default thresholds —
+    shared-verbatim pattern constants, same line trimming, same keep
+    predicate, same verdict precedence."""
+    from weather_monitoring_spark.functions.text import o_tokens
+
+    bad = ", ".join(f"'{w}'" for w in C4_BAD_WORDS)
+    keep_ln = (
+        f"regexp_matches(ln, '{C4_TERMINAL_RE}') "
+        f"AND len(list_filter(regexp_split_to_array(ln, '{GOPHER_WS_RE}'),"
+        f" w -> w <> '')) >= {C4_MIN_LINE_WORDS} "
+        f"AND NOT contains(lower(ln), 'javascript')"
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   coalesce(text, '') AS t,
+                   list_filter(list_transform(
+                       regexp_split_to_array(coalesce(text, ''), '\\n'),
+                       l -> trim(l)), l -> l <> '') AS l,
+                   {o_tokens("coalesce(text, '')")} AS tk
+            FROM {source}
+        ), kept AS (
+            SELECT doc_id, t, l, tk,
+                   list_filter(l, ln -> {keep_ln}) AS k
+            FROM base
+        ), sig AS (
+            -- array_to_string([]) is NULL in DuckDB but '' in Spark
+            SELECT doc_id, t, tk,
+                   coalesce(array_to_string(k, chr(10)), '') AS text_clean,
+                   CAST(len(l) AS BIGINT) AS n_lines,
+                   CAST(len(k) AS BIGINT) AS n_lines_kept,
+                   CAST(len(regexp_extract_all(
+                       coalesce(array_to_string(k, chr(10)), ''),
+                       '{C4_SENTENCE_RE}')) AS BIGINT) AS n_sentences
+            FROM kept
+        )
+        SELECT doc_id, text_clean, n_lines, n_lines_kept, n_sentences,
+               CASE
+                 WHEN contains(t, '{{') THEN 'brace'
+                 WHEN contains(lower(t), 'lorem ipsum') THEN 'lorem_ipsum'
+                 WHEN list_has_any(tk, [{bad}]) THEN 'bad_words'
+                 WHEN n_sentences < {C4_MIN_SENTENCES} THEN 'too_few_sentences'
+                 ELSE 'kept'
+               END AS verdict
+        FROM sig
+    """

@@ -558,3 +558,127 @@ def o_normalize_text(text_col: str = "text") -> str:
     c = f"regexp_replace({c}, '{HWS_RUN_RE}', ' ', 'g')"
     c = f"regexp_replace({c}, ' ?\\n ?', chr(10), 'g')"
     return f"trim({c})"
+
+
+# ---------------- mojibake repair (encoding-damage cleanup) ----------------
+#
+# Crawl corpora are full of UTF-8 text that was decoded as windows-1252
+# somewhere upstream ("â€™" where "’" was meant — 'mojibake'). The repair
+# is mechanical: the damaged form IS the target's UTF-8 bytes read through
+# the WHATWG windows-1252 table, so the replacement table is GENERATED
+# from the target characters — it cannot drift from the encoding math.
+
+#: WHATWG windows-1252: the five bytes cp1252 leaves undefined map to the
+#: matching C1 controls (what browsers — the usual corruption site — do).
+_W1252_HOLES = {0x81: "\x81", 0x8D: "\x8d", 0x8F: "\x8f", 0x90: "\x90", 0x9D: "\x9d"}
+
+
+def _w1252(bs: bytes) -> str:
+    out = []
+    for b in bs:
+        out.append(_W1252_HOLES.get(b) or bytes([b]).decode("cp1252"))
+    return "".join(out)
+
+
+#: The characters whose mojibake forms dominate real crawls: curly quotes,
+#: dashes, ellipsis, bullet, euro/pound, (c)/(r)/degree/middot, nbsp, and
+#: the common Latin-1 letters. 3-byte damage (E2/E2-80 row) sorts first so
+#: a 2-byte rule can never split it.
+MOJIBAKE_TARGETS: tuple[str, ...] = (
+    "’", "‘", "“", "”", "–", "—",
+    "…", "•", "€", "™",
+    "é", "è", "á", "à", "ó", "í",
+    "ú", "ñ", "ü", "ö", "ä", "ç",
+    "ß", "£", "©", "®", "°", "·",
+    " ",
+)
+
+#: (damaged, repaired) pairs, longest damaged form first.
+MOJIBAKE_TABLE: tuple[tuple[str, str], ...] = tuple(
+    sorted(
+        ((_w1252(t.encode("utf-8")), t) for t in MOJIBAKE_TARGETS),
+        key=lambda kv: (-len(kv[0]), kv[0]),
+    )
+)
+
+
+def fix_mojibake(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "table",
+) -> DataFrame:
+    """Repair windows-1252 mojibake. Returns (id, text_fixed, changed).
+
+    ``mode="table"`` (default): one JVM-side chain of plain ``replace``
+    calls over MOJIBAKE_TABLE — whole-stage codegen, zero Python, zero
+    shuffle at any corpus size, and exactly mirrored by the DuckDB
+    oracle (string literals shared verbatim from the generated table).
+
+    ``mode="full"``: Arrow-batched pandas_udf that finds suspect runs
+    (a regex over the windows-1252 images of UTF-8 lead/continuation
+    bytes) and repairs each run by the actual byte round-trip
+    encode(w1252) -> decode(utf-8), leaving the run untouched unless
+    the bytes are valid UTF-8 — handles ANY damaged code point
+    (CJK, emoji, combining marks), not just the table. No SQL form
+    (the unicode_form / entities="full" precedent), so it is
+    pytest-guaranteed, not oracle-checked; the default path stays
+    zero-Python on the hot pipeline."""
+    if mode not in ("table", "full"):
+        raise ValueError(f"mode must be 'table' or 'full', got {mode!r}")
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    if mode == "table":
+        fixed = raw
+        for bad, good in MOJIBAKE_TABLE:
+            fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    else:
+        fixed = _fix_mojibake_udf()(raw)
+    return docs.select(
+        F.col(id_col),
+        fixed.alias("text_fixed"),
+        (fixed != raw).alias("changed"),
+    )
+
+
+def _fix_mojibake_udf():
+    """Arrow-batched full repair: see fix_mojibake(mode='full')."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    # windows-1252 images of: UTF-8 lead bytes C2-F4 then continuation
+    # bytes 80-BF (through the WHATWG table, incl. the C1 holes).
+    lead = "".join(_w1252(bytes([b])) for b in range(0xC2, 0xF5))
+    cont = "".join(_w1252(bytes([b])) for b in range(0x80, 0xC0))
+    run_re = re.compile(f"[{re.escape(lead)}][{re.escape(cont)}]" "{1,3}")
+
+    def _enc(s: str) -> bytes:
+        return bytes(
+            0x81 if c == "\x81" else 0x8D if c == "\x8d" else
+            0x8F if c == "\x8f" else 0x90 if c == "\x90" else
+            0x9D if c == "\x9d" else c.encode("cp1252")[0]
+            for c in s
+        )
+
+    def _repair_run(m: "re.Match[str]") -> str:
+        s = m.group(0)
+        try:
+            return _enc(s).decode("utf-8")
+        except (UnicodeDecodeError, UnicodeEncodeError):
+            return s
+
+    def _fix(col):
+        return col.map(lambda s: run_re.sub(_repair_run, s) if s else s)
+
+    return pandas_udf(_fix, "string")
+
+
+def o_fix_mojibake(text_col: str = "text") -> str:
+    """DuckDB mirror of fix_mojibake(mode='table') — the same generated
+    replacement chain, longest damaged form first."""
+    c = f"coalesce({text_col}, '')"
+    for bad, good in MOJIBAKE_TABLE:
+        b = bad.replace("'", "''")
+        g = good.replace("'", "''")
+        c = f"replace({c}, '{b}', '{g}')"
+    return c

@@ -1215,6 +1215,62 @@ EXTRA_SPECS.append(
     )
 )
 
+def _moji_damage() -> str:
+    """Every damaged form in MOJIBAKE_TABLE, space-joined — the planted
+    dirt, shared verbatim as a Python constant by both engines."""
+    from weather_monitoring_spark.operators.textops import MOJIBAKE_TABLE
+
+    return " ".join(bad for bad, _ in MOJIBAKE_TABLE)
+
+
+def _fix_mojibake_x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windows-1252 mojibake repair over documents with every damaged
+    form from the generated table planted (the same Python string
+    constant on both engines — the Spark side plants via the Column
+    API because Spark's chr() wraps mod 256, unlike DuckDB's
+    codepoint chr()): one JVM-side replace chain, zero shuffle;
+    'changed' is TRUE on every row because damage is planted, and the
+    repaired targets ride the value hash."""
+    from weather_monitoring_spark.operators.textops import fix_mojibake
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" " + _moji_damage()),
+        ).alias("text"),
+    )
+    return fix_mojibake(docs)
+
+
+def _o_fix_mojibake() -> str:
+    from weather_monitoring_spark.operators.textops import o_fix_mojibake
+
+    # chr()-built on the DuckDB side so no damaged byte sequence has to
+    # survive the SQL parser verbatim (DuckDB chr() is codepoint-true).
+    lits = " || ".join(f"chr({ord(c)})" for c in " " + _moji_damage())
+    return f"""
+        WITH dirty AS (
+            SELECT doc_id, concat(coalesce(text, ''), {lits}) AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               {o_fix_mojibake('text')} AS text_fixed,
+               ({o_fix_mojibake('text')} <> coalesce(text, '')) AS changed
+        FROM dirty
+    """
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_fix_mojibake",
+        doc=_fix_mojibake_x.__doc__ or "",
+        spark=_fix_mojibake_x,
+        oracle=_o_fix_mojibake(),
+        tags=("extra", "text", "normalization"),
+    )
+)
+
 EXTRA_SPECS.append(
     QuerySpec(
         name="x_normalize_text",
@@ -2584,6 +2640,35 @@ EXTRA_SPECS.append(
         doc=_gopher_rules.__doc__ or "",
         spark=_gopher_rules,
         oracle=_o_gopher(),
+        tags=("extra", "quality", "curation"),
+    )
+)
+
+
+def _c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning rule set (Raffel et al. 2020 section 2.2): line-level
+    keep predicate (terminal punctuation, >= 3 words, no 'javascript')
+    rebuilding text_clean, plus the paper's page-level drops (brace /
+    lorem ipsum / bad-word list / < 5 sentences) as a first-failing
+    verdict. One zero-shuffle projection; counts exact BIGINTs, strings
+    byte-built — the whole frame hash-matches with no IEEE terms."""
+    from weather_monitoring_spark.operators.quality import c4_rules
+
+    return c4_rules(load_table(spark, sf_dir, "documents"))
+
+
+def _o_c4() -> str:
+    from weather_monitoring_spark.operators.quality import o_c4_rules_sql
+
+    return o_c4_rules_sql()
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_c4_rules",
+        doc=_c4_rules.__doc__ or "",
+        spark=_c4_rules,
+        oracle=_o_c4(),
         tags=("extra", "quality", "curation"),
     )
 )
