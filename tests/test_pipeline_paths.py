@@ -347,3 +347,124 @@ def test_binary_asset_source_feeds_multimodal(tmp_path, spark):
         r.asset_id for r in assets.filter("kind = 'image'").collect()
     }
     assert all(64 <= r.width < 256 and len(r.feature) == 8 for r in decoded)
+
+
+def _warc_record(
+    uri: str,
+    body: bytes,
+    warc_type: str = "response",
+    status: int = 200,
+    ctype: str = "text/html",
+) -> bytes:
+    """Minimal spec-shaped WARC 1.0 record (CRLF discipline, exact
+    Content-Length, double-CRLF separator)."""
+    if warc_type == "response":
+        http = (
+            f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+    else:
+        http = body
+    hdr = (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{abs(hash((uri, warc_type))):032x}>\r\n"
+        f"WARC-Date: 2026-08-15T00:00:00Z\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        + (
+            "Content-Type: application/http; msgtype=response\r\n"
+            if warc_type == "response"
+            else "Content-Type: application/warc-fields\r\n"
+        )
+        + f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    return hdr + http + b"\r\n\r\n"
+
+
+def test_warc_source_parses_plain_and_gzip_members(tmp_path, spark):
+    """binaryFile scan -> mapInPandas WARC parse: record fields, HTTP
+    split, per-record-gzip members (the Common Crawl layout), path-digest
+    id stability, and listing-time glob pruning."""
+    import gzip
+
+    from weather_monitoring_spark.sources.warc import read_warc
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    recs = [
+        _warc_record("urn:none", b"software: test\r\n", warc_type="warcinfo"),
+        _warc_record("http://a.example/x", b"<html>page A body here</html>"),
+        _warc_record("http://b.example/y", b"<html>page B body here</html>",
+                     status=404),
+        _warc_record("http://c.example/z", b"GET /z HTTP/1.1",
+                     warc_type="request"),
+    ]
+    (d / "seg0.warc").write_bytes(b"".join(recs))
+    # same records as per-member gzip (how CC ships)
+    (d / "seg1.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs)
+    )
+    (d / "notes.txt").write_bytes(b"not a warc")
+
+    rows = read_warc(spark, str(d)).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.source.rsplit("/", 1)[-1], []).append(r)
+    assert set(by) == {"seg0.warc", "seg1.warc.gz"}
+    for fname in by:
+        rs = sorted(by[fname], key=lambda r: r.record_offset)
+        assert [r.warc_type for r in rs] == [
+            "warcinfo", "response", "response", "request"
+        ]
+        a = rs[1]
+        assert a.target_uri == "http://a.example/x"
+        assert a.http_status == 200 and a.content_type == "text/html"
+        assert bytes(a.payload) == b"<html>page A body here</html>"
+        assert a.n_bytes == len(a.payload)
+        assert rs[2].http_status == 404
+        assert rs[3].http_status is None  # request: no HTTP response split
+
+    # gzip members decode to the same bytes -> same offsets after gunzip
+    assert [r.record_offset for r in sorted(by["seg0.warc"], key=lambda r: r.record_offset)] == [
+        r.record_offset for r in sorted(by["seg1.warc.gz"], key=lambda r: r.record_offset)
+    ]
+    # ids are path#offset digests: stable across re-listing
+    again = {(r.source, r.record_offset): r.asset_id
+             for r in read_warc(spark, str(d)).collect()}
+    assert all(again[(r.source, r.record_offset)] == r.asset_id for r in rows)
+    # glob prunes: only the plain .warc file is ever opened
+    only_plain = read_warc(spark, str(d), glob="*.warc").collect()
+    assert {r.source.rsplit("/", 1)[-1] for r in only_plain} == {"seg0.warc"}
+
+
+def test_warc_responses_feed_curate_crawl(tmp_path, spark):
+    """WARC -> documents contract -> the composed curation front door:
+    2xx HTML responses only, decoded JVM-side, ids/urls threaded."""
+    from weather_monitoring_spark.pipelines import curate_crawl
+    from weather_monitoring_spark.sources.warc import (
+        read_warc,
+        warc_responses_to_documents,
+    )
+
+    d = tmp_path / "crawl2"
+    d.mkdir()
+    body = (
+        "<html><body><p>"
+        + " ".join(f"curated word {i} of the page." for i in range(30))
+        + "</p></body></html>"
+    ).encode()
+    recs = [
+        _warc_record("urn:none", b"software: t\r\n", warc_type="warcinfo"),
+        _warc_record("http://ok.example/1", body),
+        _warc_record("http://ok.example/1", body),  # exact re-crawl dup
+        _warc_record("http://gone.example/2", b"<html>gone</html>", status=404),
+    ]
+    (d / "s.warc").write_bytes(b"".join(recs))
+
+    docs = warc_responses_to_documents(read_warc(spark, str(d)))
+    got = docs.collect()
+    assert {r.url for r in got} == {"http://ok.example/1"}
+    assert len(got) == 2 and all("curated word" in r.html for r in got)
+
+    stages = curate_crawl(docs, min_tokens=5, checkpoint=False)
+    assert stages.curated.count() == 1  # URL dedup collapses the re-crawl

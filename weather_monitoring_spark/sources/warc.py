@@ -1,0 +1,167 @@
+"""WARC source — Common Crawl's wire format, the de-facto input of every
+large-scale crawl-curation pipeline (ISO 28500; the public
+crawl-data/CC-MAIN-*/warc/*.warc.gz layout).
+
+Spark-first shape: the built-in ``binaryFile`` scan lists and reads whole
+WARC files distributed across executors (one row per file — WARC members
+are not line-splittable, and per-record gzip members make the .gz files
+unsplittable too), then ONE ``mapInPandas`` pass parses records out of
+each file's bytes. The parallelism unit is the FILE, exactly how Common
+Crawl ships (segments of ~1 GB files, tens of thousands per crawl), so a
+1000-executor cluster saturates on file count; ``pathGlobFilter`` prunes
+non-WARC paths during listing and a task's memory is bounded by the
+largest single file it reads (bin-packed by
+``spark.sql.files.maxPartitionBytes``).
+
+Record ids are content-addressed digests of (path, byte offset) — stable
+across re-listing, repartitioning, and incremental crawls (the
+sources/binary.py discipline).
+
+Reference parity: the reference ingests JSON wire messages only; WARC
+extends the engine per the builder brief's crawl-pipeline scope
+(the ``pipelines.curate_crawl`` front door consumes the output of
+``warc_responses_to_documents``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_SCHEMA = (
+    "asset_id bigint, source string, record_offset bigint, warc_type string, "
+    "record_id string, target_uri string, warc_date string, http_status int, "
+    "content_type string, payload binary, n_bytes bigint"
+)
+
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress ALL gzip members (Common Crawl gzips each WARC record
+    as its own member so readers can seek; a plain one-member file is
+    the degenerate case). Explicit member loop — some gzip fronts stop
+    at the first member boundary."""
+    out = []
+    while data[:2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(data))
+        data = d.unused_data
+        if not d.eof:  # truncated member: keep what decoded, stop
+            break
+    return b"".join(out)
+
+
+def _parse_warc(path: str, data: bytes) -> Iterator[dict]:
+    """Sequential single-pass WARC 1.0/1.1 record parser: header block to
+    the blank line, Content-Length body bytes, CRLF CRLF separator.
+    Response records additionally split the HTTP message: status line ->
+    http_status, Content-Type header, payload after the HTTP headers."""
+    if data[:2] == _GZIP_MAGIC:
+        data = _gunzip_members(data)
+    pos, n = 0, len(data)
+    while pos < n:
+        # tolerate separator slack / trailing junk before the next record
+        nxt = data.find(b"WARC/", pos)
+        if nxt < 0:
+            return
+        pos = nxt
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            return
+        headers: dict[str, str] = {}
+        for line in data[pos:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            if _:
+                headers[k.strip().lower().decode("latin-1")] = (
+                    v.strip().decode("latin-1")
+                )
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            length = 0
+        body_start = hdr_end + 4
+        block = data[body_start : body_start + length]
+        rec_offset = pos
+        pos = body_start + length
+        status, ctype, payload = None, headers.get("content-type"), block
+        if headers.get("warc-type") == "response" and block[:5] == b"HTTP/":
+            http_end = block.find(b"\r\n\r\n")
+            if http_end >= 0:
+                http_hdr = block[:http_end].split(b"\r\n")
+                parts = http_hdr[0].split(b" ")
+                if len(parts) >= 2 and parts[1].isdigit():
+                    status = int(parts[1])
+                for line in http_hdr[1:]:
+                    k, _, v = line.partition(b":")
+                    if _ and k.strip().lower() == b"content-type":
+                        ctype = v.strip().decode("latin-1")
+                payload = block[http_end + 4 :]
+        digest = hashlib.md5(f"{path}#{rec_offset}".encode()).hexdigest()
+        yield {
+            "asset_id": int(digest[:15], 16),
+            "source": path,
+            "record_offset": rec_offset,
+            "warc_type": headers.get("warc-type"),
+            "record_id": headers.get("warc-record-id"),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "http_status": status,
+            "content_type": ctype,
+            "payload": payload,
+            "n_bytes": len(payload),
+        }
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+) -> DataFrame:
+    """Load a directory tree of WARC files (.warc or per-record-gzip
+    .warc.gz) as one row per WARC record. ``glob`` prunes at listing
+    time; the parse runs where the bytes landed — no driver I/O."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def _parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.split(" ")[0] for f in WARC_SCHEMA.split(", ")]
+        for pdf in batches:
+            rows = [
+                rec
+                for p, c in zip(pdf["path"], pdf["content"])
+                for rec in _parse_warc(p, bytes(c))
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return raw.mapInPandas(_parse, WARC_SCHEMA)
+
+
+def warc_responses_to_documents(records: DataFrame) -> DataFrame:
+    """Project 2xx HTML response records onto the crawl-page contract
+    ``pipelines.curate_crawl`` ingests: (doc_id, url, html). The byte ->
+    string decode is JVM-side (UTF-8; real pipelines sniff charsets in a
+    decode stage — out of scope here, as for multimodal codecs)."""
+    return (
+        records.filter(
+            (F.col("warc_type") == "response")
+            & F.col("http_status").between(200, 299)
+            & F.coalesce(
+                F.lower("content_type").contains("html"), F.lit(True)
+            )
+        )
+        .select(
+            F.col("asset_id").alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.decode(F.col("payload"), "UTF-8").alias("html"),
+        )
+    )
