@@ -449,3 +449,101 @@ def test_c4_carry_threads_payload_and_collisions_raise(spark):
     assert r["url"] == "u1" and r["verdict"] == "kept"
     with pytest.raises(ValueError, match="text_clean"):
         c4_rules(df.withColumn("text_clean", F.lit("x")), carry=("text_clean",))
+
+
+# ---------------- Gopher repetition rules (Table A1, A1.2) -----------------
+
+from weather_monitoring_spark.operators.quality import gopher_repetition_rules
+
+
+def _rep(spark, rows, **kw):
+    df = _docs(spark, rows)
+    return {
+        r["doc_id"]: r for r in gopher_repetition_rules(df, **kw).collect()
+    }
+
+
+def test_rep_duplicate_line_and_paragraph_fractions(spark):
+    out = _rep(
+        spark,
+        [
+            (1, "same line here\nsame line here\nsame line here\nfresh one"),
+            (2, "para one stands alone\n\npara one stands alone\n\n\npara two"),
+        ],
+    )
+    r = out[1]
+    # 4 lines, 2 distinct -> 2/4 duplicates; chars 14*3+9=51, dup 14*2=28
+    assert r["frac_dup_lines"] == pytest.approx(2 / 4)
+    assert r["frac_chars_dup_lines"] == pytest.approx(28 / 51)
+    assert r["verdict"] == "frac_dup_lines"
+    p = out[2]
+    assert p["frac_dup_paragraphs"] == pytest.approx(1 / 3)
+    # 3 non-blank lines, 2 distinct -> 1/3 duplicate lines too
+    assert p["frac_dup_lines"] == pytest.approx(1 / 3)
+
+
+def test_rep_top_ngram_char_fraction_hand_computed(spark):
+    # tokens: a b c a b c a b c more words here now  (tc = 25 chars)
+    out = _rep(spark, [(1, "a b c a b c a b c. more words here now.")])
+    r = out[1]
+    assert r["n_tokens"] == 13
+    assert r["frac_chars_top_2gram"] == pytest.approx(6 / 25)   # "a b" x3
+    assert r["frac_chars_top_3gram"] == pytest.approx(9 / 25)   # "a b c" x3
+    assert r["frac_chars_top_4gram"] == pytest.approx(8 / 25)   # "a b c a" x2
+    # dup 5-grams cover token positions 1..9 -> 9 chars
+    assert r["frac_chars_dup_5gram"] == pytest.approx(9 / 25)
+    assert r["frac_chars_dup_7gram"] == 0.0
+
+
+def test_rep_count_one_gram_is_not_repetition(spark):
+    """Without the count >= 2 guard every short natural sentence would
+    flag on its longest bigram."""
+    out = _rep(
+        spark,
+        [(1, "all distinct words in this perfectly natural sentence flow")],
+    )
+    r = out[1]
+    assert r["frac_chars_top_2gram"] == 0.0
+    assert r["frac_chars_top_4gram"] == 0.0
+    assert r["verdict"] == "kept"
+
+
+def test_rep_dup_ngram_coverage_counts_overlaps_once(spark):
+    # "one .. ten" twice: EVERY 5-gram repeats, but coverage is all 20
+    # tokens counted once -> fraction exactly 1.0 (not > 1).
+    text = "one two three four five six seven eight nine ten " * 2
+    out = _rep(spark, [(1, text.strip())])
+    assert out[1]["frac_chars_dup_5gram"] == 1.0
+    assert out[1]["frac_chars_dup_10gram"] == 1.0
+
+
+def test_rep_nulls_empties_and_precedence(spark):
+    out = _rep(spark, [(1, None), (2, ""), (3, "buy now " * 40)])
+    assert out[1]["verdict"] == "kept" and out[1]["n_tokens"] == 0
+    assert out[2]["verdict"] == "kept"
+    # every signal fires for doc 3; the FIRST table row wins
+    assert out[3]["verdict"] == "frac_dup_lines" if out[3][
+        "frac_dup_lines"
+    ] > 0.30 else "frac_chars_top_2gram"
+    assert out[3]["frac_chars_dup_5gram"] == 1.0
+
+
+def test_rep_plan_is_exchange_free_and_carry_guarded(spark):
+    from pyspark.sql import functions as F
+
+    df = _docs(spark, [(1, "a b a b")])
+    plan = (
+        gopher_repetition_rules(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+    with pytest.raises(ValueError, match="n_tokens"):
+        gopher_repetition_rules(
+            df.withColumn("n_tokens", F.lit(1)), carry=("n_tokens",)
+        )
+    carried = gopher_repetition_rules(
+        df.withColumn("src", F.lit("s1")), carry=("src",)
+    ).collect()[0]
+    assert carried["src"] == "s1"

@@ -726,3 +726,365 @@ def o_c4_rules_sql(source: str = "documents") -> str:
                END AS verdict
         FROM sig
     """
+
+
+# ---------------- Gopher repetition rules (Rae et al. Table A1, A1.2) ------
+#
+# The second half of the published Gopher filter: repetition-based removal.
+# gopher_rules above is the A1.1 heuristics; this is the A1.2 table —
+# duplicate line/paragraph fractions, duplicate line/paragraph CHARACTER
+# fractions, the top-{2,3,4}-gram character fraction, and the duplicated-
+# {5..10}-gram character fraction — with the paper's thresholds as the
+# first-failing verdict.
+
+PARA_SPLIT_RE = "\\n{2,}"
+
+#: (signal, threshold) in the paper's Table-A1 order.
+GOPHER_REP_THRESHOLDS: tuple[tuple[str, float], ...] = (
+    ("frac_dup_lines", 0.30),
+    ("frac_dup_paragraphs", 0.30),
+    ("frac_chars_dup_lines", 0.20),
+    ("frac_chars_dup_paragraphs", 0.20),
+    ("frac_chars_top_2gram", 0.20),
+    ("frac_chars_top_3gram", 0.18),
+    ("frac_chars_top_4gram", 0.16),
+    ("frac_chars_dup_5gram", 0.15),
+    ("frac_chars_dup_6gram", 0.14),
+    ("frac_chars_dup_7gram", 0.13),
+    ("frac_chars_dup_8gram", 0.12),
+    ("frac_chars_dup_9gram", 0.11),
+    ("frac_chars_dup_10gram", 0.10),
+)
+
+_REP_TOP_NS = (2, 3, 4)
+_REP_DUP_NS = (5, 6, 7, 8, 9, 10)
+
+
+def _rep_grams_sql(tk: str, n: int) -> str:
+    """Spark SQL: word n-grams of the ``tk`` array (space-joined, so a
+    gram's token chars are ``length(gram) - (n-1)``). The ``size >= n``
+    guard matters: Spark's sequence(1, 0) is the DESCENDING [1, 0]."""
+    return (
+        f"CASE WHEN size({tk}) >= {n} THEN "
+        f"transform(sequence(1, size({tk}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({tk}, i, {n}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
+def _rep_top_chars_sql(g: str, n: int) -> str:
+    """Spark SQL: token chars covered by the MOST FREQUENT n-gram —
+    count(top gram) * (length(top gram) - (n-1)) — via one fold over the
+    sorted gram array (max-multiplicity = longest equal-adjacent run,
+    the _max_run_sql discipline). Tie-break: among max-count grams, the
+    largest char length (mirrored verbatim by the oracle)."""
+    sep = n - 1
+    run = "IF(t <=> s.prev, s.run + 1, CAST(1 AS BIGINT))"
+    cl = f"CAST(length(t) - {sep} AS BIGINT)"
+    better = f"({run} > s.br OR ({run} = s.br AND {cl} > s.bc))"
+    return (
+        f"aggregate(array_sort({g}), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), "
+        "'br', CAST(0 AS BIGINT), 'bc', CAST(0 AS BIGINT)), "
+        f"(s, t) -> named_struct('prev', t, 'run', {run}, "
+        f"'br', IF({better}, {run}, s.br), "
+        f"'bc', IF({better}, {cl}, s.bc)), "
+        "s -> IF(s.br >= 2, s.br * s.bc, CAST(0 AS BIGINT)))"
+    )
+
+
+def _rep_dup_chars_sql(tk: str, g: str, n: int) -> str:
+    """Spark SQL: token chars covered by ANY duplicated n-gram (overlaps
+    counted once — position coverage, the published semantics), in
+    O(G log G) row-local work:
+
+    1. sort (gram, position) structs — duplicates become adjacent;
+    2. one fold collects the positions of every gram whose run length
+       is >= 2 (no per-position membership probe against a dup set —
+       that would be O(G * dups));
+    3. one fold over the sorted dup positions unions the covered
+       intervals [p, p+n-1] and sums token lengths via slice()."""
+    sp = (
+        f"array_sort(transform(sequence(1, size({g})), "
+        f"i -> named_struct('gr', element_at({g}, i), 'p', CAST(i AS BIGINT))))"
+    )
+    same = "t.gr <=> s.pg"
+    acc = (
+        f"IF({same}, IF(s.pin, concat(s.acc, array(t.p)), "
+        f"concat(s.acc, array(s.pp, t.p))), s.acc)"
+    )
+    dup_pos = (
+        f"aggregate({sp}, "
+        "named_struct('pg', CAST(NULL AS STRING), 'pp', CAST(0 AS BIGINT), "
+        "'pin', false, 'acc', CAST(array() AS array<bigint>)), "
+        f"(s, t) -> named_struct('pg', t.gr, 'pp', t.p, 'pin', {same}, "
+        f"'acc', {acc}), "
+        "s -> s.acc)"
+    )
+    add = (
+        f"IF(p + {n} - 1 >= greatest(p, s.last + 1), "
+        f"aggregate(slice({tk}, CAST(greatest(p, s.last + 1) AS INT), "
+        f"CAST(p + {n} - 1 - greatest(p, s.last + 1) + 1 AS INT)), "
+        "CAST(0 AS BIGINT), (a, w) -> a + length(w)), CAST(0 AS BIGINT))"
+    )
+    return (
+        f"IF(size({g}) = 0, CAST(0 AS BIGINT), "
+        f"aggregate(array_sort({dup_pos}), "
+        "named_struct('last', CAST(0 AS BIGINT), 'ch', CAST(0 AS BIGINT)), "
+        f"(s, p) -> named_struct('last', greatest(s.last, p + {n} - 1), "
+        f"'ch', s.ch + {add}), "
+        "s -> s.ch))"
+    )
+
+
+def gopher_repetition_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thresholds: tuple[tuple[str, float], ...] = GOPHER_REP_THRESHOLDS,
+    carry: tuple = (),
+) -> DataFrame:
+    """The complete Gopher REPETITION rule set (Rae et al. 2021, Table
+    A1 section A1.2) as one zero-shuffle projection chain: per document,
+
+    - ``frac_dup_lines`` / ``frac_dup_paragraphs``: occurrences beyond
+      the first, over non-blank trimmed lines / blank-line-separated
+      paragraphs;
+    - ``frac_chars_dup_lines`` / ``frac_chars_dup_paragraphs``: chars in
+      those repeated occurrences over total line/paragraph chars;
+    - ``frac_chars_top_{2,3,4}gram``: token chars covered by the most
+      frequent n-gram (count x gram token chars) over total token chars
+      — zero unless that gram occurs at least twice (a count-1 gram is
+      not repetition; without the guard every short natural sentence
+      flags on its longest bigram);
+    - ``frac_chars_dup_{5..10}gram``: token chars covered by ANY n-gram
+      occurring more than once — position coverage, overlaps counted
+      once (the interval-union fold in _rep_dup_chars_sql);
+
+    plus the paper's thresholds as a first-failing ``verdict``.
+
+    Cross-engine exactness: every numerator/denominator is an exact
+    BIGINT and each fraction is ONE IEEE division (the repetition_signals
+    discipline), so the frame hash-matches the DuckDB oracle, which
+    replays the same definitions as O(n^2) list comprehensions
+    (correctness, not shape — o_repetition_cols precedent).
+
+    Scale shape: row-local array algebra only — sort-adjacency for
+    duplicate detection (O(G log G), never a G x dups membership probe),
+    interval-union for coverage — inside whole-stage codegen; no
+    shuffle, no Python, at any corpus size. Intermediate arrays (tokens,
+    lines, per-n gram arrays) are materialized as projection-stage
+    columns so CollapseProject cannot re-inline their builders into
+    every consumer (the curate_crawl 25x lesson)."""
+    names = [s for s, _ in thresholds]
+    reserved = {id_col, "n_tokens", "verdict", *names}
+    clash = [c for c in carry if c in reserved]
+    if clash:
+        raise ValueError(
+            f"gopher_repetition_rules: carry column(s) {clash} collide "
+            f"with the output columns {sorted(reserved)} — rename first"
+        )
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    s1 = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        # tokenize the coalesced text: a NULL document must yield an
+        # EMPTY token array (NULL would poison every downstream size/fold)
+        tokens_expr(f"coalesce({text_col}, '')").alias("_tk"),
+        F.filter(
+            F.transform(F.split(txt, "\\n"), lambda l: F.trim(l)),
+            lambda l: l != F.lit(""),
+        ).alias("_ln"),
+        F.filter(
+            F.transform(F.split(txt, PARA_SPLIT_RE), lambda p: F.trim(p)),
+            lambda p: p != F.lit(""),
+        ).alias("_pg"),
+    )
+    s2 = s1.select(
+        id_col,
+        *carry,
+        "_tk",
+        "_ln",
+        "_pg",
+        *[
+            F.expr(_rep_grams_sql("_tk", n)).alias(f"_g{n}")
+            for n in (*_REP_TOP_NS, *_REP_DUP_NS)
+        ],
+    )
+
+    def _dup_frac(arr: str) -> Column:
+        n = F.size(arr).cast("bigint")
+        nd = F.size(F.array_distinct(F.col(arr))).cast("bigint")
+        return (
+            F.when(n == 0, F.lit(0.0))
+            .otherwise((n - nd).cast("double") / n.cast("double"))
+        )
+
+    def _chars(arr: str) -> Column:
+        return F.aggregate(
+            arr, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+        )
+
+    def _dup_chars_frac(arr: str) -> Column:
+        tot = _chars(arr)
+        dist = F.aggregate(
+            F.array_distinct(F.col(arr)),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + F.length(x),
+        )
+        return (
+            F.when(tot == 0, F.lit(0.0))
+            .otherwise((tot - dist).cast("double") / tot.cast("double"))
+        )
+
+    tok_chars = _chars("_tk")
+    zero = F.lit(0.0)
+
+    def _gram_frac(expr_sql: str) -> Column:
+        return (
+            F.when(tok_chars == 0, zero)
+            .otherwise(
+                F.expr(expr_sql).cast("double") / tok_chars.cast("double")
+            )
+        )
+
+    sig = s2.select(
+        id_col,
+        *carry,
+        F.size("_tk").cast("bigint").alias("n_tokens"),
+        _dup_frac("_ln").alias("frac_dup_lines"),
+        _dup_frac("_pg").alias("frac_dup_paragraphs"),
+        _dup_chars_frac("_ln").alias("frac_chars_dup_lines"),
+        _dup_chars_frac("_pg").alias("frac_chars_dup_paragraphs"),
+        *[
+            _gram_frac(_rep_top_chars_sql(f"_g{n}", n)).alias(
+                f"frac_chars_top_{n}gram"
+            )
+            for n in _REP_TOP_NS
+        ],
+        *[
+            _gram_frac(_rep_dup_chars_sql("_tk", f"_g{n}", n)).alias(
+                f"frac_chars_dup_{n}gram"
+            )
+            for n in _REP_DUP_NS
+        ],
+    )
+    verdict = None
+    for name, thr in thresholds:
+        cond = F.when(F.col(name) > thr, F.lit(name))
+        verdict = cond if verdict is None else verdict.when(
+            F.col(name) > thr, F.lit(name)
+        )
+    verdict = (
+        verdict.otherwise(F.lit("kept")) if verdict is not None else F.lit("kept")
+    )
+    return sig.withColumn("verdict", verdict)
+
+
+def o_gopher_repetition_sql(source: str = "documents") -> str:
+    """Full DuckDB mirror of ``gopher_repetition_rules`` at the default
+    thresholds: same trimmed-line / paragraph splits, same gram
+    construction, same most-frequent-gram tie-break (max count, then max
+    char length), same position-coverage duplicated-gram semantics —
+    replayed as O(n^2) list comprehensions (the o_repetition_cols
+    precedent: the oracle buys correctness, not the zero-shuffle
+    shape). Every numerator/denominator is an exact BIGINT; each
+    fraction is ONE IEEE division of identical operands."""
+    from weather_monitoring_spark.functions.text import o_tokens
+
+    def chars(a: str) -> str:
+        return (
+            f"coalesce(list_sum(list_transform({a}, "
+            f"el -> CAST(length(el) AS BIGINT))), 0)"
+        )
+
+    def dup_frac(a: str) -> str:
+        return (
+            f"CASE WHEN len({a}) = 0 THEN 0.0 ELSE "
+            f"CAST(len({a}) - len(list_distinct({a})) AS DOUBLE)"
+            f" / CAST(len({a}) AS DOUBLE) END"
+        )
+
+    def dup_chars_frac(a: str) -> str:
+        tot, dist = chars(a), chars(f"list_distinct({a})")
+        return (
+            f"CASE WHEN {tot} = 0 THEN 0.0 ELSE "
+            f"CAST({tot} - {dist} AS DOUBLE) / CAST({tot} AS DOUBLE) END"
+        )
+
+    def top_frac(g: str, n: int) -> str:
+        mx = (
+            f"list_max(list_transform(list_distinct({g}), "
+            f"u -> CAST(len(list_filter({g}, x -> x = u)) AS BIGINT)))"
+        )
+        bestcl = (
+            f"list_max(list_transform(list_filter(list_distinct({g}), "
+            f"u -> CAST(len(list_filter({g}, x -> x = u)) AS BIGINT) = {mx}), "
+            f"u -> CAST(length(u) - {n - 1} AS BIGINT)))"
+        )
+        return (
+            f"CASE WHEN tc = 0 OR coalesce({mx}, 0) < 2 THEN 0.0 ELSE "
+            f"CAST(coalesce({mx} * {bestcl}, 0) AS DOUBLE)"
+            f" / CAST(tc AS DOUBLE) END"
+        )
+
+    def dup_gram_frac(g: str, n: int) -> str:
+        covered = (
+            f"coalesce(list_sum(list_transform(range(1, len(tk) + 1), "
+            f"j -> CASE WHEN len(list_filter("
+            f"range(greatest(1, j - {n} + 1), least(j, len({g})) + 1), "
+            f"i -> len(list_filter({g}, x -> x = {g}[i])) >= 2)) > 0 "
+            f"THEN CAST(length(tk[j]) AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)), 0)"
+        )
+        return (
+            f"CASE WHEN tc = 0 THEN 0.0 ELSE "
+            f"CAST({covered} AS DOUBLE) / CAST(tc AS DOUBLE) END"
+        )
+
+    gram_defs = ", ".join(
+        f"list_transform(range(1, greatest(len(tk) - {n} + 1, 0) + 1), "
+        f"i -> array_to_string(tk[i:i+{n - 1}], ' ')) AS g{n}"
+        for n in (*_REP_TOP_NS, *_REP_DUP_NS)
+    )
+    sig_cols = [
+        "CAST(len(tk) AS BIGINT) AS n_tokens",
+        f"{dup_frac('ln')} AS frac_dup_lines",
+        f"{dup_frac('pg')} AS frac_dup_paragraphs",
+        f"{dup_chars_frac('ln')} AS frac_chars_dup_lines",
+        f"{dup_chars_frac('pg')} AS frac_chars_dup_paragraphs",
+        *[
+            f"{top_frac(f'g{n}', n)} AS frac_chars_top_{n}gram"
+            for n in _REP_TOP_NS
+        ],
+        *[
+            f"{dup_gram_frac(f'g{n}', n)} AS frac_chars_dup_{n}gram"
+            for n in _REP_DUP_NS
+        ],
+    ]
+    verdict = " ".join(
+        f"WHEN {name} > {thr} THEN '{name}'"
+        for name, thr in GOPHER_REP_THRESHOLDS
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   {o_tokens("coalesce(text, '')")} AS tk,
+                   list_filter(list_transform(
+                       regexp_split_to_array(coalesce(text, ''), '\\n'),
+                       l -> trim(l)), l -> l <> '') AS ln,
+                   list_filter(list_transform(
+                       regexp_split_to_array(coalesce(text, ''),
+                           '{PARA_SPLIT_RE}'),
+                       p -> trim(p)), p -> p <> '') AS pg
+            FROM {source}
+        ), grams AS (
+            SELECT *, {chars('tk')} AS tc, {gram_defs}
+            FROM base
+        ), sig AS (
+            SELECT doc_id, {', '.join(sig_cols)}
+            FROM grams
+        )
+        SELECT *, CASE {verdict} ELSE 'kept' END AS verdict
+        FROM sig
+    """

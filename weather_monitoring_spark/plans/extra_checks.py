@@ -2645,6 +2645,41 @@ EXTRA_SPECS.append(
 )
 
 
+def _gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher REPETITION rule set (Rae et al. Table A1 section A1.2):
+    duplicate line/paragraph fractions and character fractions, top-
+    {2,3,4}-gram character fraction (most-frequent gram, count >= 2),
+    duplicated-{5..10}-gram character coverage (interval-union, overlaps
+    once), paper thresholds as a first-failing verdict. Zero-shuffle
+    row-local array algebra (sort-adjacency dup detection); the oracle
+    replays the definitions as list comprehensions; all numerators exact
+    BIGINTs, each fraction ONE IEEE divide."""
+    from weather_monitoring_spark.operators.quality import (
+        gopher_repetition_rules,
+    )
+
+    return gopher_repetition_rules(load_table(spark, sf_dir, "documents"))
+
+
+def _o_gopher_rep() -> str:
+    from weather_monitoring_spark.operators.quality import (
+        o_gopher_repetition_sql,
+    )
+
+    return o_gopher_repetition_sql()
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_gopher_repetition",
+        doc=_gopher_repetition.__doc__ or "",
+        spark=_gopher_repetition,
+        oracle=_o_gopher_rep(),
+        tags=("extra", "quality", "curation"),
+    )
+)
+
+
 def _c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4 cleaning rule set (Raffel et al. 2020 section 2.2): line-level
     keep predicate (terminal punctuation, >= 3 words, no 'javascript')
