@@ -532,18 +532,53 @@ def test_rep_plan_is_exchange_free_and_carry_guarded(spark):
     from pyspark.sql import functions as F
 
     df = _docs(spark, [(1, "a b a b")])
-    plan = (
+    # both methods: the corpus never shuffles
+    arrow_plan = (
         gopher_repetition_rules(df)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "Exchange" not in plan and "Python" not in plan
+    assert "Exchange" not in arrow_plan
+    # the expr path is additionally Python-free (oracle-exact twin)
+    expr_plan = (
+        gopher_repetition_rules(df, method="expr")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in expr_plan and "Python" not in expr_plan
     with pytest.raises(ValueError, match="n_tokens"):
         gopher_repetition_rules(
             df.withColumn("n_tokens", F.lit(1)), carry=("n_tokens",)
         )
+    with pytest.raises(ValueError, match="method"):
+        gopher_repetition_rules(df, method="nope")
     carried = gopher_repetition_rules(
         df.withColumn("src", F.lit("s1")), carry=("src",)
     ).collect()[0]
     assert carried["src"] == "s1"
+
+
+def test_rep_arrow_and_expr_paths_are_bit_equal(spark):
+    """The Arrow scale path (Counter + candidate pruning + prefix sums)
+    and the pure-expr oracle twin produce IDENTICAL bits on every
+    signal — the minhash method= discipline."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a b c a b c a b c. more words here now."),
+        (2, "same line here\nsame line here\nsame line here\nfresh one"),
+        (3, "one two three four five six seven eight nine ten " * 2),
+        (4, "buy now " * 40),
+        (5, "all distinct words in this natural sentence flow calmly"),
+        (6, None),
+        (7, ""),
+        (8, "para a\n\npara a\n\n\npara b"),
+    ]
+    df = _docs(spark, rows)
+    a = gopher_repetition_rules(df, method="arrow").orderBy("doc_id")
+    e = gopher_repetition_rules(df, method="expr").orderBy("doc_id")
+    ra = [tuple(r) for r in a.collect()]
+    re_ = [tuple(r) for r in e.collect()]
+    assert ra == re_
