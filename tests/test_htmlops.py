@@ -116,3 +116,37 @@ def test_entities_mode_validated_eagerly(spark):
     df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
     with pytest.raises(ValueError, match="entities"):
         extract_html_text(df, entities="typo")
+
+
+def test_html_text_lines_mode_keeps_block_structure(spark):
+    """lines=True: closing block tags and <br> become line breaks (the
+    front door for line-level curation); default stays the single-line
+    collapse."""
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.operators.htmlops import html_text_expr
+
+    rows = [
+        (1, "<html><body><p>One here.</p><p>Two now.</p><br>Three tail</body></html>"),
+        (2, "<div> spaced   <b>bold</b> text </div><ul><li>item a</li><li>item b</li></ul>"),
+        (3, "<script>var x=1;</script><h1>Title</h1><p>Body &amp; more.</p>"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    lined = {
+        r.doc_id: r.t
+        for r in df.select(
+            "doc_id", html_text_expr("html", lines=True).alias("t")
+        ).collect()
+    }
+    assert lined[1] == "One here.\nTwo now.\nThree tail"
+    assert lined[2] == "spaced bold text\nitem a\nitem b"
+    assert lined[3] == "Title\nBody & more."
+    assert lined[4] == ""
+    flat = {
+        r.doc_id: r.t
+        for r in df.select(
+            "doc_id", html_text_expr("html").alias("t")
+        ).collect()
+    }
+    assert "\n" not in flat[1] and flat[3] == "Title Body & more."

@@ -397,3 +397,65 @@ def test_curate_crawl_leakage_safe_split(spark):
     assert planted, "fixture must plant near-dup pairs"
     for a, b in planted:
         assert indep[a][1] == indep[b][1], (a, b)
+
+
+def test_curate_crawl_mojibake_c4_and_repetition_gates(spark):
+    """The three r9 knobs compose in the front door: mojibake="table"
+    repairs encoding damage in place right after extraction, c4_kwargs
+    switches extraction to lines=True and strips non-prose lines /
+    drops page-level failures, repetition_kwargs drops
+    repeated-paragraph docs — each asserted on its own planted class."""
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.pipelines import curate_crawl
+
+    prose = [
+        "The first sentence stands complete here.",
+        "A second sentence follows right after it!",
+        "Does the third one ask a question?",
+        "The fourth sentence closes this paragraph.",
+        "And a fifth one seals the page nicely.",
+    ]
+
+    def page(body_lines):
+        return (
+            "<html><body>"
+            + "".join(f"<p>{l}</p>" for l in body_lines)
+            + "</body></html>"
+        )
+
+    rows = []
+    for i in range(1, 6):  # clean class
+        rows.append((i, f"http://ok.example/{i}", page(
+            [f"Unique opener number {i} appears first." ] + prose)))
+    for i in range(6, 9):  # mojibake class
+        rows.append((i, f"http://moji.example/{i}", page(
+            [f"He said â€œnumber {i}â€\x9d loudly." ] + prose)))
+    for i in range(9, 12):  # javascript-line class (line stripped, page kept)
+        rows.append((i, f"http://js.example/{i}", page(
+            [f"Unique js opener {i} stays around.",
+             "Please enable javascript to continue here."] + prose)))
+    for i in range(12, 14):  # brace class (page dropped by c4)
+        rows.append((i, f"http://brace.example/{i}", page(
+            [f"code sample {i} follows now: {{x}}."] + prose)))
+    for i in range(14, 16):  # repeated-paragraph class (repetition gate)
+        para = f"Repeated paragraph number {i} returns again and again."
+        rows.append((i, f"http://rep.example/{i}", page([para] * 9)))
+
+    crawl = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    stages = curate_crawl(
+        crawl,
+        min_tokens=5,
+        checkpoint=False,
+        mojibake="table",
+        c4_kwargs={},
+        repetition_kwargs={},
+    )
+    kept = {r["doc_id"]: r["text"] for r in stages.curated.collect()}
+    assert set(range(1, 12)) <= set(kept)          # clean + moji + js kept
+    assert not set(range(12, 16)) & set(kept)      # brace + repetition dropped
+    for i in range(6, 9):
+        assert "“" in kept[i] and "â€" not in kept[i]   # repaired in place
+    for i in range(9, 12):
+        assert "javascript" not in kept[i].lower()      # line stripped
+        assert f"opener {i}" in kept[i]                 # page survived

@@ -47,6 +47,18 @@ STYLE_RE = r"(?is)<style\b[^>]*>.*?</style\s*>"
 COMMENT_RE = r"(?s)<!--.*?-->"
 TAG_RE = r"<[^>]*>"
 WS_RE = r"\s+"
+#: lines=True mode: closing block-level tags and <br> become line
+#: breaks BEFORE the generic tag strip, so the extracted text carries
+#: the line structure line-level curation needs (C4 line gates,
+#: line/boilerplate dedup). RE2-and-Java-safe, mirrored in the oracle.
+BLOCK_BREAK_RE = (
+    r"(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|article"
+    r"|header|footer|pre)\s*>|<br\s*/?\s*>"
+)
+#: lines=True collapse: horizontal whitespace only, then newline runs.
+HWS_ONLY_RE = r"[ \t\r\f]+"
+NL_RUN_RE = r" ?\n[ \n]*"
+
 #: Opening-anchor detector: '<a' followed by whitespace (attributes),
 #: '>' (attribute-less '<a>') or '/' (self-closed '<a/>') — but never a
 #: letter, so '<abbr>'/'<article>' don't count. RE2-and-Java-safe.
@@ -83,7 +95,9 @@ def _full_entity_udf():
     return pandas_udf(_dec, "string")
 
 
-def html_text_expr(html_col: str, entities: str = "basic") -> Column:
+def html_text_expr(
+    html_col: str, entities: str = "basic", lines: bool = False
+) -> Column:
     """Extracted plain text of one HTML document as a single Spark
     expression (steps 1-5 above). Zero shuffle, codegen-friendly.
 
@@ -100,6 +114,13 @@ def html_text_expr(html_col: str, entities: str = "basic") -> Column:
       guarantees live in pytest (tests/test_htmlops.py), the oracle
       fragment mirrors only the basic chain.
 
+    ``lines=True`` turns closing block-level tags and ``<br>`` into
+    line breaks before the tag strip and collapses horizontal
+    whitespace / newline runs separately — the extracted text then
+    carries the line structure line-level curation needs (c4_rules,
+    line dedup, boilerplate stripping). Default stays the single-line
+    collapse (the original contract and oracle).
+
     Built with the Column API (not ``F.expr``) so the regex constants
     reach the engine verbatim — Spark's SQL string-literal parser treats
     ``\\b``/``\\s`` as escapes and would corrupt them; the function API
@@ -108,13 +129,20 @@ def html_text_expr(html_col: str, entities: str = "basic") -> Column:
     if entities not in ("basic", "full"):
         raise ValueError(f"entities must be 'basic' or 'full', got {entities!r}")
     c = F.col(html_col)
-    for pat in (SCRIPT_RE, STYLE_RE, COMMENT_RE, TAG_RE):
+    for pat in (SCRIPT_RE, STYLE_RE, COMMENT_RE):
         c = F.regexp_replace(c, pat, " ")
+    if lines:
+        c = F.regexp_replace(c, BLOCK_BREAK_RE, "\n")
+    c = F.regexp_replace(c, TAG_RE, " ")
     if entities == "basic":
         for ent, rep in ENTITIES:
             c = F.replace(c, F.lit(ent), F.lit(rep))
     else:
         c = _full_entity_udf()(c)
+    if lines:
+        c = F.regexp_replace(c, HWS_ONLY_RE, " ")
+        c = F.regexp_replace(c, NL_RUN_RE, "\n")
+        return F.btrim(c, F.lit("\n "))
     return F.trim(F.regexp_replace(c, WS_RE, " "))
 
 
@@ -123,6 +151,7 @@ def extract_html_text(
     html_col: str = "html",
     id_col: str = "doc_id",
     entities: str = "basic",
+    lines: bool = False,
 ) -> DataFrame:
     """(id, text, html_chars, text_chars, n_anchors, text_ratio) — the
     extraction projection a crawl pipeline persists; downstream curation
@@ -135,7 +164,7 @@ def extract_html_text(
     ``entities="full"`` opts into complete HTML5 entity decoding (see
     html_text_expr).
     """
-    text = html_text_expr(html_col, entities=entities)
+    text = html_text_expr(html_col, entities=entities, lines=lines)
     return docs.select(
         F.col(id_col),
         text.alias("text"),
@@ -155,16 +184,22 @@ def extract_html_text(
 # ---------------- DuckDB oracle fragments (1:1 rule mirror) ---------------
 
 
-def o_html_text(html_col: str) -> str:
+def o_html_text(html_col: str, lines: bool = False) -> str:
     """DuckDB mirror of html_text_expr — same patterns verbatim; DuckDB
     regexp_replace needs the explicit 'g' (global) option."""
     e = f"regexp_replace({html_col}, '{SCRIPT_RE}', ' ', 'g')"
     e = f"regexp_replace({e}, '{STYLE_RE}', ' ', 'g')"
     e = f"regexp_replace({e}, '{COMMENT_RE}', ' ', 'g')"
+    if lines:
+        e = f"regexp_replace({e}, '{BLOCK_BREAK_RE}', chr(10), 'g')"
     e = f"regexp_replace({e}, '{TAG_RE}', ' ', 'g')"
     for ent, rep in ENTITIES:
         rep_sql = rep.replace("'", "''")
         e = f"replace({e}, '{ent}', '{rep_sql}')"
+    if lines:
+        e = f"regexp_replace({e}, '{HWS_ONLY_RE}', ' ', 'g')"
+        e = f"regexp_replace({e}, '{NL_RUN_RE}', chr(10), 'g')"
+        return f"trim({e}, chr(10) || ' ')"
     return f"trim(regexp_replace({e}, '{WS_RE}', ' ', 'g'))"
 
 

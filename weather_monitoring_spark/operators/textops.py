@@ -624,20 +624,26 @@ def fix_mojibake(
     (the unicode_form / entities="full" precedent), so it is
     pytest-guaranteed, not oracle-checked; the default path stays
     zero-Python on the hot pipeline."""
-    if mode not in ("table", "full"):
-        raise ValueError(f"mode must be 'table' or 'full', got {mode!r}")
     raw = F.coalesce(F.col(text_col), F.lit(""))
-    if mode == "table":
-        fixed = raw
-        for bad, good in MOJIBAKE_TABLE:
-            fixed = F.replace(fixed, F.lit(bad), F.lit(good))
-    else:
-        fixed = _fix_mojibake_udf()(raw)
+    fixed = mojibake_fixed_col(raw, mode=mode)
     return docs.select(
         F.col(id_col),
         fixed.alias("text_fixed"),
         (fixed != raw).alias("changed"),
     )
+
+
+def mojibake_fixed_col(raw: Column, mode: str = "table") -> Column:
+    """The repair as a composable Column (pipelines.curate_crawl applies
+    it in place of a join-back): see fix_mojibake for the two modes."""
+    if mode not in ("table", "full"):
+        raise ValueError(f"mode must be 'table' or 'full', got {mode!r}")
+    if mode == "table":
+        fixed = raw
+        for bad, good in MOJIBAKE_TABLE:
+            fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+        return fixed
+    return _fix_mojibake_udf()(raw)
 
 
 def _fix_mojibake_udf():

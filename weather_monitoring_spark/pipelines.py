@@ -71,6 +71,9 @@ def curate_crawl(
     checkpoint: bool = True,
     token_counter=None,
     gopher_kwargs: dict | None = None,
+    repetition_kwargs: dict | None = None,
+    c4_kwargs: dict | None = None,
+    mojibake: str | None = None,
     split_pcts: tuple[int, int] | None = None,
     split_salt: str | None = None,
 ) -> CurationStages:
@@ -98,6 +101,20 @@ def curate_crawl(
     ``curated`` stage, applied to the normalized text with the given
     threshold overrides (``{}`` for the paper defaults) — like every
     gate, it stays a zero-shuffle projection.
+    ``repetition_kwargs`` (optional) adds the Gopher REPETITION rule
+    set (Table A1 section A1.2, operators/quality.gopher_repetition_rules)
+    as a further gate in the ``curated`` stage (``{}`` for the paper
+    thresholds; Arrow-batched signals, still shuffle-free).
+    ``c4_kwargs`` (optional) applies the C4 cleaning rule set
+    (operators/quality.c4_rules) BEFORE normalization — it is the only
+    gate that REWRITES text (drops non-prose lines), so it runs first,
+    where C4 ran in the published pipeline; pages failing its page-level
+    drops (brace / lorem ipsum / bad words / < 5 sentences) are gone
+    from ``curated`` onward.
+    ``mojibake`` (optional, "table" or "full") repairs windows-1252
+    encoding damage in place right after HTML extraction
+    (operators/textops.fix_mojibake), so every downstream gate and
+    signal sees repaired text.
     ``split_pcts`` (optional) = (train_pct, val_pct): assign every
     ``clean`` document a leakage-safe train/val/test split
     (operators/graph.leakage_safe_split) keyed on its NEAR-DUP CLUSTER
@@ -113,23 +130,49 @@ def curate_crawl(
     def pin(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True) if checkpoint else df
 
-    extracted = pin(
-        extract_html_text(crawl)
+    extracted = (
+        # c4's line gates need line structure, so its presence switches
+        # extraction to lines=True (block-tag closers -> line breaks)
+        extract_html_text(crawl, lines=c4_kwargs is not None)
         .join(crawl.select("doc_id", "url"), "doc_id")
         .select("doc_id", "url", "text")
     )
+    if mojibake is not None:
+        from weather_monitoring_spark.operators.textops import (
+            mojibake_fixed_col,
+        )
+
+        extracted = extracted.withColumn(
+            "text", mojibake_fixed_col(F.col("text"), mode=mojibake)
+        )
+    extracted = pin(extracted)
 
     url_keep = url_dedup(extracted).select(
         F.col("keeper_doc_id").alias("doc_id")
     )
     url_unique = pin(extracted.join(url_keep, "doc_id", "left_semi"))
 
+    gated = url_unique
+    if c4_kwargs is not None:
+        from weather_monitoring_spark.operators.quality import c4_rules
+
+        # line-level rewrite + page-level drops; url_unique is already
+        # pinned, so the line signals can't re-inline the extraction
+        gated = (
+            c4_rules(gated, carry=("url",), **c4_kwargs)
+            .filter(F.col("verdict") == "kept")
+            .select("doc_id", "url", F.col("text_clean").alias("text"))
+        )
     curated = (
-        curate_corpus(url_unique, min_tokens=min_tokens)
+        curate_corpus(gated, min_tokens=min_tokens)
         .filter(F.col("verdict") == "kept")
         .select("doc_id", F.col("text_norm").alias("text"), "n_tokens")
     )
-    if gopher_kwargs is not None or score_weights is not None:
+    if (
+        gopher_kwargs is not None
+        or repetition_kwargs is not None
+        or score_weights is not None
+    ):
         # Materialization barrier before the optional gates: without it,
         # projection collapse re-inlines curate_corpus's text_norm
         # expression into EVERY signal column of the next gate (~6
@@ -148,6 +191,22 @@ def curate_crawl(
             gopher_rules(curated, carry=("text", "n_tokens"), **gopher_kwargs)
             .filter(F.col("verdict") == "kept")
             .select("doc_id", "text", "n_tokens")
+        )
+    if repetition_kwargs is not None:
+        from weather_monitoring_spark.operators.quality import (
+            gopher_repetition_rules,
+        )
+
+        # the operator emits its own n_tokens signal — carry the
+        # pipeline's count under a temp name to avoid the collision
+        curated = (
+            gopher_repetition_rules(
+                curated.withColumnRenamed("n_tokens", "_nt"),
+                carry=("text", "_nt"),
+                **repetition_kwargs,
+            )
+            .filter(F.col("verdict") == "kept")
+            .select("doc_id", "text", F.col("_nt").alias("n_tokens"))
         )
     if score_weights is not None:
         from weather_monitoring_spark.operators.scoring import quality_scores

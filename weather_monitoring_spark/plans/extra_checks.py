@@ -2149,6 +2149,43 @@ EXTRA_SPECS.append(
 )
 
 
+def _html_extract_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction with LINE STRUCTURE (lines=True): closing
+    block-level tags and <br> become line breaks before the tag strip,
+    horizontal whitespace and newline runs collapse separately — the
+    front door for line-level curation (c4_rules, line dedup,
+    boilerplate stripping). Same planted markup as x_html_extract; the
+    paragraph/heading closers in it yield real multi-line text."""
+    from weather_monitoring_spark.operators.htmlops import extract_html_text
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("html", _plant_html())
+    return extract_html_text(docs, lines=True)
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_html_extract_lines",
+        doc=_html_extract_lines.__doc__ or "",
+        spark=_html_extract_lines,
+        oracle=f"""
+            WITH h AS (SELECT doc_id, {_O_PLANT_HTML} AS html FROM documents),
+                 t AS (SELECT doc_id, html,
+                              {o_html_text("html", lines=True)} AS text
+                       FROM h)
+            SELECT doc_id, text,
+                   CAST(length(html) AS BIGINT) AS html_chars,
+                   CAST(length(text) AS BIGINT) AS text_chars,
+                   {o_n_anchors("html")} AS n_anchors,
+                   CASE WHEN length(html) = 0 THEN 0.0
+                        ELSE CAST(length(text) AS DOUBLE) / CAST(length(html) AS DOUBLE)
+                   END AS text_ratio
+            FROM t
+        """,
+        tags=("extra", "html", "curation"),
+    )
+)
+
+
 # ------------- corpus-wide paragraph dedup (Dolma paragraph stage) -------------
 
 
