@@ -2682,6 +2682,41 @@ EXTRA_SPECS.append(
 )
 
 
+BM25_QUERY = ("spark", "window", "batch")
+
+
+def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the corpus (the reference's
+    Elasticsearch search surface re-expressed Spark-native): raw-IDF
+    variant (ln is not cross-engine bit-stable — the DSIR finding), all
+    factors IEEE ops of exact BIGINTs in a fixed mirrored order. The
+    corpus stats (N, avgdl, per-term df) are ONE single-row aggregate
+    broadcast back; the corpus never shuffles; top-k plans as
+    TakeOrderedAndProject."""
+    from weather_monitoring_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"), BM25_QUERY, top_k=25
+    )
+
+
+def _o_bm25() -> str:
+    from weather_monitoring_spark.operators.retrieval import o_bm25_topk
+
+    return o_bm25_topk(BM25_QUERY, top_k=25)
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_bm25_topk",
+        doc=_bm25_topk.__doc__ or "",
+        spark=_bm25_topk,
+        oracle=_o_bm25(),
+        tags=("extra", "retrieval", "search"),
+    )
+)
+
+
 def _gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher REPETITION rule set (Rae et al. Table A1 section A1.2):
     duplicate line/paragraph fractions and character fractions, top-
