@@ -146,3 +146,61 @@ def test_split_fractions_and_determinism(spark):
         counts[r["split"]] = counts.get(r["split"], 0) + 1
     # 80/10/10 within loose bounds on 500 singletons
     assert counts["train"] > 300 and counts["val"] > 10 and counts["test"] > 10
+
+
+# ---------------- deterministic PageRank -----------------------------------
+
+
+def test_pagerank_hub_ranks_highest_and_mass_flows(spark):
+    from weather_monitoring_spark.operators.graph import (
+        PAGERANK_SCALE,
+        pagerank,
+    )
+
+    edges = [(i, 99) for i in range(1, 20)] + [(99, 1)]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = {r["node"]: r for r in pagerank(e, iterations=4).collect()}
+    ranks = sorted(out.values(), key=lambda r: -r["rank_int"])
+    # the star hub and its sole beneficiary dominate the leaves
+    assert {ranks[0]["node"], ranks[1]["node"]} == {99, 1}
+    leaf = out[5]
+    assert ranks[0]["rank_int"] > 3 * leaf["rank_int"]
+    # rank is exactly rank_int / 2^40 (the only float)
+    for r in out.values():
+        assert r["rank"] == r["rank_int"] / PAGERANK_SCALE
+
+
+def test_pagerank_is_partitioning_invariant_bit_for_bit(spark):
+    """The determinism claim itself: scaled-int64 arithmetic makes the
+    contribution sums order-free, so 3-partition and 17-partition runs
+    produce IDENTICAL rank_int — float PageRank cannot promise this."""
+    from weather_monitoring_spark.operators.graph import pagerank
+
+    edges = [(i, (i * 7 + 3) % 50) for i in range(200)] + [
+        (i, (i * 13 + 1) % 50) for i in range(200)
+    ]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    a = {
+        r["node"]: r["rank_int"]
+        for r in pagerank(e.repartition(3), iterations=3).collect()
+    }
+    b = {
+        r["node"]: r["rank_int"]
+        for r in pagerank(e.repartition(17), iterations=3).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_dangling_and_guards(spark):
+    from weather_monitoring_spark.operators.graph import pagerank
+
+    # node 2 is dst-only (dangling): present in output at teleport-level
+    # rank; its absorbed mass is dropped by policy
+    e = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    out = {r["node"]: r for r in pagerank(e, iterations=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[2]["rank_int"] > out[1]["rank_int"]
+    import pytest
+
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(e, iterations=0)

@@ -208,3 +208,141 @@ def leakage_safe_split(
         .when(F.col("bucket") < train_pct + val_pct, "val")
         .otherwise("test"),
     )
+
+
+# ---------------- deterministic PageRank (link-graph authority) ------------
+#
+# Crawl curation uses link authority as a quality prior (the original
+# web-scale signal); this is the iterative-join workload Spark was built
+# for. Float PageRank is NOT reproducible under shuffle: per-node
+# contribution sums arrive in partition order and IEEE addition is not
+# associative. The k-means quantized-Lloyd discipline fixes it: ALL
+# arithmetic is scaled int64 — ranks quantized at 2^40, the damping
+# factor applied as an integer ratio (17/20 for 0.85), contributions
+# floor-divided by out-degree — so every sum is order-free, every
+# iteration bit-reproducible under ANY partitioning, and the whole
+# k-iteration run replays exactly in the DuckDB oracle.
+
+PAGERANK_SCALE = 1 << 40
+#: damping 0.85 as an exact integer ratio.
+PAGERANK_D_NUM, PAGERANK_D_DEN = 17, 20
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Deterministic PageRank over ``edges``. Returns (node, rank_int
+    BIGINT, rank DOUBLE = rank_int / 2^40 — the only float, one IEEE
+    divide).
+
+    Semantics: nodes = union of sources and destinations; ranks start at
+    floor(2^40 / N); each iteration sends floor(rank / out_degree) along
+    every edge, then rank' = floor(teleport) + floor(d * contribs) with
+    d = 17/20 in exact integers. Dangling-node mass is DROPPED (the
+    standard simplification; total mass decays accordingly — ranking is
+    unaffected for comparison purposes and the arithmetic stays exact).
+
+    Scale shape: the edge table is the big side and is read ONCE into
+    (src, dst, out_degree) — out-degrees ride a broadcast-eligible
+    aggregate join when small or one hash join keyed the same as the
+    contribution shuffle; each iteration is one join (ranks x edges, on
+    src) + one aggregate (on dst) — the canonical two-exchange iteration,
+    with ``checkpoint`` (eager localCheckpoint per iteration, default on)
+    truncating the lineage so iteration k never re-runs iterations
+    1..k-1 (executor loss replays from the checkpointed blocks).
+    """
+    if iterations < 1:
+        raise ValueError("pagerank: iterations must be >= 1")
+    src, dst = F.col(src_col), F.col(dst_col)
+    e = edges.select(src.alias("src"), dst.alias("dst"))
+    deg = e.groupBy("src").agg(F.count("*").cast("bigint").alias("out_deg"))
+    ed = e.join(deg, "src")
+    if checkpoint:
+        ed = ed.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    init = PAGERANK_SCALE // n_nodes
+    teleport = (
+        PAGERANK_SCALE // n_nodes * (PAGERANK_D_DEN - PAGERANK_D_NUM)
+    ) // PAGERANK_D_DEN
+    ranks = nodes.select("node", F.lit(init).cast("bigint").alias("rank_int"))
+    for _ in range(iterations):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                # true integer division: '/' on BIGINTs is DOUBLE
+                # division whose rounding can cross the floor boundary
+                F.expr("rank_int DIV out_deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("bigint").alias("contribs"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.expr(
+                "CAST({t} + (coalesce(contribs, CAST(0 AS BIGINT)) * {n})"
+                " DIV {d} AS BIGINT)".format(
+                    t=teleport, n=PAGERANK_D_NUM, d=PAGERANK_D_DEN
+                )
+            ).alias("rank_int"),
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        "node",
+        "rank_int",
+        (F.col("rank_int").cast("double") / F.lit(float(PAGERANK_SCALE))).alias(
+            "rank"
+        ),
+    )
+
+
+def o_pagerank(edges_sql: str, iterations: int = 5) -> str:
+    """DuckDB mirror of ``pagerank``: the same integer arithmetic with
+    the k iterations UNROLLED as a CTE chain (the kmeans oracle
+    discipline). ``edges_sql`` must select (src, dst). N, init and
+    teleport are floor divisions of the same exact ints the Spark side
+    bakes in driver-side, so every iteration is bit-identical."""
+    scale = PAGERANK_SCALE
+    n, d = PAGERANK_D_NUM, PAGERANK_D_DEN
+    ctes = [
+        f"e AS ({edges_sql})",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY src)",
+        "ed AS (SELECT e.src, e.dst, deg.out_deg FROM e JOIN deg USING (src))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"nn AS (SELECT CAST(count(*) AS BIGINT) AS nd, "
+        f"CAST({scale} // count(*) AS BIGINT) AS init, "
+        f"CAST((({scale} // count(*)) * {d - n}) // {d} AS BIGINT) AS tele "
+        f"FROM nodes)",
+        "r0 AS (SELECT node, init AS rank_int FROM nodes, nn)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"c{i} AS (SELECT ed.dst AS node, "
+            f"CAST(sum(r{i}.rank_int // ed.out_deg) AS BIGINT) AS contribs "
+            f"FROM ed JOIN r{i} ON ed.src = r{i}.node GROUP BY ed.dst)"
+        )
+        ctes.append(
+            f"r{i + 1} AS (SELECT nodes.node, "
+            f"CAST(nn.tele + (coalesce(c{i}.contribs, 0) * {n}) // {d} "
+            f"AS BIGINT) AS rank_int "
+            f"FROM nodes CROSS JOIN nn LEFT JOIN c{i} USING (node))"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT node, rank_int, "
+        f"CAST(rank_int AS DOUBLE) / {float(scale)!r} AS rank "
+        f"FROM r{iterations}"
+    )

@@ -2682,6 +2682,58 @@ EXTRA_SPECS.append(
 )
 
 
+PR_ITERS = 4
+#: deterministic synthetic link graph over the documents table: two
+#: out-links per doc via LCG-style arithmetic (pure BIGINT ops, same on
+#: both engines) — testdata has no link column, the OPERATOR is the
+#: thing under oracle test.
+PR_EDGES_SQL = (
+    "SELECT doc_id AS src, (doc_id * 48271 + 11) % 997 AS dst FROM documents "
+    "UNION ALL "
+    "SELECT doc_id AS src, (doc_id * 16807 + 7) % 997 AS dst FROM documents"
+)
+
+
+def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PageRank (operators/graph.py): ALL arithmetic in
+    scaled int64 (ranks at 2^40, damping as the exact ratio 17/20,
+    floor divisions) so contribution sums are order-free and every
+    iteration is bit-reproducible under ANY partitioning — float
+    PageRank is not (IEEE addition is not associative). The oracle
+    unrolls the same iterations as a CTE chain; link-graph authority is
+    the classic crawl-curation quality prior."""
+    from weather_monitoring_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 48271 + 11) % 997).alias("dst"),
+    ).unionAll(
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 16807 + 7) % 997).alias("dst"),
+        )
+    )
+    return pagerank(e, iterations=PR_ITERS, checkpoint=False)
+
+
+def _o_pagerank() -> str:
+    from weather_monitoring_spark.operators.graph import o_pagerank
+
+    return o_pagerank(PR_EDGES_SQL, iterations=PR_ITERS)
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_pagerank",
+        doc=_pagerank.__doc__ or "",
+        spark=_pagerank,
+        oracle=_o_pagerank(),
+        tags=("extra", "graph", "curation"),
+    )
+)
+
+
 BM25_QUERY = ("spark", "window", "batch")
 
 
