@@ -459,3 +459,29 @@ def test_curate_crawl_mojibake_c4_and_repetition_gates(spark):
     for i in range(9, 12):
         assert "javascript" not in kept[i].lower()      # line stripped
         assert f"opener {i}" in kept[i]                 # page survived
+
+
+def test_curate_crawl_language_gate(spark):
+    """keep_langs drops pages whose trigram lang-id prediction is not in
+    the tuple — one left-semi join, (doc_id, lang) pairs only."""
+    from weather_monitoring_spark.pipelines import curate_crawl
+
+    en = ("The committee will discuss the proposal in the morning "
+          "and then the members will vote on the final version of it.")
+    fr = ("Le comité discutera de la proposition dans la matinée et "
+          "ensuite les membres voteront sur la version finale de celle-ci.")
+    de = ("Der Ausschuss wird den Vorschlag am Morgen besprechen und "
+          "dann werden die Mitglieder über die endgültige Fassung abstimmen.")
+    rows = []
+    for i, body in [(1, en), (2, en + " " + en), (3, fr), (4, de)]:
+        rows.append(
+            (i, f"http://x.example/{i}",
+             f"<html><body><p>{body}</p></body></html>")
+        )
+    crawl = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    base = curate_crawl(crawl, min_tokens=5, checkpoint=False)
+    assert {r["doc_id"] for r in base.curated.collect()} == {1, 2, 3, 4}
+    gated = curate_crawl(
+        crawl, min_tokens=5, checkpoint=False, keep_langs=("en",)
+    )
+    assert {r["doc_id"] for r in gated.curated.collect()} == {1, 2}

@@ -582,3 +582,37 @@ def test_rep_arrow_and_expr_paths_are_bit_equal(spark):
     ra = [tuple(r) for r in a.collect()]
     re_ = [tuple(r) for r in e.collect()]
     assert ra == re_
+
+
+def test_c4_and_mojibake_run_in_structured_streaming(tmp_path, spark):
+    """c4_rules and fix_mojibake are pure projections, so the identical
+    operators run unchanged on the streaming front door — streaming
+    results equal batch results on the same rows (the gopher_rules
+    streaming-twin discipline)."""
+    from weather_monitoring_spark.operators.textops import fix_mojibake
+
+    src = str(tmp_path / "csrc")
+    rows = [
+        (1, _C4_PAGE),
+        (2, "No terminal here\n" + _C4_PAGE),
+        (3, "He said â€œgoâ€\x9d now.\n" + _C4_PAGE),
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    batch = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    for name, op in (("c4", c4_rules), ("moji", fix_mojibake)):
+        out = str(tmp_path / f"{name}_out")
+        ckpt = str(tmp_path / f"{name}_ckpt")
+        q = (
+            op(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        want = sorted(tuple(r) for r in op(batch).collect())
+        assert got == want

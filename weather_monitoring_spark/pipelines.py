@@ -74,6 +74,7 @@ def curate_crawl(
     repetition_kwargs: dict | None = None,
     c4_kwargs: dict | None = None,
     mojibake: str | None = None,
+    keep_langs: tuple[str, ...] | None = None,
     split_pcts: tuple[int, int] | None = None,
     split_salt: str | None = None,
 ) -> CurationStages:
@@ -115,6 +116,12 @@ def curate_crawl(
     encoding damage in place right after HTML extraction
     (operators/textops.fix_mojibake), so every downstream gate and
     signal sees repaired text.
+    ``keep_langs`` (optional) keeps only documents whose trigram
+    language-ID prediction (operators/langid.lang_id_trigram) is in the
+    tuple — unlike the rule gates this is NOT a projection (lang-id
+    aggregates trigram hits), so it costs one left-semi join in the
+    ``curated`` stage; the lang-id side shuffles (doc_id, lang) pairs
+    only, never the text.
     ``split_pcts`` (optional) = (train_pct, val_pct): assign every
     ``clean`` document a leakage-safe train/val/test split
     (operators/graph.leakage_safe_split) keyed on its NEAR-DUP CLUSTER
@@ -172,6 +179,7 @@ def curate_crawl(
         gopher_kwargs is not None
         or repetition_kwargs is not None
         or score_weights is not None
+        or keep_langs is not None
     ):
         # Materialization barrier before the optional gates: without it,
         # projection collapse re-inlines curate_corpus's text_norm
@@ -208,6 +216,15 @@ def curate_crawl(
             .filter(F.col("verdict") == "kept")
             .select("doc_id", "text", F.col("_nt").alias("n_tokens"))
         )
+    if keep_langs is not None:
+        from weather_monitoring_spark.operators.langid import lang_id_trigram
+
+        lang_ids = (
+            lang_id_trigram(curated)
+            .filter(F.col("pred_lang").isin(list(keep_langs)))
+            .select("doc_id")
+        )
+        curated = curated.join(lang_ids, "doc_id", "left_semi")
     if score_weights is not None:
         from weather_monitoring_spark.operators.scoring import quality_scores
 
