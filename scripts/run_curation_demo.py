@@ -17,7 +17,14 @@ tests/test_pipeline_e2e.py against a pure-Python simulation.
 
 Prints one JSON line: per-stage surviving row counts and seconds.
 
-Usage: python scripts/run_curation_demo.py [n_docs] [--gopher]
+Usage: python scripts/run_curation_demo.py [n_docs] [--gopher|--r9]
+
+``--r9`` runs the r9 gate stack instead: a PROSE-SHAPED synthetic crawl
+(multi-paragraph pages, sentences end in '.') with one planted class
+per r9 knob — mojibake damage (repaired in place), a javascript line
+(stripped, page kept), a '{' page (dropped by c4), a repeated-paragraph
+page (dropped by the Gopher repetition gate) — through
+curate_crawl(mojibake="table", c4_kwargs={}, repetition_kwargs={}).
 
 ``--gopher`` enables the optional Gopher rule gate inside the curated
 stage, isolated to the word-count rule (min_words=30 over all-pass
@@ -90,10 +97,103 @@ def synthetic_crawl(spark, n_docs: int):
     )
 
 
+def synthetic_crawl_prose(spark, n_docs: int):
+    """Prose-shaped crawl for the --r9 gate stack: every page is six
+    <p> paragraphs of ten md5 words ending in '.', so C4's line/sentence
+    rules pass by construction. Planted classes (disjoint by priority):
+
+    - every 29th doc: its first paragraph repeated 3x more (fails the
+      Gopher A1.2 duplicate-paragraph fraction, 3/9 > 0.30);
+    - every 31st doc: windows-1252 mojibake planted in paragraph 1
+      (repaired in place by mojibake="table"; page kept);
+    - every 41st doc: one 'enable javascript' line (line stripped by
+      c4, page kept);
+    - every 43rd doc: a '{' code line (page dropped by c4's brace rule);
+    - URL re-crawls mod 0.8n (the URL-dedup class, as in
+      synthetic_crawl).
+    """
+    from pyspark.sql import functions as F
+
+    para = (
+        "concat(concat_ws(' ', transform(sequence(1, 10), i -> "
+        "substring(md5(concat(CAST(id AS STRING), ':', CAST(p AS STRING), "
+        "':w', i)), 1, 8))), '.')"
+    )
+    paras = (
+        f"transform(sequence(1, 6), p -> {para})"
+    )
+    body = (
+        f"concat_ws('', transform({paras}, x -> concat('<p>', x, '</p>')))"
+    )
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"""concat('<html><body>',
+            CASE WHEN id % 29 = 0 THEN concat_ws('', transform(
+                transform(sequence(1, 3), p -> {para.replace("CAST(p AS STRING)", "'1'")}),
+                x -> concat('<p>', x, '</p>'))) ELSE '' END,
+            CASE WHEN id % 31 = 0 AND id % 29 != 0
+                 THEN '<p>He said \u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d words.</p>' ELSE '' END,
+            CASE WHEN id % 41 = 0 AND id % 29 != 0 AND id % 31 != 0
+                 THEN '<p>Please enable javascript to continue here.</p>' ELSE '' END,
+            CASE WHEN id % 43 = 0 AND id % 29 != 0 AND id % 31 != 0 AND id % 41 != 0
+                 THEN '<p>code sample {{ x }} follows.</p>' ELSE '' END,
+            {body}, '</body></html>')"""
+        ).alias("html"),
+        F.expr(
+            f"concat('https://site', CAST(id % 50 AS STRING), '.example.com/p/', "
+            f"CAST(id % {max(1, int(n_docs * 0.8))} AS STRING))"
+        ).alias("url"),
+    )
+
+
+def run_r9(n_docs: int) -> None:
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.pipelines import curate_crawl
+    from weather_monitoring_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="wms-curation-demo-r9",
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_PROBE_MEM", "8g")
+        },
+    )
+    out: dict = {"n_docs": n_docs, "mode": "r9-gates"}
+    t_all = time.perf_counter()
+    crawl = synthetic_crawl_prose(spark, n_docs).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    stages = curate_crawl(
+        crawl,
+        min_tokens=5,
+        mojibake="table",
+        c4_kwargs={},
+        repetition_kwargs={},
+    )
+    out["pipeline_sec"] = round(time.perf_counter() - t0, 2)
+    for name in ("extracted", "url_unique", "curated", "exact_unique",
+                 "survivors", "clean"):
+        out[name] = getattr(stages, name).count()
+    out["mojibake_repaired"] = stages.extracted.filter(
+        F.col("text").contains("\u201c")
+    ).count()
+    out["js_lines_stripped_pages"] = stages.curated.filter(
+        F.lower(F.col("text")).contains("javascript")
+    ).count()  # must be 0
+    out["total_sec"] = round(time.perf_counter() - t_all, 2)
+    print(json.dumps(out))
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--gopher"]
+    args = [a for a in sys.argv[1:] if a not in ("--gopher", "--r9")]
     gopher = "--gopher" in sys.argv[1:]
     n_docs = int(args[0]) if args else 100_000
+    if "--r9" in sys.argv[1:]:
+        run_r9(n_docs)
+        return
 
     from pyspark.sql import functions as F
 
