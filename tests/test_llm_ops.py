@@ -1431,3 +1431,63 @@ def test_estimate_lsh_recall_on_planted_neardups(spark):
     )
     empty = estimate_lsh_recall(unrelated, sample_k=50).collect()[0]
     assert empty["n_true"] == 0 and empty["recall"] is None
+
+
+# ---------------- feature-hashing vectorizer --------------------------------
+
+
+def test_hashed_tf_vectors_counts_and_unit_norm(spark):
+    from weather_monitoring_spark.operators.embeddings import hashed_tf_vectors
+
+    rows = [(1, "spark spark window"), (2, None), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in hashed_tf_vectors(df, dim=8).collect()}
+    v = out[1]["vec"]
+    assert sum(v) == 3.0 and out[1]["n_tokens"] == 3
+    assert sorted(v, reverse=True)[0] == 2.0  # the doubled token's bucket
+    assert out[2]["vec"] == [0.0] * 8 and out[2]["n_tokens"] == 0
+    unit = {r["doc_id"]: r for r in hashed_tf_vectors(df, dim=8, unit=True).collect()}
+    import math
+
+    nrm = math.sqrt(sum(x * x for x in unit[1]["vec"]))
+    assert nrm == pytest.approx(1.0, abs=1e-12)
+    assert unit[3]["vec"] == [0.0] * 8  # empty doc: zero vector, no NaN
+
+
+def test_hashed_tf_vectors_feed_the_clustering_family(spark):
+    """The bridge in action: planted copy groups of TEXT cluster
+    together through kmeans over hashed vectors — no embedding model."""
+    from weather_monitoring_spark.operators.clustering import kmeans_embeddings
+    from weather_monitoring_spark.operators.embeddings import hashed_tf_vectors
+
+    rows = []
+    for g, base in enumerate(
+        ["alpha beta gamma delta", "epsilon zeta eta theta", "iota kappa lambda mu"]
+    ):
+        for i in range(10):
+            rows.append((g * 100 + i, base + f" filler{g}"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    vecs = hashed_tf_vectors(df, dim=16, unit=True).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("vec").cast("array<float>").alias("embedding"),
+    )
+    out = kmeans_embeddings(vecs, n_clusters=3, n_iters=3)
+    groups = {}
+    for r in out.collect():
+        groups.setdefault(r["vec_id"] // 100, set()).add(r["cluster"])
+    # every copy group lands in exactly one cluster
+    assert all(len(c) == 1 for c in groups.values())
+
+
+def test_hashed_tf_vectors_plan_is_exchange_free(spark):
+    from weather_monitoring_spark.operators.embeddings import hashed_tf_vectors
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    plan = (
+        hashed_tf_vectors(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+    import pytest
+
+    with pytest.raises(ValueError, match="dim"):
+        hashed_tf_vectors(df, dim=0)

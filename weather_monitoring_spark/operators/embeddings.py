@@ -183,3 +183,102 @@ def o_reduce_embeddings(out_dim: int = JL_DIM, dim: int = 64) -> str:
         for j in range(out_dim)
     )
     return f"SELECT vec_id, [{coords}] AS reduced FROM embeddings"
+
+
+# ---------------- feature-hashing vectorizer -------------------------------
+
+HASHTF_DIM = 64
+HASHTF_SEED = "htf"
+
+
+def hashed_tf_vectors(
+    docs: DataFrame,
+    dim: int = HASHTF_DIM,
+    unit: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashing term-frequency vectors (Weinberger et al. 2009):
+    every token lands in bucket ``h32(token) % dim``; ``vec[i]`` is the
+    bucket's token count. Bridges a TEXT corpus into the vector family
+    (kmeans/SemDeDup/ANN/JL) without a trained embedding model — the
+    standard cheap vectorizer for topic blocking and clustering-based
+    dedup.
+
+    ``unit=True`` L2-normalizes. Cross-engine exactness holds on BOTH
+    settings: counts are exact BIGINTs, the squared norm is an exact
+    BIGINT sum, and IEEE sqrt/divide are correctly-rounded operations
+    (unlike ln — the DSIR finding), so normalized components are
+    bit-stable too. Returns (id, vec array<double>, n_tokens BIGINT).
+
+    Scale shape: one zero-shuffle projection — the bucket array and the
+    dim-length count vector are row-local array algebra (O(dim x T) per
+    doc, dim is small by design); no Python, no shuffle, at any corpus
+    size."""
+    if dim < 1:
+        raise ValueError("hashed_tf_vectors: dim must be >= 1")
+    from weather_monitoring_spark.functions.text import h32_sql, tokens_expr
+
+    bucket = h32_sql(HASHTF_SEED, "t") + f" % {dim}"
+    s1 = docs.select(
+        F.col(id_col),
+        tokens_expr(f"coalesce({text_col}, '')").alias("_tk"),
+    ).select(
+        id_col,
+        F.size("_tk").cast("bigint").alias("n_tokens"),
+        F.expr(f"transform(_tk, t -> {bucket})").alias("_bk"),
+    )
+    counts = F.expr(
+        f"transform(sequence(0, {dim - 1}), "
+        f"i -> CAST(size(filter(_bk, b -> b = i)) AS BIGINT))"
+    )
+    s2 = s1.select(id_col, "n_tokens", counts.alias("_c"))
+    if not unit:
+        vec = F.expr("transform(_c, v -> CAST(v AS DOUBLE))")
+    else:
+        vec = F.expr(
+            "CASE WHEN aggregate(_c, CAST(0 AS BIGINT), (a, v) -> a + v * v) = 0"
+            " THEN transform(_c, v -> CAST(0.0 AS DOUBLE))"
+            " ELSE transform(_c, v -> CAST(v AS DOUBLE) / "
+            "sqrt(CAST(aggregate(_c, CAST(0 AS BIGINT), (a, v) -> a + v * v)"
+            " AS DOUBLE))) END"
+        )
+    return s2.select(id_col, vec.alias("vec"), "n_tokens")
+
+
+def o_hashed_tf_vectors(
+    dim: int = HASHTF_DIM,
+    unit: bool = False,
+    source: str = "documents",
+) -> str:
+    """DuckDB mirror — same bucket hash, same exact-int counts, same
+    correctly-rounded sqrt/divide when ``unit``."""
+    from weather_monitoring_spark.functions.text import o_h32, o_tokens
+
+    bucket = o_h32(HASHTF_SEED, "t") + f" % {dim}"
+    if not unit:
+        vec = "list_transform(c, v -> CAST(v AS DOUBLE))"
+    else:
+        nrm = "sqrt(CAST(list_sum(list_transform(c, v -> v * v)) AS DOUBLE))"
+        vec = (
+            f"CASE WHEN list_sum(list_transform(c, v -> v * v)) = 0 "
+            f"THEN list_transform(c, v -> CAST(0.0 AS DOUBLE)) "
+            f"ELSE list_transform(c, v -> CAST(v AS DOUBLE) / {nrm}) END"
+        )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, {o_tokens("coalesce(text, '')")} AS tk
+            FROM {source}
+        ), bk AS (
+            SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+                   list_transform(tk, t -> {bucket}) AS b
+            FROM tok
+        ), cnt AS (
+            SELECT doc_id, n_tokens,
+                   list_transform(range(0, {dim}),
+                       i -> CAST(len(list_filter(b, x -> x = i)) AS BIGINT)) AS c
+            FROM bk
+        )
+        SELECT doc_id, {vec} AS vec, n_tokens
+        FROM cnt
+    """

@@ -2682,6 +2682,40 @@ EXTRA_SPECS.append(
 )
 
 
+def _hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing TF vectors (Weinberger et al. 2009): tokens land
+    in h32(token) %% dim buckets; unit=True L2-normalizes — exact-int
+    counts, exact-int squared norm, and IEEE sqrt/divide are
+    correctly-rounded (unlike ln), so even normalized components are
+    bit-stable cross-engine. Bridges TEXT corpora into the vector
+    family (kmeans/SemDeDup/ANN/JL) without a trained embedding model;
+    one zero-shuffle projection."""
+    from weather_monitoring_spark.operators.embeddings import hashed_tf_vectors
+
+    return hashed_tf_vectors(
+        load_table(spark, sf_dir, "documents"), dim=32, unit=True
+    )
+
+
+def _o_hashed_tf() -> str:
+    from weather_monitoring_spark.operators.embeddings import (
+        o_hashed_tf_vectors,
+    )
+
+    return o_hashed_tf_vectors(dim=32, unit=True)
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_hashed_tf_vectors",
+        doc=_hashed_tf.__doc__ or "",
+        spark=_hashed_tf,
+        oracle=_o_hashed_tf(),
+        tags=("extra", "embeddings", "vectorize"),
+    )
+)
+
+
 PR_ITERS = 4
 #: deterministic synthetic link graph over the documents table: two
 #: out-links per doc via LCG-style arithmetic (pure BIGINT ops, same on
