@@ -268,6 +268,90 @@ EXTRA_SHOWCASE["quality_scores (library operator)"] = (
 )
 
 
+def _c4_probe(spark, sf_dir):
+    from weather_monitoring_spark.operators.quality import c4_rules
+    from weather_monitoring_spark.sources.tables import load_table
+
+    return c4_rules(load_table(spark, sf_dir, "documents"))
+
+
+def _rep_probe(spark, sf_dir):
+    from weather_monitoring_spark.operators.quality import (
+        gopher_repetition_rules,
+    )
+    from weather_monitoring_spark.sources.tables import load_table
+
+    return gopher_repetition_rules(load_table(spark, sf_dir, "documents"))
+
+
+def _bm25_probe(spark, sf_dir):
+    from weather_monitoring_spark.operators.retrieval import bm25_topk
+    from weather_monitoring_spark.sources.tables import load_table
+
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"), ("spark", "window"), top_k=10
+    )
+
+
+def _pr_probe(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.operators.graph import pagerank
+    from weather_monitoring_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 48271 + 11) % 997).alias("dst"),
+    )
+    return pagerank(e, iterations=2, checkpoint=False)
+
+
+def _htf_probe(spark, sf_dir):
+    from weather_monitoring_spark.operators.embeddings import hashed_tf_vectors
+    from weather_monitoring_spark.sources.tables import load_table
+
+    return hashed_tf_vectors(load_table(spark, sf_dir, "documents"), unit=True)
+
+
+EXTRA_SHOWCASE["c4_rules (library operator)"] = (
+    _c4_probe,
+    "the C4 line/page gates are a Project chain over the scan — no "
+    "Exchange: line keep predicates are single regexp probes per rule, "
+    "staged so each expensive intermediate is computed once",
+)
+
+EXTRA_SHOWCASE["gopher_repetition_rules (library operator)"] = (
+    _rep_probe,
+    "the A1.2 repetition table is ONE ArrowEvalPython pass over the "
+    "scan — no Exchange: the 13 signals replay exact integer "
+    "definitions per batch (the expr twin overflows the codegen method "
+    "limit; bit-equal, kept for the oracle)",
+)
+
+EXTRA_SHOWCASE["bm25_topk (library operator)"] = (
+    _bm25_probe,
+    "corpus stats (N, avgdl, per-term df) are ONE single-row aggregate "
+    "behind a BroadcastExchange; the corpus never hash-partitions and "
+    "the top-k is TakeOrderedAndProject (per-partition heaps)",
+)
+
+EXTRA_SHOWCASE["pagerank (library operator)"] = (
+    _pr_probe,
+    "the canonical two-exchange iteration: ranks join edges on src, "
+    "contributions aggregate on dst — scaled-int64 arithmetic makes the "
+    "sums order-free, so the plan may shuffle however AQE likes and the "
+    "ranks are still bit-identical",
+)
+
+EXTRA_SHOWCASE["hashed_tf_vectors (library operator)"] = (
+    _htf_probe,
+    "the vectorizer is a Project chain over the scan — no Exchange, no "
+    "Python: bucket hashing and the dim-length count fold are row-local "
+    "array algebra inside whole-stage codegen",
+)
+
+
 def main() -> None:
     from weather_monitoring_spark.plans.registry import all_queries
     from weather_monitoring_spark.session import get_spark
