@@ -340,6 +340,13 @@ def test_fix_mojibake_full_mode_repairs_beyond_the_table(spark):
     assert out[3]["text_fixed"] == "the word â alone stays"
     assert out[3]["changed"] is False
     assert out[4]["text_fixed"] == "’ and é"
+    # the 0x9D windows-1252 HOLE byte (C1 control through the WHATWG
+    # map): the closing double quote round-trips in full mode too
+    hole = spark.createDataFrame(
+        [(9, damage("”quoted”"))], "doc_id bigint, text string"
+    )
+    got = fix_mojibake(hole, mode="full").collect()[0]
+    assert got["text_fixed"] == "”quoted”"
 
 
 def test_fix_mojibake_table_mode_is_exchange_free_and_modes_validated(spark):

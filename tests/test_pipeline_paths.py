@@ -468,3 +468,45 @@ def test_warc_responses_feed_curate_crawl(tmp_path, spark):
 
     stages = curate_crawl(docs, min_tokens=5, checkpoint=False)
     assert stages.curated.count() == 1  # URL dedup collapses the re-crawl
+
+
+def test_warc_parser_tolerates_malformed_input(tmp_path, spark):
+    """Crawl-scale ingest sees damage: truncated gzip members keep what
+    decoded; junk between records is skipped to the next WARC/ magic;
+    a bad Content-Length header degrades to an empty block instead of
+    raising; and a 0-byte / non-WARC file parses to zero records."""
+    import gzip
+
+    from weather_monitoring_spark.sources.warc import read_warc
+
+    d = tmp_path / "damaged"
+    d.mkdir()
+    good = _warc_record("http://ok.example/a", b"<html>fine page body</html>")
+    # junk between records + a record with a garbage Content-Length
+    bad_len = good.replace(b"Content-Length: ", b"Content-Length: x", 1)
+    (d / "mixed.warc").write_bytes(
+        b"JUNKJUNK" + good + b"garbage bytes here" + good
+    )
+    (d / "badlen.warc").write_bytes(bad_len + good)
+    # truncated second gzip member: first member still parses
+    gz = gzip.compress(good)
+    (d / "trunc.warc.gz").write_bytes(gz + gzip.compress(good)[: len(gz) // 2])
+    (d / "empty.warc").write_bytes(b"")
+    (d / "notwarc.warc").write_bytes(b"this is not a warc file at all")
+
+    rows = read_warc(spark, str(d)).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.source.rsplit("/", 1)[-1], []).append(r)
+    assert len(by.get("mixed.warc", [])) == 2  # both records found past junk
+    assert all(
+        bytes(r.payload) == b"<html>fine page body</html>"
+        for r in by["mixed.warc"]
+    )
+    # bad Content-Length record degrades (length 0) and the NEXT record
+    # is still found via the magic scan
+    assert len(by.get("badlen.warc", [])) == 2
+    assert any(r.n_bytes == len(b"<html>fine page body</html>") for r in by["badlen.warc"])
+    assert len(by.get("trunc.warc.gz", [])) == 1  # first member survives
+    assert "empty.warc" not in by or by["empty.warc"] == []
+    assert "notwarc.warc" not in by or by["notwarc.warc"] == []
