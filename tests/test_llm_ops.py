@@ -1483,11 +1483,40 @@ def test_hashed_tf_vectors_plan_is_exchange_free(spark):
     from weather_monitoring_spark.operators.embeddings import hashed_tf_vectors
 
     df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
-    plan = (
+    # both methods: zero shuffle; the expr twin is additionally Python-free
+    arrow_plan = (
         hashed_tf_vectors(df)._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Exchange" not in plan and "Python" not in plan
+    assert "Exchange" not in arrow_plan
+    expr_plan = (
+        hashed_tf_vectors(df, method="expr")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in expr_plan and "Python" not in expr_plan
     import pytest
 
     with pytest.raises(ValueError, match="dim"):
         hashed_tf_vectors(df, dim=0)
+    with pytest.raises(ValueError, match="method"):
+        hashed_tf_vectors(df, method="nope")
+
+
+def test_hashed_tf_arrow_and_expr_paths_are_bit_equal(spark):
+    """np.bincount + numpy float64 normalize vs the pure-expr twin:
+    identical bits in both modes (IEEE sqrt/divide are correctly
+    rounded; counts and squared norms are exact ints)."""
+    from weather_monitoring_spark.operators.embeddings import hashed_tf_vectors
+
+    rows = [(1, "spark spark window batch"), (2, None), (3, ""),
+            (4, "one two three four five six seven eight " * 4)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for unit in (False, True):
+        a = hashed_tf_vectors(df, dim=16, unit=unit).orderBy("doc_id").collect()
+        e = (
+            hashed_tf_vectors(df, dim=16, unit=unit, method="expr")
+            .orderBy("doc_id")
+            .collect()
+        )
+        assert [tuple(r) for r in a] == [tuple(r) for r in e]

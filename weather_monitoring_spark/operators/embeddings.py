@@ -197,6 +197,7 @@ def hashed_tf_vectors(
     unit: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
+    method: str = "arrow",
 ) -> DataFrame:
     """Feature-hashing term-frequency vectors (Weinberger et al. 2009):
     every token lands in bucket ``h32(token) % dim``; ``vec[i]`` is the
@@ -211,12 +212,19 @@ def hashed_tf_vectors(
     (unlike ln — the DSIR finding), so normalized components are
     bit-stable too. Returns (id, vec array<double>, n_tokens BIGINT).
 
-    Scale shape: one zero-shuffle projection — the bucket array and the
-    dim-length count vector are row-local array algebra (O(dim x T) per
-    doc, dim is small by design); no Python, no shuffle, at any corpus
-    size."""
+    Scale shape: ZERO SHUFFLE on both paths. ``method="arrow"``
+    (default): one Arrow-batched pass — md5 bucket per DISTINCT token
+    (per-batch memo), np.bincount, numpy float64 normalize (IEEE ops
+    identical to the JVM's) — the scale path, because the expr twin's
+    dim x T interpreted lambda evaluations dominate (measured 270
+    us/doc at dim=64). ``method="expr"``: pure row-local array algebra,
+    Python-free, bit-equal (pinned by tests) and oracle-shaped."""
     if dim < 1:
         raise ValueError("hashed_tf_vectors: dim must be >= 1")
+    if method not in ("arrow", "expr"):
+        raise ValueError(f"unknown hashed-tf method: {method!r}")
+    if method == "arrow":
+        return _hashed_tf_arrow(docs, dim, unit, id_col, text_col)
     from weather_monitoring_spark.functions.text import h32_sql, tokens_expr
 
     bucket = h32_sql(HASHTF_SEED, "t") + f" % {dim}"
@@ -234,16 +242,90 @@ def hashed_tf_vectors(
     )
     s2 = s1.select(id_col, "n_tokens", counts.alias("_c"))
     if not unit:
-        vec = F.expr("transform(_c, v -> CAST(v AS DOUBLE))")
-    else:
-        vec = F.expr(
-            "CASE WHEN aggregate(_c, CAST(0 AS BIGINT), (a, v) -> a + v * v) = 0"
-            " THEN transform(_c, v -> CAST(0.0 AS DOUBLE))"
-            " ELSE transform(_c, v -> CAST(v AS DOUBLE) / "
-            "sqrt(CAST(aggregate(_c, CAST(0 AS BIGINT), (a, v) -> a + v * v)"
-            " AS DOUBLE))) END"
+        return s2.select(
+            id_col,
+            F.expr("transform(_c, v -> CAST(v AS DOUBLE))").alias("vec"),
+            "n_tokens",
         )
-    return s2.select(id_col, vec.alias("vec"), "n_tokens")
+    # the norm is a STAGED column: an aggregate inside the transform
+    # lambda re-evaluates per element (dim x dim per row — measured
+    # pathological at 1M docs; the c4_rules staging lesson)
+    s3 = s2.select(
+        id_col,
+        "n_tokens",
+        "_c",
+        F.expr(
+            "sqrt(CAST(aggregate(_c, CAST(0 AS BIGINT), (a, v) -> a + v * v)"
+            " AS DOUBLE))"
+        ).alias("_nrm"),
+    )
+    vec = F.expr(
+        "CASE WHEN _nrm = 0.0 THEN transform(_c, v -> CAST(0.0 AS DOUBLE)) "
+        "ELSE transform(_c, v -> CAST(v AS DOUBLE) / _nrm) END"
+    )
+    return s3.select(id_col, vec.alias("vec"), "n_tokens")
+
+
+def _hashed_tf_arrow(
+    docs: DataFrame, dim: int, unit: bool, id_col: str, text_col: str
+) -> DataFrame:
+    """Arrow path: see hashed_tf_vectors. Bit-equality argument: counts
+    are exact ints either way; the squared norm is an exact int both
+    ways (< 2^53); numpy's sqrt and divide are the same
+    correctly-rounded IEEE operations the JVM executes."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from weather_monitoring_spark.functions.text import TOKEN_SPLIT_RE
+
+    tok_re = re.compile(TOKEN_SPLIT_RE)
+
+    def _sig(col):
+        memo: dict[str, int] = {}
+
+        def bucket(t: str) -> int:
+            b = memo.get(t)
+            if b is None:
+                b = (
+                    int(
+                        hashlib.md5(
+                            f"{HASHTF_SEED}:{t}".encode()
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    % dim
+                )
+                memo[t] = b
+            return b
+
+        n_out, v_out = [], []
+        for text in col:
+            toks = [t for t in tok_re.split((text or "").lower()) if t]
+            n_out.append(len(toks))
+            c = np.bincount(
+                [bucket(t) for t in toks], minlength=dim
+            ).astype(np.int64)
+            if unit:
+                q = int((c * c).sum())
+                v = (
+                    c.astype(np.float64) / np.sqrt(np.float64(q))
+                    if q
+                    else np.zeros(dim, dtype=np.float64)
+                )
+            else:
+                v = c.astype(np.float64)
+            v_out.append(v.tolist())
+        return pd.DataFrame({"n_tokens": n_out, "vec": v_out})
+
+    _sig.__annotations__ = {"col": pd.Series, "return": pd.DataFrame}
+    udf = pandas_udf(_sig, "n_tokens bigint, vec array<double>")
+    return docs.select(
+        F.col(id_col), udf(F.col(text_col)).alias("_s")
+    ).select(id_col, F.col("_s.vec").alias("vec"), F.col("_s.n_tokens").alias("n_tokens"))
 
 
 def o_hashed_tf_vectors(
