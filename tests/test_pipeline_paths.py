@@ -510,3 +510,60 @@ def test_warc_parser_tolerates_malformed_input(tmp_path, spark):
     assert len(by.get("trunc.warc.gz", [])) == 1  # first member survives
     assert "empty.warc" not in by or by["empty.warc"] == []
     assert "notwarc.warc" not in by or by["notwarc.warc"] == []
+
+
+def test_warc_streaming_source_is_incremental_and_matches_batch(tmp_path, spark):
+    """read_warc_stream: segment files landing in a directory parse
+    incrementally (file-source log = exactly-once across triggers) and
+    produce EXACTLY the batch reader's rows; the documents projection
+    composes unchanged on the stream."""
+    import gzip
+
+    from weather_monitoring_spark.sources.warc import (
+        read_warc,
+        read_warc_stream,
+        warc_responses_to_documents,
+    )
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def seg(name, uris):
+        recs = b"".join(
+            gzip.compress(_warc_record(u, f"<html>{u} body</html>".encode()))
+            for u in uris
+        )
+        (d / name).write_bytes(recs)
+
+    seg("seg0.warc.gz", ["http://a/1", "http://a/2"])
+
+    def run_trigger():
+        q = (
+            warc_responses_to_documents(read_warc_stream(spark, str(d)))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_trigger()
+    first = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert first == {"http://a/1", "http://a/2"}
+
+    # a new segment lands; the SAME checkpoint ingests only the new file
+    seg("seg1.warc.gz", ["http://b/3"])
+    run_trigger()
+    rows = spark.read.parquet(out).collect()
+    assert {r["url"] for r in rows} == {"http://a/1", "http://a/2", "http://b/3"}
+    assert len(rows) == 3  # no re-ingestion of seg0
+
+    # streaming rows == batch rows (ids, payload-derived html)
+    batch = {
+        (r["doc_id"], r["url"], r["html"])
+        for r in warc_responses_to_documents(read_warc(spark, str(d))).collect()
+    }
+    assert {(r["doc_id"], r["url"], r["html"]) for r in rows} == batch

@@ -42,12 +42,19 @@ def bm25_topk(
     text_col: str = "text",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Top-``top_k`` documents for ``query`` (lowercase terms) by the
     raw-IDF BM25 score (module docstring). Returns (id, score, n_tokens)
     ordered by (score DESC, id) — only documents matching at least one
     term. Query terms must be tokens of the corpus tokenizer (lowercase
-    alphanumeric); anything else can never match and raises."""
+    alphanumeric); anything else can never match and raises.
+
+    ``checkpoint`` (default on) pins the per-document stats frame
+    (id, dl, tf_*) — NARROW integer rows, no text — so the corpus is
+    scanned and tokenized ONCE: both the stats aggregate and the scoring
+    pass read the pinned frame instead of re-running the tokenizer (the
+    bigram_lm pin discipline). Pass False to stay fully lazy."""
     import re
 
     from weather_monitoring_spark.functions.text import TOKEN_SPLIT_RE
@@ -81,6 +88,8 @@ def bm25_topk(
             for i, t in enumerate(query)
         ],
     )
+    if checkpoint:
+        base = base.localCheckpoint(eager=True)
     stats = base.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sum_dl"),
