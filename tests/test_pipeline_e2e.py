@@ -485,3 +485,31 @@ def test_curate_crawl_language_gate(spark):
         crawl, min_tokens=5, checkpoint=False, keep_langs=("en",)
     )
     assert {r["doc_id"] for r in gated.curated.collect()} == {1, 2}
+
+
+def test_curation_report_explains_every_drop(spark):
+    from weather_monitoring_spark.pipelines import curate_crawl, curation_report
+
+    rows = []
+    body = " ".join(f"word{i} of the page." for i in range(30))
+    for i in range(1, 9):
+        # ids 1..6 share 3 URLs (re-crawl pairs); 7/8 unique URLs but
+        # short bodies, so they reach and fail the curated gate
+        url = f"http://x/{i % 3}" if i < 7 else f"http://x/u{i}"
+        text = body if i < 7 else "tiny."
+        rows.append((i, url, f"<html><body><p>{text}</p></body></html>"))
+    crawl = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    stages = curate_crawl(crawl, min_tokens=20, checkpoint=False)
+    rep = curation_report(stages)
+    assert [r["stage"] for r in rep] == [
+        "extracted", "url_unique", "curated", "exact_unique", "survivors", "clean"
+    ]
+    assert rep[0]["rows"] == 8 and rep[1]["rows"] == 5
+    by = {r["stage"]: r for r in rep}
+    # conservation: each stage's rows = previous rows - dropped
+    prev = None
+    for r in rep:
+        if prev is not None:
+            assert r["rows"] == prev["rows"] - r["dropped"]
+        prev = r
+    assert by["curated"]["dropped"] >= 1  # the short-doc class

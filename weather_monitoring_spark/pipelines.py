@@ -308,3 +308,44 @@ def curate_crawl(
         split=split,
         manifest=manifest,
     )
+
+
+def curation_report(stages: CurationStages) -> list[dict]:
+    """The audit trail as data: per-stage surviving counts, per-stage
+    drops, and drop percentages, in pipeline order. Returns a plain
+    list of dicts (it IS driver-side by nature — six counts over pinned
+    frames; a DataFrame would suggest distributed work that isn't
+    there). A curation run that cannot explain its drops is not
+    auditable — this makes the explanation one call."""
+    order = [
+        ("extracted", stages.extracted),
+        ("url_unique", stages.url_unique),
+        ("curated", stages.curated),
+        ("exact_unique", stages.exact_unique),
+        ("survivors", stages.survivors),
+        ("clean", stages.clean),
+    ]
+    rows: list[dict] = []
+    prev = None
+    for name, df in order:
+        n = df.count()
+        dropped = (prev - n) if prev is not None else 0
+        rows.append(
+            {
+                "stage": name,
+                "rows": n,
+                "dropped": dropped,
+                "dropped_pct": round(100.0 * dropped / prev, 3) if prev else 0.0,
+            }
+        )
+        prev = n
+    if stages.manifest is not None:
+        rows.append(
+            {
+                "stage": "shards",
+                "rows": stages.manifest.count(),
+                "dropped": 0,
+                "dropped_pct": 0.0,
+            }
+        )
+    return rows
