@@ -1520,3 +1520,46 @@ def test_hashed_tf_arrow_and_expr_paths_are_bit_equal(spark):
             .collect()
         )
         assert [tuple(r) for r in a] == [tuple(r) for r in e]
+
+
+def test_semantic_decontaminate_flags_planted_paraphrase(spark):
+    """A train vector nearly identical to a bench vector flags even when
+    (in the text world) no 3-gram would overlap; orthogonal vectors stay
+    clean with an explicit zero-filled verdict."""
+    from weather_monitoring_spark.operators.training_prep import (
+        semantic_decontaminate,
+    )
+
+    def vec(*nonzero):
+        v = [0.0] * 8
+        for i, x in nonzero:
+            v[i] = x
+        return v
+
+    train = spark.createDataFrame(
+        [
+            (1, vec((0, 1.0), (1, 0.1))),   # ~bench item 0 -> flagged
+            (2, vec((3, 1.0))),             # orthogonal -> clean
+            (3, vec((0, -1.0))),            # anti-parallel -> clean
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(0, vec((0, 1.0)))], "vec_id bigint, embedding array<float>"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(train, bench, threshold=0.9).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["max_cos"] > 0.99
+    assert out[1]["n_bench_hits"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_bench_hits"] == 0
+    assert out[2]["max_cos"] is None
+    assert not out[3]["contaminated"]
+
+    # train ids must be non-negative (bench maps into the negative space)
+    bad = spark.createDataFrame(
+        [(-5, vec((0, 1.0)))], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        semantic_decontaminate(bad, bench)

@@ -578,3 +578,74 @@ def mixture_weights(
             )
         ).alias("boost"),
     )
+
+
+# ---------------- semantic (embedding-axis) decontamination ----------------
+
+SEMANTIC_CONTAM_THRESHOLD = 0.85
+
+
+def semantic_decontaminate(
+    train_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float = SEMANTIC_CONTAM_THRESHOLD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "blocked",
+) -> DataFrame:
+    """Embedding-axis decontamination — the third axis of the family:
+    ``contamination_flags`` is exact n-gram overlap, winnowing gives the
+    run-length guarantee, and this flags train documents SEMANTICALLY
+    close to an eval item (paraphrased leakage that shares no 3-gram).
+
+    Returns (id, contaminated, max_cos, n_bench_hits) for EVERY train
+    row (zero-filled clean verdicts — the contamination_flags contract);
+    ``max_cos`` is NULL when nothing cleared ``threshold``.
+
+    Composition, not reimplementation: bench ids map injectively into
+    the NEGATIVE id space, the union runs the existing exact
+    ``cosine_neardup_pairs`` (blocked-GEMM prefilter + exact fold
+    re-score — its scale story carries over verbatim), and only
+    cross-side pairs count. Train ids must be non-negative — checked
+    with one narrow min() scan (audit-grade operator; the
+    fit_quality_classifier guard precedent). Train-train and
+    bench-bench pairs are computed by the union formulation but the
+    quadratic work is the SAME GEMM block grid a self-join would do —
+    the cross-side filter is on the candidate output, which is
+    collision-bounded by the threshold."""
+    from weather_monitoring_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    lo = train_emb.agg(F.min(id_col).alias("m")).first()["m"]
+    if lo is not None and lo < 0:
+        raise ValueError(
+            f"semantic_decontaminate: train {id_col} must be non-negative "
+            f"(min={lo}) — the bench side maps into the negative id space"
+        )
+    bench = bench_emb.select(
+        (-F.col(id_col) - 1).alias(id_col), F.col(vec_col)
+    )
+    union = train_emb.select(id_col, vec_col).unionAll(bench)
+    pairs = cosine_neardup_pairs(
+        union, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        method=method,
+    )
+    cross = pairs.filter(
+        (F.col("id_a") < 0) != (F.col("id_b") < 0)
+    ).select(
+        F.when(F.col("id_a") >= 0, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias(id_col),
+        "cosine",
+    )
+    hits = cross.groupBy(id_col).agg(
+        F.max("cosine").alias("max_cos"),
+        F.count("*").cast("bigint").alias("n_bench_hits"),
+    )
+    return train_emb.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.col("max_cos").isNotNull().alias("contaminated"),
+        "max_cos",
+        F.coalesce(F.col("n_bench_hits"), F.lit(0)).alias("n_bench_hits"),
+    )

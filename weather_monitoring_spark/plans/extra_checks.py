@@ -2682,6 +2682,62 @@ EXTRA_SPECS.append(
 )
 
 
+SEMDECON_TAU = 0.4  # testdata embeddings are near-orthogonal; the
+# operator default (0.85) would find nothing to check at sf0.01
+
+
+def _semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-axis decontamination (the third axis of the family:
+    exact n-gram overlap, winnow run-length guarantee, and this —
+    paraphrased leakage that shares no 3-gram): train docs whose cosine
+    vs ANY bench vector clears the threshold. Composition of the exact
+    cosine_neardup machinery over a side-tagged union (bench ids in the
+    negative space); zero-filled clean verdicts for every train row."""
+    from weather_monitoring_spark.operators.training_prep import (
+        semantic_decontaminate,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb.filter("vec_id % 97 != 0"),
+        emb.filter("vec_id % 97 = 0"),
+        threshold=SEMDECON_TAU,
+    )
+
+
+def _o_semantic_decon() -> str:
+    return f"""
+        WITH train AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id % 97 <> 0),
+             bench AS (SELECT embedding AS bvec FROM embeddings
+                       WHERE vec_id % 97 = 0),
+             hits AS (
+                 SELECT vec_id, {_o_cosine("embedding", "bvec")} AS cosine
+                 FROM train, bench
+                 WHERE {_o_cosine("embedding", "bvec")} >= {SEMDECON_TAU}
+             ),
+             agg AS (SELECT vec_id, max(cosine) AS max_cos,
+                            CAST(count(*) AS BIGINT) AS n_bench_hits
+                     FROM hits GROUP BY vec_id)
+        SELECT train.vec_id,
+               agg.max_cos IS NOT NULL AS contaminated,
+               agg.max_cos,
+               coalesce(agg.n_bench_hits, 0) AS n_bench_hits
+        FROM train LEFT JOIN agg USING (vec_id)
+    """
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_semantic_decontaminate",
+        doc=_semantic_decon.__doc__ or "",
+        spark=_semantic_decon,
+        oracle=_o_semantic_decon(),
+        tags=("extra", "decontamination", "embeddings"),
+    )
+)
+
+
 def _hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing TF vectors (Weinberger et al. 2009): tokens land
     in h32(token) %% dim buckets; unit=True L2-normalizes — exact-int
