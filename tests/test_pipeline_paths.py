@@ -567,3 +567,88 @@ def test_warc_streaming_source_is_incremental_and_matches_batch(tmp_path, spark)
         for r in warc_responses_to_documents(read_warc(spark, str(d))).collect()
     }
     assert {(r["doc_id"], r["url"], r["html"]) for r in rows} == batch
+
+
+def test_streaming_crawl_front_door_end_to_end(tmp_path, spark):
+    """The live-crawl composition: WARC segments landing -> streaming
+    parse -> documents -> line-structured extraction -> mojibake repair
+    -> C4 + Gopher-repetition gates -> partitioned parquet archive, all
+    inside ONE StreamingQuery (every stage is the same operator the
+    batch pipeline uses — projections are streaming-safe by
+    construction)."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.operators.htmlops import extract_html_text
+    from weather_monitoring_spark.operators.quality import (
+        c4_rules,
+        gopher_repetition_rules,
+    )
+    from weather_monitoring_spark.operators.textops import mojibake_fixed_col
+    from weather_monitoring_spark.sources.warc import (
+        read_warc_stream,
+        warc_responses_to_documents,
+    )
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    out = str(tmp_path / "archive")
+    ckpt = str(tmp_path / "ckpt")
+
+    # six sentences with fully DISTINCT token sets: templated
+    # sentences share 5-grams across the page and the repetition gate
+    # (correctly) flags them — which is its own planted class below
+    sents = [
+        "Alpha bravo charlie delta echoes foxtrot.",
+        "Golf hotel india juliet kilo lima.",
+        "Mike november oscar papa quebec romeo.",
+        "Sierra tango uniform victor whiskey xray.",
+        "Yankee zulu amber bronze copper dusk.",
+        "Ember falcon garnet harbor iris jade.",
+    ]
+    prose = "".join(f"<p>{x}</p>" for x in sents)
+    pages = {
+        "http://ok/1": f"<html><body>{prose}</body></html>",
+        "http://moji/2": f"<html><body><p>He said â€œgoâ€\x9d now.</p>{prose}</body></html>",
+        "http://rep/3": "<html><body>"
+        + "<p>The same paragraph returns again.</p>" * 9
+        + "</body></html>",
+        "http://brace/4": f"<html><body><p>code {{x}} here.</p>{prose}</body></html>",
+    }
+    (d / "seg0.warc.gz").write_bytes(
+        b"".join(
+            gzip.compress(_warc_record(u, h.encode()))
+            for u, h in pages.items()
+        )
+    )
+
+    docs = warc_responses_to_documents(read_warc_stream(spark, str(d)))
+    extracted = extract_html_text(docs, html_col="html", lines=True).select(
+        "doc_id", mojibake_fixed_col(F.col("text")).alias("text")
+    )
+    gated = (
+        c4_rules(extracted)
+        .filter("verdict = 'kept'")
+        .select("doc_id", F.col("text_clean").alias("text"))
+    )
+    gated = (
+        gopher_repetition_rules(gated, carry=("text",))
+        .filter("verdict = 'kept'")
+        .select("doc_id", "text")
+    )
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    # availableNow terminates on its own; block until it does (the
+    # timed variant can return while the batch is still running)
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    texts = {r["text"] for r in rows}
+    assert len(rows) == 2  # rep/3 (repetition) and brace/4 (c4) dropped
+    assert any("“go”" in t for t in texts)  # repaired in-stream
+    assert all("{" not in t for t in texts)
