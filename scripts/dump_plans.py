@@ -346,9 +346,9 @@ EXTRA_SHOWCASE["pagerank (library operator)"] = (
 
 EXTRA_SHOWCASE["hashed_tf_vectors (library operator)"] = (
     _htf_probe,
-    "the vectorizer is a Project chain over the scan — no Exchange, no "
-    "Python: bucket hashing and the dim-length count fold are row-local "
-    "array algebra inside whole-stage codegen",
+    "the vectorizer is ONE ArrowEvalPython pass over the scan — no "
+    "Exchange (np.bincount per batch; the Python-free expr twin is "
+    "bit-equal and kept for the oracle shape)",
 )
 
 
