@@ -204,3 +204,7 @@ def test_pagerank_dangling_and_guards(spark):
 
     with pytest.raises(ValueError, match="iterations"):
         pagerank(e, iterations=0)
+    # empty edge frame: explicit audit-grade error, not ZeroDivisionError
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="empty"):
+        pagerank(empty, iterations=1)

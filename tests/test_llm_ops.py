@@ -1563,3 +1563,7 @@ def test_semantic_decontaminate_flags_planted_paraphrase(spark):
     )
     with pytest.raises(ValueError, match="non-negative"):
         semantic_decontaminate(bad, bench)
+    # symmetric: a NEGATIVE bench id would alias into the train side
+    # after the -id-1 mapping and silently corrupt verdicts
+    with pytest.raises(ValueError, match="bench vec_id"):
+        semantic_decontaminate(train, bad)

@@ -433,6 +433,10 @@ def test_c4_bad_words_parametrized(spark):
     out = _c4(spark, [(1, _C4_PAGE + "\nA zork appears in this tale.")],
               bad_words=("zork",))
     assert out[1]["verdict"] == "bad_words"
+    # bad_words=() disables the word gate instead of failing analysis
+    # on arrays_overlap(array<string>, empty untyped array)
+    out = _c4(spark, [(1, _C4_PAGE)], bad_words=())
+    assert out[1]["verdict"] == "kept"
 
 
 def test_c4_plan_is_exchange_free(spark):
@@ -521,10 +525,18 @@ def test_rep_nulls_empties_and_precedence(spark):
     out = _rep(spark, [(1, None), (2, ""), (3, "buy now " * 40)])
     assert out[1]["verdict"] == "kept" and out[1]["n_tokens"] == 0
     assert out[2]["verdict"] == "kept"
-    # every signal fires for doc 3; the FIRST table row wins
-    assert out[3]["verdict"] == "frac_dup_lines" if out[3][
+    # every token-level signal fires for doc 3; the FIRST table row
+    # whose signal exceeds its threshold wins. ("buy now " * 40 is a
+    # single line, so the line/paragraph rows can't fire — the first
+    # firing row is the 2-gram one.) Parenthesized ternary: the bare
+    # `assert x == a if cond else b` parses as `assert (x == a) if cond
+    # else b` and was vacuously truthy.
+    expected = (
         "frac_dup_lines"
-    ] > 0.30 else "frac_chars_top_2gram"
+        if out[3]["frac_dup_lines"] > 0.30
+        else "frac_chars_top_2gram"
+    )
+    assert out[3]["verdict"] == expected
     assert out[3]["frac_chars_dup_5gram"] == 1.0
 
 

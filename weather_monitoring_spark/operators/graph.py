@@ -271,6 +271,11 @@ def pagerank(
     if checkpoint:
         nodes = nodes.localCheckpoint(eager=True)
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError(
+            "pagerank: edge frame is empty — no nodes to rank (the "
+            "audit-grade guard; PAGERANK_SCALE // 0 would be opaque)"
+        )
     init = PAGERANK_SCALE // n_nodes
     teleport = (
         PAGERANK_SCALE // n_nodes * (PAGERANK_D_DEN - PAGERANK_D_NUM)

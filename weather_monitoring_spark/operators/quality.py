@@ -701,13 +701,18 @@ def c4_rules(
         .cast("bigint")
         .alias("n_sentences"),
     )
+    # bad_words=() short-circuits to FALSE: F.array() has no element
+    # type, so arrays_overlap(array<string>, array<void>) would fail
+    # with an opaque analysis error instead of meaning "no word list".
+    bad_hit = (
+        F.arrays_overlap("_tk", F.array(*[F.lit(w) for w in bad_words]))
+        if bad_words
+        else F.lit(False)
+    )
     verdict = (
         F.when(F.col("_t").contains("{"), F.lit("brace"))
         .when(F.lower("_t").contains("lorem ipsum"), F.lit("lorem_ipsum"))
-        .when(
-            F.arrays_overlap("_tk", F.array(*[F.lit(w) for w in bad_words])),
-            F.lit("bad_words"),
-        )
+        .when(bad_hit, F.lit("bad_words"))
         .when(F.col("n_sentences") < min_sentences, F.lit("too_few_sentences"))
         .otherwise(F.lit("kept"))
     )

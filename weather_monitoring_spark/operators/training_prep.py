@@ -606,9 +606,11 @@ def semantic_decontaminate(
     the NEGATIVE id space, the union runs the existing exact
     ``cosine_neardup_pairs`` (blocked-GEMM prefilter + exact fold
     re-score — its scale story carries over verbatim), and only
-    cross-side pairs count. Train ids must be non-negative — checked
-    with one narrow min() scan (audit-grade operator; the
-    fit_quality_classifier guard precedent). Train-train and
+    cross-side pairs count. Train AND bench ids must be non-negative —
+    each checked with one narrow min() scan (audit-grade operator; the
+    fit_quality_classifier guard precedent): a negative id on either
+    side would alias across the sign boundary and silently corrupt the
+    cross-side classification. Train-train and
     bench-bench pairs are computed by the union formulation but the
     quadratic work is the SAME GEMM block grid a self-join would do —
     the cross-side filter is on the candidate output, which is
@@ -622,6 +624,17 @@ def semantic_decontaminate(
         raise ValueError(
             f"semantic_decontaminate: train {id_col} must be non-negative "
             f"(min={lo}) — the bench side maps into the negative id space"
+        )
+    # Symmetric guard: a NEGATIVE bench id maps via -id-1 into the
+    # non-negative space, would be classified as a TRAIN row by the
+    # cross-side filter, and can collide with a real train id — wrong
+    # contamination verdicts with no error. Same audit-grade check.
+    blo = bench_emb.agg(F.min(id_col).alias("m")).first()["m"]
+    if blo is not None and blo < 0:
+        raise ValueError(
+            f"semantic_decontaminate: bench {id_col} must be non-negative "
+            f"(min={blo}) — negative ids would alias into the train side "
+            f"after the -id-1 mapping"
         )
     bench = bench_emb.select(
         (-F.col(id_col) - 1).alias(id_col), F.col(vec_col)
