@@ -354,29 +354,32 @@ def _warc_record(
     body: bytes,
     warc_type: str = "response",
     status: int = 200,
-    ctype: str = "text/html",
+    ctype: str | None = "text/html",
 ) -> bytes:
     """Minimal spec-shaped WARC 1.0 record (CRLF discipline, exact
-    Content-Length, double-CRLF separator)."""
+    Content-Length, double-CRLF separator). ``ctype=None`` on a
+    response omits the HTTP Content-Type header entirely (a real-crawl
+    shape the parser must map to NULL, not the WARC envelope type)."""
     if warc_type == "response":
+        ct_line = f"Content-Type: {ctype}\r\n" if ctype is not None else ""
         http = (
-            f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+            f"HTTP/1.1 {status} OK\r\n{ct_line}"
             f"Content-Length: {len(body)}\r\n\r\n"
         ).encode() + body
     else:
         http = body
+    envelope_ct = {
+        "response": "application/http; msgtype=response",
+        "conversion": "text/plain",
+    }.get(warc_type, "application/warc-fields")
     hdr = (
         "WARC/1.0\r\n"
         f"WARC-Type: {warc_type}\r\n"
         f"WARC-Record-ID: <urn:uuid:{abs(hash((uri, warc_type))):032x}>\r\n"
         f"WARC-Date: 2026-08-15T00:00:00Z\r\n"
         f"WARC-Target-URI: {uri}\r\n"
-        + (
-            "Content-Type: application/http; msgtype=response\r\n"
-            if warc_type == "response"
-            else "Content-Type: application/warc-fields\r\n"
-        )
-        + f"Content-Length: {len(http)}\r\n\r\n"
+        f"Content-Type: {envelope_ct}\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
     ).encode()
     return hdr + http + b"\r\n\r\n"
 
@@ -652,3 +655,148 @@ def test_streaming_crawl_front_door_end_to_end(tmp_path, spark):
     assert len(rows) == 2  # rep/3 (repetition) and brace/4 (c4) dropped
     assert any("“go”" in t for t in texts)  # repaired in-stream
     assert all("{" not in t for t in texts)
+
+
+def test_warc_parse_yields_per_file_and_per_chunk(monkeypatch):
+    """The archive-scale memory shape, asserted directly on the parser:
+    two files arriving in ONE Arrow batch yield (at least) two separate
+    DataFrames — a task never holds every file's decompressed records in
+    one list — and a file longer than WARC_YIELD_RECORDS flushes in
+    chunks."""
+    import pandas as pd
+
+    from weather_monitoring_spark.sources import warc as W
+
+    f1 = b"".join(
+        _warc_record(f"http://a/{i}", b"<html>aa</html>") for i in range(3)
+    )
+    f2 = b"".join(
+        _warc_record(f"http://b/{i}", b"<html>bb</html>") for i in range(5)
+    )
+    batch = pd.DataFrame({"path": ["f1", "f2"], "content": [f1, f2]})
+
+    frames = list(W._make_parse_batches()([batch]))
+    assert len(frames) == 2  # one per file, never one list for the batch
+    assert [len(f) for f in frames] == [3, 5]
+
+    monkeypatch.setattr(W, "WARC_YIELD_RECORDS", 2)
+    frames = list(W._make_parse_batches()([batch]))
+    # f1: 2+1, f2: 2+2+1 — chunk flushes inside each file
+    assert [len(f) for f in frames] == [2, 1, 2, 2, 1]
+    got = pd.concat(frames)["target_uri"].tolist()
+    assert got == [f"http://a/{i}" for i in range(3)] + [
+        f"http://b/{i}" for i in range(5)
+    ]
+
+
+def test_warc_missing_http_content_type_is_null_and_kept(tmp_path, spark):
+    """A 2xx response whose HTTP headers lack Content-Type must surface
+    content_type NULL (unknown) — NOT inherit the WARC envelope's
+    'application/http; msgtype=response', which fails contains('html')
+    and silently drops the page from the documents projection."""
+    from weather_monitoring_spark.sources.warc import (
+        read_warc,
+        warc_responses_to_documents,
+    )
+
+    d = tmp_path / "noct"
+    d.mkdir()
+    recs = [
+        _warc_record("http://noct.example/a", b"<html>page body</html>",
+                     ctype=None),
+        _warc_record("http://html.example/b", b"<html>another page</html>"),
+        _warc_record("http://img.example/c", b"\x89PNG fake",
+                     ctype="image/png"),
+    ]
+    (d / "s.warc").write_bytes(b"".join(recs))
+
+    rows = {r.target_uri: r for r in read_warc(spark, str(d)).collect()}
+    assert rows["http://noct.example/a"].content_type is None
+    assert rows["http://html.example/b"].content_type == "text/html"
+    assert rows["http://img.example/c"].content_type == "image/png"
+
+    docs = warc_responses_to_documents(read_warc(spark, str(d))).collect()
+    # NULL-type page KEPT (unknown = keep), png dropped
+    assert {r.url for r in docs} == {
+        "http://noct.example/a", "http://html.example/b"
+    }
+
+
+def test_warc_responses_only_pushes_keep_predicate_into_parse(tmp_path, spark):
+    """responses_only=True drops non-kept records' payload bytes inside
+    the parse; the surviving rows are EXACTLY what the documents
+    projection keeps on a full read."""
+    from weather_monitoring_spark.sources.warc import (
+        read_warc,
+        warc_responses_to_documents,
+    )
+
+    d = tmp_path / "ro"
+    d.mkdir()
+    recs = [
+        _warc_record("urn:none", b"software: t\r\n", warc_type="warcinfo"),
+        _warc_record("http://ok/1", b"<html>keep me</html>"),
+        _warc_record("http://gone/2", b"<html>404 page</html>", status=404),
+        _warc_record("http://img/3", b"bytes", ctype="image/png"),
+        _warc_record("http://noct/4", b"<html>no ctype</html>", ctype=None),
+        _warc_record("http://req/5", b"GET / HTTP/1.1", warc_type="request"),
+    ]
+    (d / "s.warc").write_bytes(b"".join(recs))
+
+    pushed = read_warc(spark, str(d), responses_only=True)
+    got = {r.target_uri for r in pushed.collect()}
+    assert got == {"http://ok/1", "http://noct/4"}
+    # identical documents either way (projection is a no-op on pushed)
+    full = warc_responses_to_documents(read_warc(spark, str(d)))
+    a = {(r.doc_id, r.url, r.html) for r in full.collect()}
+    b = {
+        (r.doc_id, r.url, r.html)
+        for r in warc_responses_to_documents(pushed).collect()
+    }
+    assert a == b
+
+
+def test_wet_source_feeds_curate_crawl_pre_extracted(tmp_path, spark):
+    """WET path end-to-end: conversion records (extraction pre-done) ->
+    wet_to_documents -> curate_crawl(pre_extracted=True) with the
+    extraction stage skipped; line structure survives so the C4 line
+    gate operates on real lines."""
+    import gzip
+
+    from weather_monitoring_spark.pipelines import curate_crawl
+    from weather_monitoring_spark.sources.warc import (
+        read_wet,
+        wet_to_documents,
+    )
+
+    d = tmp_path / "wet"
+    d.mkdir()
+    prose = "\n".join(
+        f"This is useful sentence number {i} of the page body." for i in range(8)
+    )
+    noise = prose + "\nshort line\n" + prose.replace("page", "site")
+    recs = [
+        _warc_record("urn:none", b"software: t\r\n", warc_type="warcinfo"),
+        _warc_record("http://a.example/1", noise.encode(),
+                     warc_type="conversion"),
+        _warc_record("http://b.example/2", prose.encode(),
+                     warc_type="conversion"),
+    ]
+    (d / "seg.warc.wet.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs)
+    )
+
+    docs = wet_to_documents(read_wet(spark, str(d)))
+    got = {r.url: r.text for r in docs.collect()}
+    assert set(got) == {"http://a.example/1", "http://b.example/2"}
+    assert "\n" in got["http://a.example/1"]  # line structure intact
+
+    stages = curate_crawl(
+        docs, min_tokens=5, checkpoint=False, pre_extracted=True,
+        c4_kwargs={},
+    )
+    kept = {r.doc_id for r in stages.curated.select("doc_id").collect()}
+    assert len(kept) == 2
+    # the C4 line gate saw real lines: 'short line' dies, sentences stay
+    texts = {r.text for r in stages.curated.collect()}
+    assert all("short line" not in t for t in texts)

@@ -77,10 +77,16 @@ def curate_crawl(
     keep_langs: tuple[str, ...] | None = None,
     split_pcts: tuple[int, int] | None = None,
     split_salt: str | None = None,
+    pre_extracted: bool = False,
 ) -> CurationStages:
     """Run the full crawl -> training-corpus curation chain.
 
-    ``crawl`` needs (doc_id, html, url). ``bench`` is the evaluation
+    ``crawl`` needs (doc_id, html, url) — or (doc_id, text, url) with
+    ``pre_extracted=True``, for sources whose extraction is already
+    done (WET files via ``sources.warc.wet_to_documents``): the
+    HTML-extraction stage becomes a pass-through and the text keeps the
+    SOURCE's own line structure, so the line/paragraph gates (C4,
+    Gopher repetition) operate on real lines. ``bench`` is the evaluation
     set to decontaminate against — when None, the decontamination stage
     is SKIPPED and ``clean`` is exactly ``survivors``. (Earlier rounds
     substituted a self-sample of the survivors, but a self-sample flags
@@ -137,13 +143,17 @@ def curate_crawl(
     def pin(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True) if checkpoint else df
 
-    extracted = (
-        # c4's line gates need line structure, so its presence switches
-        # extraction to lines=True (block-tag closers -> line breaks)
-        extract_html_text(crawl, lines=c4_kwargs is not None)
-        .join(crawl.select("doc_id", "url"), "doc_id")
-        .select("doc_id", "url", "text")
-    )
+    if pre_extracted:
+        extracted = crawl.select("doc_id", "url", "text")
+    else:
+        extracted = (
+            # c4's line gates need line structure, so its presence
+            # switches extraction to lines=True (block-tag closers ->
+            # line breaks)
+            extract_html_text(crawl, lines=c4_kwargs is not None)
+            .join(crawl.select("doc_id", "url"), "doc_id")
+            .select("doc_id", "url", "text")
+        )
     if mojibake is not None:
         from weather_monitoring_spark.operators.textops import (
             mojibake_fixed_col,

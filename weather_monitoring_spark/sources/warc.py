@@ -57,11 +57,23 @@ def _gunzip_members(data: bytes) -> bytes:
     return b"".join(out)
 
 
-def _parse_warc(path: str, data: bytes) -> Iterator[dict]:
+def _parse_warc(
+    path: str, data: bytes, responses_only: bool = False
+) -> Iterator[dict]:
     """Sequential single-pass WARC 1.0/1.1 record parser: header block to
     the blank line, Content-Length body bytes, CRLF CRLF separator.
     Response records additionally split the HTTP message: status line ->
-    http_status, Content-Type header, payload after the HTTP headers."""
+    http_status, Content-Type header, payload after the HTTP headers.
+    An HTTP response WITHOUT a Content-Type header gets content_type
+    NULL — never the WARC record's own ``application/http`` envelope
+    type, which would read as "not html" and wrongly drop the page in
+    ``warc_responses_to_documents``'s NULL-means-keep filter.
+
+    ``responses_only=True`` pushes that projection's keep predicate
+    (2xx response, html-or-unknown content type) INTO the parse: skipped
+    records' payload bytes are dropped here, before any pandas frame is
+    built — the memory-shape guard for archive-scale files whose kept
+    fraction is small."""
     if data[:2] == _GZIP_MAGIC:
         data = _gunzip_members(data)
     pos, n = 0, len(data)
@@ -97,11 +109,21 @@ def _parse_warc(path: str, data: bytes) -> Iterator[dict]:
                 parts = http_hdr[0].split(b" ")
                 if len(parts) >= 2 and parts[1].isdigit():
                     status = int(parts[1])
+                # absent HTTP Content-Type = unknown (NULL), NOT the
+                # WARC envelope type (see docstring)
+                ctype = None
                 for line in http_hdr[1:]:
                     k, _, v = line.partition(b":")
                     if _ and k.strip().lower() == b"content-type":
                         ctype = v.strip().decode("latin-1")
                 payload = block[http_end + 4 :]
+        if responses_only and not (
+            headers.get("warc-type") == "response"
+            and status is not None
+            and 200 <= status <= 299
+            and (ctype is None or "html" in ctype.lower())
+        ):
+            continue
         digest = hashlib.md5(f"{path}#{rec_offset}".encode()).hexdigest()
         yield {
             "asset_id": int(digest[:15], 16),
@@ -118,32 +140,59 @@ def _parse_warc(path: str, data: bytes) -> Iterator[dict]:
         }
 
 
-def _parse_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+#: Records per yielded Arrow frame. Caps the pandas-copy share of task
+#: memory; the per-FILE flush below is the real bound (a task never
+#: holds two files' decompressed records at once).
+WARC_YIELD_RECORDS = 4096
+
+
+def _make_parse_batches(responses_only: bool = False):
+    """Parser for ``mapInPandas`` with the archive-scale memory shape:
+    one yielded DataFrame per WARC FILE (flushing every
+    WARC_YIELD_RECORDS records within a file), never a single list
+    spanning every file Spark bin-packed into the task. Peak task
+    memory is one file's (compressed + decompressed + one chunk's
+    pandas rows), not the sum over the batch — measured in
+    scripts/probe_warc_memory.py, recorded in BASELINE.md."""
     cols = [f.split(" ")[0] for f in WARC_SCHEMA.split(", ")]
-    for pdf in batches:
-        rows = [
-            rec
-            for p, c in zip(pdf["path"], pdf["content"])
-            for rec in _parse_warc(p, bytes(c))
-        ]
-        yield pd.DataFrame(rows, columns=cols)
+
+    def _parse_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for p, c in zip(pdf["path"], pdf["content"]):
+                rows: list[dict] = []
+                for rec in _parse_warc(p, bytes(c), responses_only):
+                    rows.append(rec)
+                    if len(rows) >= WARC_YIELD_RECORDS:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return _parse_batches
 
 
 def read_warc(
     spark: SparkSession,
     path: str,
     glob: str = "*.warc*",
+    responses_only: bool = False,
 ) -> DataFrame:
     """Load a directory tree of WARC files (.warc or per-record-gzip
     .warc.gz) as one row per WARC record. ``glob`` prunes at listing
-    time; the parse runs where the bytes landed — no driver I/O."""
+    time; the parse runs where the bytes landed — no driver I/O.
+    ``responses_only=True`` keeps only 2xx html-or-unknown response
+    records, dropping everything else's payload inside the parse (the
+    predicate ``warc_responses_to_documents`` would apply anyway,
+    pushed down to the byte level)."""
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(path)
         .select("path", "content")
     )
-    return raw.mapInPandas(_parse_batches, WARC_SCHEMA)
+    return raw.mapInPandas(_make_parse_batches(responses_only), WARC_SCHEMA)
 
 
 #: binaryFile's fixed schema, needed explicitly on the streaming reader.
@@ -156,6 +205,7 @@ def read_warc_stream(
     spark: SparkSession,
     path: str,
     glob: str = "*.warc*",
+    responses_only: bool = False,
 ) -> DataFrame:
     """Streaming twin of ``read_warc``: WARC files LANDING in ``path``
     (how a live crawl delivers — a new ~1 GB segment file at a time)
@@ -172,14 +222,21 @@ def read_warc_stream(
         .load(path)
         .select("path", "content")
     )
-    return raw.mapInPandas(_parse_batches, WARC_SCHEMA)
+    return raw.mapInPandas(_make_parse_batches(responses_only), WARC_SCHEMA)
 
 
 def warc_responses_to_documents(records: DataFrame) -> DataFrame:
     """Project 2xx HTML response records onto the crawl-page contract
     ``pipelines.curate_crawl`` ingests: (doc_id, url, html). The byte ->
     string decode is JVM-side (UTF-8; real pipelines sniff charsets in a
-    decode stage — out of scope here, as for multimodal codecs)."""
+    decode stage — out of scope here, as for multimodal codecs).
+
+    NULL content_type means "keep": since the parser sets content_type
+    NULL when an HTTP response carries no Content-Type header (never
+    the WARC ``application/http`` envelope type), the coalesce branch
+    actually fires for unknown-type pages as intended. Reading with
+    ``read_warc(..., responses_only=True)`` applies this same predicate
+    at the byte level; this filter is then a cheap no-op."""
     return (
         records.filter(
             (F.col("warc_type") == "response")
@@ -193,4 +250,37 @@ def warc_responses_to_documents(records: DataFrame) -> DataFrame:
             F.col("target_uri").alias("url"),
             F.decode(F.col("payload"), "UTF-8").alias("html"),
         )
+    )
+
+
+# ---------------- WET (extracted-text WARC) sibling -----------------------
+
+
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.wet*",
+) -> DataFrame:
+    """WET reader: WET files ARE WARC files whose records are
+    ``conversion`` records (extraction pre-done, payload = plain text,
+    UTF-8 by spec) — the format a crawl-pipeline user reaches for when
+    they don't need the HTML (Common Crawl ships
+    ``crawl-data/CC-MAIN-*/wet/*.warc.wet.gz`` alongside the WARCs).
+    Same parser, same schema, same per-file memory shape and
+    content-addressed record ids as ``read_warc``; only the listing
+    glob differs."""
+    return read_warc(spark, path, glob=glob)
+
+
+def wet_to_documents(records: DataFrame) -> DataFrame:
+    """Project WET ``conversion`` records onto (doc_id, url, text) —
+    the PRE-EXTRACTED document contract
+    (``pipelines.curate_crawl(..., pre_extracted=True)`` consumes this
+    directly, skipping the HTML-extraction stage the WARC path needs).
+    WET payloads keep the source line structure, so the line/paragraph
+    gates (C4, Gopher repetition) see real lines."""
+    return records.filter(F.col("warc_type") == "conversion").select(
+        F.col("asset_id").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
     )
