@@ -2829,8 +2829,11 @@ BM25_QUERY = ("spark", "window", "batch")
 
 def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval over the corpus (the reference's
-    Elasticsearch search surface re-expressed Spark-native): raw-IDF
-    variant (ln is not cross-engine bit-stable — the DSIR finding), all
+    Elasticsearch search surface re-expressed Spark-native): log-IDF
+    (the Lucene/ES weighting) via the quantized integer-ln literal
+    tables — ln(2N+2) - ln(2df+1) with both arguments exact BIGINTs, so
+    no per-engine transcendental ever runs (the DSIR quantized-ln
+    discipline; raw ln is not cross-engine bit-stable). All other
     factors IEEE ops of exact BIGINTs in a fixed mirrored order. The
     corpus stats (N, avgdl, per-term df) are ONE single-row aggregate
     broadcast back; the corpus never shuffles; top-k plans as
