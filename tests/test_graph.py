@@ -192,19 +192,59 @@ def test_pagerank_is_partitioning_invariant_bit_for_bit(spark):
 
 
 def test_pagerank_dangling_and_guards(spark):
-    from weather_monitoring_spark.operators.graph import pagerank
+    from weather_monitoring_spark.operators.graph import (
+        PAGERANK_SCALE,
+        pagerank,
+    )
 
-    # node 2 is dst-only (dangling): present in output at teleport-level
-    # rank; its absorbed mass is dropped by policy
+    # node 2 is dst-only (dangling). Default policy: its mass is
+    # redistributed floor(dm/N) to every node — textbook PageRank,
+    # total mass conserved up to floor losses.
     e = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
     out = {r["node"]: r for r in pagerank(e, iterations=2).collect()}
     assert set(out) == {1, 2}
     assert out[2]["rank_int"] > out[1]["rank_int"]
+    total_r = sum(r["rank_int"] for r in out.values())
+    # floor losses only: init split, per-node DIVs, damping DIVs —
+    # a handful of units per node per iteration
+    assert 0 <= PAGERANK_SCALE - total_r <= 2 * 2 * 4
+    # drop policy: the pre-r10 simplification — mass decays
+    out_d = {
+        r["node"]: r
+        for r in pagerank(e, iterations=2, dangling="drop").collect()
+    }
+    total_d = sum(r["rank_int"] for r in out_d.values())
+    assert total_d < total_r
+    assert out_d[2]["rank_int"] > out_d[1]["rank_int"]
     import pytest
 
     with pytest.raises(ValueError, match="iterations"):
         pagerank(e, iterations=0)
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(e, dangling="nope")
+    with pytest.raises(ValueError, match="tol"):
+        pagerank(e, tol=-1)
     # empty edge frame: explicit audit-grade error, not ZeroDivisionError
     empty = spark.createDataFrame([], "src bigint, dst bigint")
     with pytest.raises(ValueError, match="empty"):
         pagerank(empty, iterations=1)
+
+
+def test_pagerank_tol_early_stop_matches_full_run(spark):
+    """tol stops at the first iteration whose max |Δrank_int| <= tol; a
+    converged fixpoint is invariant under further iterations, so the
+    early-stopped result equals the long fixed-iteration run exactly."""
+    from weather_monitoring_spark.operators.graph import pagerank
+
+    # 2-cycle with a dangling spur: converges in a handful of rounds
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3)], "src bigint, dst bigint"
+    )
+    full = {
+        r["node"]: r["rank_int"] for r in pagerank(e, iterations=60).collect()
+    }
+    early = {
+        r["node"]: r["rank_int"]
+        for r in pagerank(e, iterations=60, tol=0).collect()
+    }
+    assert early == full

@@ -234,6 +234,8 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint: bool = True,
+    dangling: str = "redistribute",
+    tol: int | None = None,
 ) -> DataFrame:
     """Deterministic PageRank over ``edges``. Returns (node, rank_int
     BIGINT, rank DOUBLE = rank_int / 2^40 — the only float, one IEEE
@@ -241,22 +243,49 @@ def pagerank(
 
     Semantics: nodes = union of sources and destinations; ranks start at
     floor(2^40 / N); each iteration sends floor(rank / out_degree) along
-    every edge, then rank' = floor(teleport) + floor(d * contribs) with
-    d = 17/20 in exact integers. Dangling-node mass is DROPPED (the
-    standard simplification; total mass decays accordingly — ranking is
-    unaffected for comparison purposes and the arithmetic stays exact).
+    every edge, then rank' = floor(teleport) + floor(d * inflow) with
+    d = 17/20 in exact integers.
+
+    ``dangling`` selects what happens to the mass sitting on nodes with
+    NO out-edges:
+
+    - ``"redistribute"`` (default) — textbook PageRank: the summed
+      dangling mass is split evenly (floor(dm / N), exact integers)
+      into every node's inflow before damping. The per-iteration cost
+      is one extra TINY aggregate (a left-semi of ranks against the
+      precomputed dangling-node set, one row out) broadcast back — no
+      driver collect. Total mass is conserved up to floor losses.
+    - ``"drop"`` — the pre-r10 simplification: dangling mass decays
+      out of the system. Rankings are typically unaffected for
+      comparison use; scores are not textbook. Kept for exact
+      reproduction of earlier runs.
+
+    ``tol`` (optional, int in rank_int units) adds convergence-based
+    early stop: after each iteration, max |Δ rank_int| over all nodes
+    (one extra small aggregate) is compared to ``tol``; the loop stops
+    at the first iteration whose delta is <= tol, with ``iterations``
+    still the hard cap. Leave None (default) for the fixed-iteration
+    contract the unrolled-CTE oracle mirrors.
 
     Scale shape: the edge table is the big side and is read ONCE into
     (src, dst, out_degree) — out-degrees ride a broadcast-eligible
     aggregate join when small or one hash join keyed the same as the
     contribution shuffle; each iteration is one join (ranks x edges, on
-    src) + one aggregate (on dst) — the canonical two-exchange iteration,
+    src) + one aggregate (on dst) — the canonical two-exchange iteration
+    (the dangling aggregate adds one 1-row exchange, broadcast back),
     with ``checkpoint`` (eager localCheckpoint per iteration, default on)
     truncating the lineage so iteration k never re-runs iterations
     1..k-1 (executor loss replays from the checkpointed blocks).
     """
     if iterations < 1:
         raise ValueError("pagerank: iterations must be >= 1")
+    if dangling not in ("redistribute", "drop"):
+        raise ValueError(
+            f"pagerank: dangling must be 'redistribute' or 'drop', "
+            f"got {dangling!r}"
+        )
+    if tol is not None and tol < 0:
+        raise ValueError("pagerank: tol must be >= 0")
     src, dst = F.col(src_col), F.col(dst_col)
     e = edges.select(src.alias("src"), dst.alias("dst"))
     deg = e.groupBy("src").agg(F.count("*").cast("bigint").alias("out_deg"))
@@ -280,6 +309,14 @@ def pagerank(
     teleport = (
         PAGERANK_SCALE // n_nodes * (PAGERANK_D_DEN - PAGERANK_D_NUM)
     ) // PAGERANK_D_DEN
+    if dangling == "redistribute":
+        # the dangling-node SET is iteration-invariant: nodes that never
+        # appear as a source. Computed once, pinned.
+        dang = nodes.join(
+            deg.select(F.col("src").alias("node")), "node", "left_anti"
+        )
+        if checkpoint:
+            dang = dang.localCheckpoint(eager=True)
     ranks = nodes.select("node", F.lit(init).cast("bigint").alias("rank_int"))
     for _ in range(iterations):
         contrib = (
@@ -293,17 +330,38 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").cast("bigint").alias("contribs"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        inflow = "coalesce(contribs, CAST(0 AS BIGINT))"
+        stepped = nodes.join(contrib, "node", "left")
+        if dangling == "redistribute":
+            dm = ranks.join(dang, "node", "left_semi").agg(
+                F.coalesce(F.sum("rank_int"), F.lit(0))
+                .cast("bigint")
+                .alias("_dm")
+            )
+            stepped = stepped.crossJoin(F.broadcast(dm))
+            inflow = f"({inflow} + _dm DIV CAST({n_nodes} AS BIGINT))"
+        new_ranks = stepped.select(
             "node",
             F.expr(
-                "CAST({t} + (coalesce(contribs, CAST(0 AS BIGINT)) * {n})"
-                " DIV {d} AS BIGINT)".format(
-                    t=teleport, n=PAGERANK_D_NUM, d=PAGERANK_D_DEN
+                "CAST({t} + ({c} * {n}) DIV {d} AS BIGINT)".format(
+                    t=teleport, c=inflow, n=PAGERANK_D_NUM, d=PAGERANK_D_DEN
                 )
             ).alias("rank_int"),
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint(eager=True)
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        if tol is not None:
+            delta = (
+                new_ranks.withColumnRenamed("rank_int", "_new")
+                .join(ranks, "node")
+                .agg(F.max(F.abs(F.col("_new") - F.col("rank_int"))).alias("d"))
+                .first()["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta <= tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks.select(
         "node",
         "rank_int",
@@ -313,12 +371,23 @@ def pagerank(
     )
 
 
-def o_pagerank(edges_sql: str, iterations: int = 5) -> str:
+def o_pagerank(
+    edges_sql: str, iterations: int = 5, dangling: str = "redistribute"
+) -> str:
     """DuckDB mirror of ``pagerank``: the same integer arithmetic with
     the k iterations UNROLLED as a CTE chain (the kmeans oracle
     discipline). ``edges_sql`` must select (src, dst). N, init and
     teleport are floor divisions of the same exact ints the Spark side
-    bakes in driver-side, so every iteration is bit-identical."""
+    bakes in driver-side, so every iteration is bit-identical. With
+    ``dangling="redistribute"`` each iteration gains a 1-row dangling-
+    mass CTE (sum of rank over nodes never appearing as a source),
+    floor-split into every node's inflow — the same exact-integer term
+    the Spark side adds."""
+    if dangling not in ("redistribute", "drop"):
+        raise ValueError(
+            f"o_pagerank: dangling must be 'redistribute' or 'drop', "
+            f"got {dangling!r}"
+        )
     scale = PAGERANK_SCALE
     n, d = PAGERANK_D_NUM, PAGERANK_D_DEN
     ctes = [
@@ -330,6 +399,7 @@ def o_pagerank(edges_sql: str, iterations: int = 5) -> str:
         f"CAST({scale} // count(*) AS BIGINT) AS init, "
         f"CAST((({scale} // count(*)) * {d - n}) // {d} AS BIGINT) AS tele "
         f"FROM nodes)",
+        "dang AS (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM e))",
         "r0 AS (SELECT node, init AS rank_int FROM nodes, nn)",
     ]
     for i in range(iterations):
@@ -338,11 +408,21 @@ def o_pagerank(edges_sql: str, iterations: int = 5) -> str:
             f"CAST(sum(r{i}.rank_int // ed.out_deg) AS BIGINT) AS contribs "
             f"FROM ed JOIN r{i} ON ed.src = r{i}.node GROUP BY ed.dst)"
         )
+        if dangling == "redistribute":
+            ctes.append(
+                f"dm{i} AS (SELECT CAST(coalesce(sum(r{i}.rank_int), 0) "
+                f"AS BIGINT) AS dm FROM r{i} JOIN dang USING (node))"
+            )
+            inflow = f"(coalesce(c{i}.contribs, 0) + dm{i}.dm // nn.nd)"
+            extra_src = f" CROSS JOIN dm{i}"
+        else:
+            inflow = f"coalesce(c{i}.contribs, 0)"
+            extra_src = ""
         ctes.append(
             f"r{i + 1} AS (SELECT nodes.node, "
-            f"CAST(nn.tele + (coalesce(c{i}.contribs, 0) * {n}) // {d} "
+            f"CAST(nn.tele + ({inflow} * {n}) // {d} "
             f"AS BIGINT) AS rank_int "
-            f"FROM nodes CROSS JOIN nn LEFT JOIN c{i} USING (node))"
+            f"FROM nodes CROSS JOIN nn{extra_src} LEFT JOIN c{i} USING (node))"
         )
     return (
         "WITH "

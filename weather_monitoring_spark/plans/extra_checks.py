@@ -2787,11 +2787,13 @@ PR_EDGES_SQL = (
 def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic PageRank (operators/graph.py): ALL arithmetic in
     scaled int64 (ranks at 2^40, damping as the exact ratio 17/20,
-    floor divisions) so contribution sums are order-free and every
-    iteration is bit-reproducible under ANY partitioning — float
+    floor divisions, dangling mass redistributed floor(dm/N) — textbook
+    semantics, still exact) so contribution sums are order-free and
+    every iteration is bit-reproducible under ANY partitioning — float
     PageRank is not (IEEE addition is not associative). The oracle
-    unrolls the same iterations as a CTE chain; link-graph authority is
-    the classic crawl-curation quality prior."""
+    unrolls the same iterations as a CTE chain (each gaining a 1-row
+    dangling-mass CTE); link-graph authority is the classic
+    crawl-curation quality prior."""
     from weather_monitoring_spark.operators.graph import pagerank
 
     docs = load_table(spark, sf_dir, "documents")
