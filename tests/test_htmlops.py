@@ -150,3 +150,74 @@ def test_html_text_lines_mode_keeps_block_structure(spark):
         ).collect()
     }
     assert "\n" not in flat[1] and flat[3] == "Title Body & more."
+
+
+def test_html_text_paragraphs_mode_two_level_structure(spark):
+    """paragraphs=True: block closers -> blank line (paragraph break),
+    <br> -> single line break, 3+ newline runs fold to one blank line —
+    the structure the Gopher A1.2 paragraph rules (split on \\n{2,})
+    need; plain lines=True output can never contain a blank line."""
+    from weather_monitoring_spark.operators.htmlops import html_text_expr
+
+    rows = [
+        (1, "<html><body><p>One here.</p><p>Two now.</p></body></html>"),
+        (2, "<p>line a<br>line b</p><p>next para.</p>"),
+        (3, "<div>alpha</div>\n\n\n<div>beta</div>"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    para = {
+        r.doc_id: r.t
+        for r in df.select(
+            "doc_id",
+            html_text_expr("html", lines=True, paragraphs=True).alias("t"),
+        ).collect()
+    }
+    # </p> and </body>/</html> closers collapse to exactly one blank line
+    assert para[1] == "One here.\n\nTwo now."
+    assert para[2] == "line a\nline b\n\nnext para."  # <br> stays single
+    assert para[3] == "alpha\n\nbeta"  # 3+ newlines fold to one blank line
+    assert para[4] == ""
+    # plain lines mode folds every run to ONE \n — no paragraph exists
+    lined = {
+        r.doc_id: r.t
+        for r in df.select(
+            "doc_id", html_text_expr("html", lines=True).alias("t")
+        ).collect()
+    }
+    assert all("\n\n" not in t for t in lined.values())
+
+    import pytest
+
+    with pytest.raises(ValueError, match="requires lines"):
+        html_text_expr("html", paragraphs=True)
+
+
+def test_paragraph_extraction_feeds_repetition_paragraph_rules(spark):
+    """The r10 advisor fix end-to-end at the operator level: on
+    lines=True extraction the whole page is ONE paragraph (newline runs
+    fold to one \\n), so frac_dup_paragraphs was structurally ALWAYS 0;
+    on paragraphs=True extraction the planted duplicate paragraph is
+    detected."""
+    from weather_monitoring_spark.operators.htmlops import extract_html_text
+    from weather_monitoring_spark.operators.quality import (
+        gopher_repetition_rules,
+    )
+
+    para = "Alpha beta gamma delta epsilon zeta."
+    html = (
+        "<html><body>"
+        + f"<p>{para}</p><p>{para}</p><p>Unique closing paragraph text.</p>"
+        + "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+
+    def signals(**kw):
+        ext = extract_html_text(df, **kw).select("doc_id", "text")
+        return gopher_repetition_rules(ext).first()
+
+    flat = signals(lines=True)
+    rich = signals(lines=True, paragraphs=True)
+    assert flat["frac_dup_paragraphs"] == 0.0  # structurally impossible
+    assert rich["frac_dup_paragraphs"] > 0.30  # 1 dup / 3 paragraphs
+    assert rich["frac_dup_lines"] == flat["frac_dup_lines"]  # lines agree

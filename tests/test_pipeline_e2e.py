@@ -513,3 +513,63 @@ def test_curation_report_explains_every_drop(spark):
             assert r["rows"] == prev["rows"] - r["dropped"]
         prev = r
     assert by["curated"]["dropped"] >= 1  # the short-doc class
+
+
+def test_curate_crawl_repetition_gate_alone_fires_line_and_paragraph_rules(spark):
+    """The r9 advisor's medium finding, fixed: with repetition_kwargs
+    alone (no c4), extraction now runs in paragraphs mode and the gate
+    runs PRE-rewrite, so the line/paragraph A1.2 rules actually fire.
+    The planted page repeats one SHORT paragraph among long unique
+    prose — its n-gram coverage stays under every gram threshold, so
+    only the line/paragraph rules can drop it (they were structurally
+    inert before the fix: single-line extraction has no lines and one
+    giant paragraph)."""
+    from weather_monitoring_spark.pipelines import curate_crawl
+
+    dup_para = "aa bb cc dd ee ff."  # 6 short tokens: tiny gram chars
+    long_prose = [
+        " ".join(f"w{i}q{j}content" for j in range(14)) + "."
+        for i in range(5)
+    ]
+
+    def page(paras):
+        return (
+            "<html><body>"
+            + "".join(f"<p>{p}</p>" for p in paras)
+            + "</body></html>"
+        )
+
+    # 4 of 9 paragraphs identical -> frac_dup_lines =
+    # frac_dup_paragraphs = 3/9 = 0.333 > 0.30 fires; the dup copies
+    # are INTERLEAVED among fully-unique prose so no repeated gram
+    # spans a boundary, and the dup tokens' char share (~6%) stays far
+    # under every gram threshold — only the structural rules can drop it
+    p = long_prose
+    rep_page = [dup_para, p[0], dup_para, p[1], dup_para, p[2],
+                dup_para, p[3], p[4]]
+    rows = [
+        (1, "http://rep.example/1", page(rep_page)),
+        (2, "http://ok.example/2", page(p + ["A closing line."])),
+    ]
+    crawl = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    stages = curate_crawl(
+        crawl, min_tokens=5, checkpoint=False, repetition_kwargs={},
+    )
+    kept = {r["doc_id"] for r in stages.curated.select("doc_id").collect()}
+    assert kept == {2}
+
+    # sanity: the dropped page's gram signals were below threshold —
+    # the drop came from the structural rules the fix un-broke
+    from weather_monitoring_spark.operators.htmlops import extract_html_text
+    from weather_monitoring_spark.operators.quality import (
+        gopher_repetition_rules,
+    )
+
+    sig = gopher_repetition_rules(
+        extract_html_text(crawl, lines=True, paragraphs=True).select(
+            "doc_id", "text"
+        )
+    ).filter("doc_id = 1").first()
+    assert sig["verdict"] in ("frac_dup_lines", "frac_dup_paragraphs")
+    assert sig["frac_chars_dup_5gram"] < 0.15
+    assert sig["frac_chars_top_2gram"] < 0.20

@@ -58,6 +58,19 @@ BLOCK_BREAK_RE = (
 #: lines=True collapse: horizontal whitespace only, then newline runs.
 HWS_ONLY_RE = r"[ \t\r\f]+"
 NL_RUN_RE = r" ?\n[ \n]*"
+#: paragraphs=True mode: block-level closers become PARAGRAPH breaks
+#: (blank line) while <br> stays a line break, so the extracted text
+#: carries the two-level structure the Gopher A1.2 paragraph rules
+#: (split on \\n{2,}) need. Same closer set as BLOCK_BREAK_RE.
+BLOCK_CLOSE_RE = (
+    r"(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|article"
+    r"|header|footer|pre)\s*>"
+)
+BR_RE = r"(?i)<br\s*/?\s*>"
+#: paragraphs=True collapse: spaces hugging any newline die, then 3+
+#: newline runs become exactly one blank line.
+NL_PAD_RE = r" *\n *"
+NL_MANY_RE = r"\n{3,}"
 
 #: Opening-anchor detector: '<a' followed by whitespace (attributes),
 #: '>' (attribute-less '<a>') or '/' (self-closed '<a/>') — but never a
@@ -96,7 +109,10 @@ def _full_entity_udf():
 
 
 def html_text_expr(
-    html_col: str, entities: str = "basic", lines: bool = False
+    html_col: str,
+    entities: str = "basic",
+    lines: bool = False,
+    paragraphs: bool = False,
 ) -> Column:
     """Extracted plain text of one HTML document as a single Spark
     expression (steps 1-5 above). Zero shuffle, codegen-friendly.
@@ -121,6 +137,14 @@ def html_text_expr(
     line dedup, boilerplate stripping). Default stays the single-line
     collapse (the original contract and oracle).
 
+    ``paragraphs=True`` (requires ``lines=True``) upgrades the
+    structure to two levels: block-level closers become PARAGRAPH
+    breaks (a blank line) while ``<br>`` stays a single line break, and
+    the collapse keeps runs of 2 newlines (3+ fold to exactly one blank
+    line). This is the mode the Gopher A1.2 paragraph rules need —
+    plain ``lines=True`` folds every newline run to ONE ``\\n``, so a
+    paragraph split on ``\\n{2,}`` can never fire on its output.
+
     Built with the Column API (not ``F.expr``) so the regex constants
     reach the engine verbatim — Spark's SQL string-literal parser treats
     ``\\b``/``\\s`` as escapes and would corrupt them; the function API
@@ -128,10 +152,15 @@ def html_text_expr(
     fragments below byte-for-byte."""
     if entities not in ("basic", "full"):
         raise ValueError(f"entities must be 'basic' or 'full', got {entities!r}")
+    if paragraphs and not lines:
+        raise ValueError("paragraphs=True requires lines=True")
     c = F.col(html_col)
     for pat in (SCRIPT_RE, STYLE_RE, COMMENT_RE):
         c = F.regexp_replace(c, pat, " ")
-    if lines:
+    if paragraphs:
+        c = F.regexp_replace(c, BLOCK_CLOSE_RE, "\n\n")
+        c = F.regexp_replace(c, BR_RE, "\n")
+    elif lines:
         c = F.regexp_replace(c, BLOCK_BREAK_RE, "\n")
     c = F.regexp_replace(c, TAG_RE, " ")
     if entities == "basic":
@@ -139,6 +168,11 @@ def html_text_expr(
             c = F.replace(c, F.lit(ent), F.lit(rep))
     else:
         c = _full_entity_udf()(c)
+    if paragraphs:
+        c = F.regexp_replace(c, HWS_ONLY_RE, " ")
+        c = F.regexp_replace(c, NL_PAD_RE, "\n")
+        c = F.regexp_replace(c, NL_MANY_RE, "\n\n")
+        return F.btrim(c, F.lit("\n "))
     if lines:
         c = F.regexp_replace(c, HWS_ONLY_RE, " ")
         c = F.regexp_replace(c, NL_RUN_RE, "\n")
@@ -152,6 +186,7 @@ def extract_html_text(
     id_col: str = "doc_id",
     entities: str = "basic",
     lines: bool = False,
+    paragraphs: bool = False,
 ) -> DataFrame:
     """(id, text, html_chars, text_chars, n_anchors, text_ratio) — the
     extraction projection a crawl pipeline persists; downstream curation
@@ -164,7 +199,9 @@ def extract_html_text(
     ``entities="full"`` opts into complete HTML5 entity decoding (see
     html_text_expr).
     """
-    text = html_text_expr(html_col, entities=entities, lines=lines)
+    text = html_text_expr(
+        html_col, entities=entities, lines=lines, paragraphs=paragraphs
+    )
     return docs.select(
         F.col(id_col),
         text.alias("text"),
@@ -184,18 +221,30 @@ def extract_html_text(
 # ---------------- DuckDB oracle fragments (1:1 rule mirror) ---------------
 
 
-def o_html_text(html_col: str, lines: bool = False) -> str:
+def o_html_text(
+    html_col: str, lines: bool = False, paragraphs: bool = False
+) -> str:
     """DuckDB mirror of html_text_expr — same patterns verbatim; DuckDB
     regexp_replace needs the explicit 'g' (global) option."""
+    if paragraphs and not lines:
+        raise ValueError("paragraphs=True requires lines=True")
     e = f"regexp_replace({html_col}, '{SCRIPT_RE}', ' ', 'g')"
     e = f"regexp_replace({e}, '{STYLE_RE}', ' ', 'g')"
     e = f"regexp_replace({e}, '{COMMENT_RE}', ' ', 'g')"
-    if lines:
+    if paragraphs:
+        e = f"regexp_replace({e}, '{BLOCK_CLOSE_RE}', chr(10) || chr(10), 'g')"
+        e = f"regexp_replace({e}, '{BR_RE}', chr(10), 'g')"
+    elif lines:
         e = f"regexp_replace({e}, '{BLOCK_BREAK_RE}', chr(10), 'g')"
     e = f"regexp_replace({e}, '{TAG_RE}', ' ', 'g')"
     for ent, rep in ENTITIES:
         rep_sql = rep.replace("'", "''")
         e = f"replace({e}, '{ent}', '{rep_sql}')"
+    if paragraphs:
+        e = f"regexp_replace({e}, '{HWS_ONLY_RE}', ' ', 'g')"
+        e = f"regexp_replace({e}, '{NL_PAD_RE}', chr(10), 'g')"
+        e = f"regexp_replace({e}, '{NL_MANY_RE}', chr(10) || chr(10), 'g')"
+        return f"trim({e}, chr(10) || ' ')"
     if lines:
         e = f"regexp_replace({e}, '{HWS_ONLY_RE}', ' ', 'g')"
         e = f"regexp_replace({e}, '{NL_RUN_RE}', chr(10), 'g')"

@@ -110,8 +110,16 @@ def curate_crawl(
     gate, it stays a zero-shuffle projection.
     ``repetition_kwargs`` (optional) adds the Gopher REPETITION rule
     set (Table A1 section A1.2, operators/quality.gopher_repetition_rules)
-    as a further gate in the ``curated`` stage (``{}`` for the paper
-    thresholds; Arrow-batched signals, still shuffle-free).
+    as a gate right after URL dedup — PRE-rewrite, where the published
+    pipeline ran it, because both c4's line rejoin and curate_corpus's
+    normalization destroy the line/paragraph structure its signals
+    need. Its presence also switches extraction to paragraphs=True
+    (block closers -> blank line) so the \\n{2,} paragraph rules can
+    actually fire; with ``pre_extracted=True`` the gate sees the
+    source's own structure instead. (``{}`` for the paper thresholds;
+    Arrow-batched signals, still shuffle-free.) Its filtered docs are
+    reflected in the ``curated`` stage count together with the other
+    gates.
     ``c4_kwargs`` (optional) applies the C4 cleaning rule set
     (operators/quality.c4_rules) BEFORE normalization — it is the only
     gate that REWRITES text (drops non-prose lines), so it runs first,
@@ -147,10 +155,19 @@ def curate_crawl(
         extracted = crawl.select("doc_id", "url", "text")
     else:
         extracted = (
-            # c4's line gates need line structure, so its presence
-            # switches extraction to lines=True (block-tag closers ->
-            # line breaks)
-            extract_html_text(crawl, lines=c4_kwargs is not None)
+            # the line/paragraph gates need structure in the extracted
+            # text, so their presence switches the extraction mode:
+            # lines=True (block closers -> line breaks) for either
+            # gate, paragraphs=True (block closers -> BLANK line, <br>
+            # -> line break) when the repetition gate is on — its
+            # frac_dup_paragraphs / frac_chars_dup_paragraphs rules
+            # split on \n{2,}, which plain lines=True output (newline
+            # runs folded to one \n) can never contain.
+            extract_html_text(
+                crawl,
+                lines=c4_kwargs is not None or repetition_kwargs is not None,
+                paragraphs=repetition_kwargs is not None,
+            )
             .join(crawl.select("doc_id", "url"), "doc_id")
             .select("doc_id", "url", "text")
         )
@@ -170,6 +187,24 @@ def curate_crawl(
     url_unique = pin(extracted.join(url_keep, "doc_id", "left_semi"))
 
     gated = url_unique
+    if repetition_kwargs is not None:
+        from weather_monitoring_spark.operators.quality import (
+            gopher_repetition_rules,
+        )
+
+        # The repetition gate runs PRE-rewrite, on the extraction's own
+        # line/paragraph structure (where the published pipeline ran
+        # it): c4's text_clean rejoins kept lines with a single \n and
+        # curate_corpus normalizes whitespace, so running it any later
+        # silently zeroes the line/paragraph signals (the r9 advisor
+        # finding — the gate was degenerate downstream).
+        gated = (
+            gopher_repetition_rules(
+                gated, carry=("url", "text"), **repetition_kwargs
+            )
+            .filter(F.col("verdict") == "kept")
+            .select("doc_id", "url", "text")
+        )
     if c4_kwargs is not None:
         from weather_monitoring_spark.operators.quality import c4_rules
 
@@ -187,7 +222,6 @@ def curate_crawl(
     )
     if (
         gopher_kwargs is not None
-        or repetition_kwargs is not None
         or score_weights is not None
         or keep_langs is not None
     ):
@@ -209,22 +243,6 @@ def curate_crawl(
             gopher_rules(curated, carry=("text", "n_tokens"), **gopher_kwargs)
             .filter(F.col("verdict") == "kept")
             .select("doc_id", "text", "n_tokens")
-        )
-    if repetition_kwargs is not None:
-        from weather_monitoring_spark.operators.quality import (
-            gopher_repetition_rules,
-        )
-
-        # the operator emits its own n_tokens signal — carry the
-        # pipeline's count under a temp name to avoid the collision
-        curated = (
-            gopher_repetition_rules(
-                curated.withColumnRenamed("n_tokens", "_nt"),
-                carry=("text", "_nt"),
-                **repetition_kwargs,
-            )
-            .filter(F.col("verdict") == "kept")
-            .select("doc_id", "text", F.col("_nt").alias("n_tokens"))
         )
     if keep_langs is not None:
         from weather_monitoring_spark.operators.langid import lang_id_trigram

@@ -2186,6 +2186,44 @@ EXTRA_SPECS.append(
 )
 
 
+def _html_extract_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction with PARAGRAPH structure (lines=True,
+    paragraphs=True): block-level closers become blank lines, <br>
+    stays a single line break, 3+ newline runs fold to one blank line —
+    the two-level structure the Gopher A1.2 paragraph rules (split on
+    \\n{2,}) require; plain lines=True output can never contain a
+    \\n\\n (the r10 advisor fix). Same planted markup as
+    x_html_extract_lines."""
+    from weather_monitoring_spark.operators.htmlops import extract_html_text
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("html", _plant_html())
+    return extract_html_text(docs, lines=True, paragraphs=True)
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        name="x_html_extract_paragraphs",
+        doc=_html_extract_paragraphs.__doc__ or "",
+        spark=_html_extract_paragraphs,
+        oracle=f"""
+            WITH h AS (SELECT doc_id, {_O_PLANT_HTML} AS html FROM documents),
+                 t AS (SELECT doc_id, html,
+                              {o_html_text("html", lines=True, paragraphs=True)} AS text
+                       FROM h)
+            SELECT doc_id, text,
+                   CAST(length(html) AS BIGINT) AS html_chars,
+                   CAST(length(text) AS BIGINT) AS text_chars,
+                   {o_n_anchors("html")} AS n_anchors,
+                   CASE WHEN length(html) = 0 THEN 0.0
+                        ELSE CAST(length(text) AS DOUBLE) / CAST(length(html) AS DOUBLE)
+                   END AS text_ratio
+            FROM t
+        """,
+        tags=("extra", "html", "curation"),
+    )
+)
+
+
 # ------------- corpus-wide paragraph dedup (Dolma paragraph stage) -------------
 
 
