@@ -187,10 +187,131 @@ def run_r9(n_docs: int) -> None:
     print(json.dumps(out))
 
 
+def run_r10(n_docs: int) -> None:
+    """The composed worst case (r9 verdict item 6) in ONE invocation:
+    every r9 gate (mojibake + c4 + repetition + gopher word-count
+    config) + explicit bench (n-gram decontamination) + token shards +
+    leakage-safe split_pcts + EMBEDDING-axis semantic decontamination
+    over hashed-TF vectors of the surviving corpus.
+
+    Gate-firing notes, honest by construction: the gopher gate's
+    min_words=30 drops nothing on this corpus (every prose page has
+    60+ words) — it is included for the composition cost, not a planted
+    class; keep_langs is omitted because md5-hex words are not a
+    language (the r9 lang-gate demo covers it on real prose). The
+    semantic axis runs against the SURVIVORS (pre-n-gram-decontam)
+    frame so its verdicts can be cross-checked against the n-gram
+    stage: every exact bench leak still present must be flagged at
+    cosine ~1.0 by construction."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.operators.embeddings import hashed_tf_vectors
+    from weather_monitoring_spark.operators.htmlops import extract_html_text
+    from weather_monitoring_spark.operators.training_prep import (
+        semantic_decontaminate,
+    )
+    from weather_monitoring_spark.pipelines import curate_crawl, curation_report
+    from weather_monitoring_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="wms-curation-demo-r10",
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_PROBE_MEM", "8g"),
+            "spark.sql.shuffle.partitions": os.environ.get(
+                "SPARK_GRAFT_PROBE_PARTS", "64"
+            ),
+        },
+    )
+    tmp = _tf.mkdtemp(prefix="wms_curate_r10_")
+    out: dict = {"n_docs": n_docs, "mode": "r10-composed"}
+    t_all = time.perf_counter()
+    try:
+        crawl = synthetic_crawl_prose(spark, n_docs).localCheckpoint(eager=True)
+        bench = (
+            extract_html_text(crawl.filter("doc_id % 997 = 0"), lines=True)
+            .select("doc_id", "text")
+            .localCheckpoint(eager=True)
+        )
+        out["bench_docs"] = bench.count()
+        gopher_kwargs = dict(
+            min_words=30, max_words=10**9, min_mean_word_len=0.0,
+            max_mean_word_len=1e9, max_symbol_ratio=1e9,
+            max_bullet_frac=1e9, max_ellipsis_frac=1e9,
+            min_alpha_frac=0.0, min_stopwords=0,
+        )
+        t0 = time.perf_counter()
+        stages = curate_crawl(
+            crawl,
+            bench=bench,
+            min_tokens=5,
+            mojibake="table",
+            c4_kwargs={},
+            repetition_kwargs={},
+            gopher_kwargs=gopher_kwargs,
+            split_pcts=(80, 10),
+            split_salt="r10",
+            shard_dir=f"{tmp}/shards",
+            shard_budget=100_000,
+        )
+        report = curation_report(stages)
+        out["pipeline_sec"] = round(time.perf_counter() - t0, 2)
+        out["stages"] = report
+        out["split_counts"] = {
+            r["split"]: r["n"]
+            for r in stages.split.groupBy("split")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+        # embedding axis over the pre-decontam survivors: the exact
+        # bench leaks are still present there, so semantic flags must
+        # cover them (cosine 1.0 on identical token vectors)
+        def embed(df):
+            return (
+                hashed_tf_vectors(df.select("doc_id", "text"), dim=64, unit=True)
+                .select(
+                    F.col("doc_id").alias("vec_id"),
+                    F.col("vec").cast("array<float>").alias("embedding"),
+                )
+                .localCheckpoint(eager=True)
+            )
+
+        t0 = time.perf_counter()
+        train_emb, bench_emb = embed(stages.survivors), embed(bench)
+        out["vectorize_sec"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        sem = semantic_decontaminate(
+            train_emb, bench_emb, threshold=0.95
+        ).localCheckpoint(eager=True)
+        out["semantic_sec"] = round(time.perf_counter() - t0, 2)
+        out["semantic_flagged"] = sem.filter("contaminated").count()
+        # cross-axis check: docs the n-gram stage removed (survivors \
+        # clean) that were flagged by the semantic axis too
+        ngram_dropped = stages.survivors.select("doc_id").subtract(
+            stages.clean.select("doc_id")
+        )
+        out["ngram_dropped"] = ngram_dropped.count()
+        out["ngram_dropped_also_semantic"] = (
+            sem.filter("contaminated")
+            .select(F.col("vec_id").alias("doc_id"))
+            .join(ngram_dropped, "doc_id", "left_semi")
+            .count()
+        )
+        out["total_sec"] = round(time.perf_counter() - t_all, 2)
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a not in ("--gopher", "--r9")]
+    args = [a for a in sys.argv[1:] if a not in ("--gopher", "--r9", "--r10")]
     gopher = "--gopher" in sys.argv[1:]
     n_docs = int(args[0]) if args else 100_000
+    if "--r10" in sys.argv[1:]:
+        run_r10(n_docs)
+        return
     if "--r9" in sys.argv[1:]:
         run_r9(n_docs)
         return
