@@ -800,3 +800,45 @@ def test_wet_source_feeds_curate_crawl_pre_extracted(tmp_path, spark):
     # the C4 line gate saw real lines: 'short line' dies, sentences stay
     texts = {r.text for r in stages.curated.collect()}
     assert all("short line" not in t for t in texts)
+
+
+def test_wet_streaming_source_matches_batch(tmp_path, spark):
+    """read_wet_stream: WET segments landing in a directory parse
+    incrementally and produce exactly the batch reader's document rows
+    through wet_to_documents."""
+    import gzip
+
+    from weather_monitoring_spark.sources.warc import (
+        read_wet,
+        read_wet_stream,
+        wet_to_documents,
+    )
+
+    d = tmp_path / "wet_landing"
+    d.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    prose = "\n".join(f"Useful sentence {i} sits here." for i in range(6))
+    (d / "seg0.warc.wet.gz").write_bytes(
+        gzip.compress(
+            _warc_record("http://w/1", prose.encode(), warc_type="conversion")
+        )
+    )
+    q = (
+        wet_to_documents(read_wet_stream(spark, str(d)))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_rows = {
+        (r["doc_id"], r["url"], r["text"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_rows = {
+        (r["doc_id"], r["url"], r["text"])
+        for r in wet_to_documents(read_wet(spark, str(d))).collect()
+    }
+    assert stream_rows == batch_rows and len(stream_rows) == 1

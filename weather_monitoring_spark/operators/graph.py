@@ -265,7 +265,10 @@ def pagerank(
     (one extra small aggregate) is compared to ``tol``; the loop stops
     at the first iteration whose delta is <= tol, with ``iterations``
     still the hard cap. Leave None (default) for the fixed-iteration
-    contract the unrolled-CTE oracle mirrors.
+    contract the unrolled-CTE oracle mirrors. Pair ``tol`` with the
+    default ``checkpoint=True``: the delta is an ACTION per iteration,
+    so an unpinned lineage would replay iterations 1..k-1 inside
+    iteration k (O(k^2) recompute).
 
     Scale shape: the edge table is the big side and is read ONCE into
     (src, dst, out_degree) — out-degrees ride a broadcast-eligible

@@ -272,6 +272,20 @@ def read_wet(
     return read_warc(spark, path, glob=glob)
 
 
+def read_wet_stream(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.wet*",
+) -> DataFrame:
+    """Streaming twin of ``read_wet`` (the ``read_warc_stream``
+    machinery with the WET listing glob): WET segment files landing in
+    ``path`` parse incrementally through the checkpointed file-source
+    log — exactly-once across restarts, identical rows and record ids
+    to the batch reader; ``wet_to_documents`` composes unchanged on the
+    streaming frame."""
+    return read_warc_stream(spark, path, glob=glob)
+
+
 def wet_to_documents(records: DataFrame) -> DataFrame:
     """Project WET ``conversion`` records onto (doc_id, url, text) —
     the PRE-EXTRACTED document contract
