@@ -61,7 +61,9 @@ def record(uri, body, ctype):
 # one file = M MB of kept html + M MB of dropped png, in 4 MB records
 chunk = 4 * 1024 * 1024
 per_side = max(1, mb // 4)
+gz = variant.startswith("gz_")
 def build_file(i):
+    import gzip
     parts = []
     for j in range(per_side):
         parts.append(record("http://h/%d/%d" % (i, j),
@@ -69,6 +71,9 @@ def build_file(i):
                             "text/html"))
         parts.append(record("http://p/%d/%d" % (i, j),
                             b"\x89PNG" + b"y" * chunk, "image/png"))
+    if gz:
+        # per-record gzip members, exactly the CC layout
+        return b"".join(gzip.compress(p, compresslevel=1) for p in parts)
     return b"".join(parts)
 
 batch = pd.DataFrame({
@@ -91,7 +96,17 @@ if variant == "legacy_accumulate":
             for rec in W._parse_warc(p, bytes(c))]
     frames = [pd.DataFrame(rows, columns=cols)]
     del rows
-else:
+elif variant == "gz_eager_gunzip":
+    # the pre-incremental gz shape: whole-file decompression before the
+    # parse (compressed + full raw image resident simultaneously),
+    # per-file yields otherwise identical to the shipped path
+    cols = [f.split(" ")[0] for f in W.WARC_SCHEMA.split(", ")]
+    def eager():
+        for p, c in zip(batch["path"], batch["content"]):
+            raw = W._gunzip_members(bytes(c))
+            yield pd.DataFrame(list(W._parse_warc(p, raw)), columns=cols)
+    frames = eager()
+else:  # per_file / per_file_responses_only / gz_incremental
     frames = W._make_parse_batches(variant == "per_file_responses_only")(
         [batch]
     )
@@ -119,6 +134,8 @@ def main() -> None:
         "legacy_accumulate",
         "per_file",
         "per_file_responses_only",
+        "gz_eager_gunzip",
+        "gz_incremental",
     ):
         out = subprocess.run(
             [sys.executable, "-c", WORKER, variant, str(n_files), str(mb)],

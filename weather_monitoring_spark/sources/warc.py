@@ -9,9 +9,12 @@ unsplittable too), then ONE ``mapInPandas`` pass parses records out of
 each file's bytes. The parallelism unit is the FILE, exactly how Common
 Crawl ships (segments of ~1 GB files, tens of thousands per crawl), so a
 1000-executor cluster saturates on file count; ``pathGlobFilter`` prunes
-non-WARC paths during listing and a task's memory is bounded by the
-largest single file it reads (bin-packed by
-``spark.sql.files.maxPartitionBytes``).
+non-WARC paths during listing. Task memory: gzipped input parses
+INCREMENTALLY (one member at a time through a sliding buffer, one
+yielded frame per file chunked at WARC_YIELD_RECORDS), so the working
+set is the compressed file + the largest in-flight record + one row
+chunk — never the 3-5 GB decompressed image of a CC shard
+(scripts/probe_warc_memory.py quantifies each shape).
 
 Record ids are content-addressed digests of (path, byte offset) — stable
 across re-listing, repartitioning, and incremental crawls (the
@@ -42,19 +45,59 @@ WARC_SCHEMA = (
 _GZIP_MAGIC = b"\x1f\x8b"
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress ALL gzip members (Common Crawl gzips each WARC record
-    as its own member so readers can seek; a plain one-member file is
-    the degenerate case). Explicit member loop — some gzip fronts stop
-    at the first member boundary."""
-    out = []
-    while data[:2] == _GZIP_MAGIC:
+def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress gzip members ONE AT A TIME (Common Crawl gzips each
+    WARC record as its own member so readers can seek; a plain
+    one-member file is the degenerate case). Two memory properties the
+    parse loop depends on:
+
+    - the compressed input is fed in 1 MB slices of a memoryview, so a
+      member's decompression never holds more than (one member's
+      output + 1 MB) beyond the caller's input — NOT compressed +
+      fully-decompressed simultaneously;
+    - ``unused_data`` carry-over is bounded by the last fed slice
+      (<= 1 MB), never a copy of the whole remaining file — the
+      many-members case (tens of thousands per CC shard) stays O(n),
+      where a naive ``data = d.unused_data`` loop is O(n * members)
+      byte copies.
+
+    A truncated final member yields what decoded, then stops (the
+    crawl-damage tolerance contract)."""
+    mv = memoryview(data)
+    n = len(data)
+    pos = 0
+    carry = b""  # compressed remainder of the previous member's last slice
+    chunk = 1 << 20
+    while True:
+        head = bytes(carry[:2])
+        if len(head) < 2:
+            head += bytes(mv[pos : pos + 2 - len(head)])
+        if head != _GZIP_MAGIC:
+            return
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(data))
-        data = d.unused_data
-        if not d.eof:  # truncated member: keep what decoded, stop
-            break
-    return b"".join(out)
+        out = []
+        while True:
+            if carry:
+                feed, carry = carry, b""
+            elif pos < n:
+                feed = mv[pos : pos + chunk]
+                pos += len(feed)
+            else:
+                if out:  # truncated member: keep what decoded, stop
+                    yield b"".join(out)
+                return
+            out.append(d.decompress(feed))
+            if d.eof:
+                carry = d.unused_data
+                yield b"".join(out)
+                break
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """All members joined — the eager convenience form of
+    ``_iter_gzip_members`` (the parse loop itself consumes the iterator
+    so a file's full decompressed image never materializes)."""
+    return b"".join(_iter_gzip_members(data))
 
 
 def _parse_warc(
@@ -73,21 +116,59 @@ def _parse_warc(
     (2xx response, html-or-unknown content type) INTO the parse: skipped
     records' payload bytes are dropped here, before any pandas frame is
     built — the memory-shape guard for archive-scale files whose kept
-    fraction is small."""
-    if data[:2] == _GZIP_MAGIC:
-        data = _gunzip_members(data)
-    pos, n = 0, len(data)
-    while pos < n:
-        # tolerate separator slack / trailing junk before the next record
-        nxt = data.find(b"WARC/", pos)
-        if nxt < 0:
-            return
-        pos = nxt
-        hdr_end = data.find(b"\r\n\r\n", pos)
-        if hdr_end < 0:
-            return
+    fraction is small.
+
+    Memory shape (gzipped input): records parse INCREMENTALLY out of a
+    sliding buffer fed one gzip member at a time, so a task's working
+    set is (compressed file) + (largest in-flight record) + (the
+    caller's row chunk) — the full decompressed image of a ~1 GB gz /
+    3-5 GB raw Common Crawl shard never materializes. Record offsets
+    are positions in the DECOMPRESSED stream, byte-identical to a
+    whole-buffer parse (the plain-file path, where binaryFile already
+    delivered the full bytes, IS the whole-buffer parse: the cursor
+    walks the input in place). The buffer compacts amortized-O(n)."""
+    chunks = (
+        _iter_gzip_members(data)
+        if data[:2] == _GZIP_MAGIC
+        else iter((data,))
+    )
+    buf = bytearray()
+    base0 = 0  # stream offset of buf[0]
+    start = 0  # parse cursor within buf
+    compact_at = 1 << 23
+
+    def pull() -> bool:
+        nonlocal base0, start
+        if start > compact_at:
+            base0 += start
+            del buf[:start]
+            start = 0
+        c = next(chunks, None)
+        if c is None:
+            return False
+        buf.extend(c)
+        return True
+
+    pull()
+    while True:
+        # tolerate separator slack / trailing junk before the next
+        # record; the magic may straddle a member boundary, so failed
+        # scans retain a len("WARC/")-1 tail before pulling more
+        i = buf.find(b"WARC/", start)
+        while i < 0:
+            if len(buf) - start > 4:
+                start = len(buf) - 4
+            if not pull():
+                return
+            i = buf.find(b"WARC/", start)
+        start = i
+        hdr_end = buf.find(b"\r\n\r\n", start)
+        while hdr_end < 0:
+            if not pull():
+                return
+            hdr_end = buf.find(b"\r\n\r\n", start)
         headers: dict[str, str] = {}
-        for line in data[pos:hdr_end].split(b"\r\n")[1:]:
+        for line in bytes(buf[start:hdr_end]).split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
             if _:
                 headers[k.strip().lower().decode("latin-1")] = (
@@ -98,9 +179,12 @@ def _parse_warc(
         except ValueError:
             length = 0
         body_start = hdr_end + 4
-        block = data[body_start : body_start + length]
-        rec_offset = pos
-        pos = body_start + length
+        while len(buf) < body_start + length:
+            if not pull():
+                break  # truncated record: keep the bytes that arrived
+        block = bytes(buf[body_start : body_start + length])
+        rec_offset = base0 + start
+        start = min(len(buf), body_start + length)
         status, ctype, payload = None, headers.get("content-type"), block
         if headers.get("warc-type") == "response" and block[:5] == b"HTTP/":
             http_end = block.find(b"\r\n\r\n")
