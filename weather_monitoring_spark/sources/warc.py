@@ -51,46 +51,46 @@ def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
     one-member file is the degenerate case). Two memory properties the
     parse loop depends on:
 
-    - the compressed input is fed in 1 MB slices of a memoryview, so a
-      member's decompression never holds more than (one member's
-      output + 1 MB) beyond the caller's input — NOT compressed +
-      fully-decompressed simultaneously;
-    - ``unused_data`` carry-over is bounded by the last fed slice
-      (<= 1 MB), never a copy of the whole remaining file — the
-      many-members case (tens of thousands per CC shard) stays O(n),
-      where a naive ``data = d.unused_data`` loop is O(n * members)
-      byte copies.
+    - the compressed input is fed in ramping memoryview slices (8 KB
+      doubling to 1 MB per member), so a member's decompression never
+      holds more than (one member's output + 1 MB) beyond the caller's
+      input — NOT compressed + fully-decompressed simultaneously;
+    - member boundaries are handled by REWINDING the cursor by
+      ``len(unused_data)`` — no compressed bytes carry between members,
+      and the per-member overshoot copy is bounded by ~the member's own
+      size, keeping total copy cost O(file) even for tiny per-record
+      members (a naive ``data = d.unused_data`` loop is O(n * members)
+      byte copies; a fixed-large-chunk carry chain is O(chunk) per
+      member).
 
     A truncated final member yields what decoded, then stops (the
     crawl-damage tolerance contract)."""
     mv = memoryview(data)
     n = len(data)
     pos = 0
-    carry = b""  # compressed remainder of the previous member's last slice
-    chunk = 1 << 20
-    while True:
-        head = bytes(carry[:2])
-        if len(head) < 2:
-            head += bytes(mv[pos : pos + 2 - len(head)])
-        if head != _GZIP_MAGIC:
-            return
+    while pos + 2 <= n and bytes(mv[pos : pos + 2]) == _GZIP_MAGIC:
         d = zlib.decompressobj(wbits=31)
         out = []
+        # feed sizes ramp 8 KB -> 1 MB within a member: the per-member
+        # overshoot copy (zlib materializes unused_data of the LAST fed
+        # slice) is bounded by ~the member's own size, so total copy
+        # cost is O(file), not O(chunk x members). On eof the cursor
+        # REWINDS by len(unused_data) to the exact member boundary —
+        # no compressed carry-over between members at all.
+        chunk = 1 << 13
         while True:
-            if carry:
-                feed, carry = carry, b""
-            elif pos < n:
-                feed = mv[pos : pos + chunk]
-                pos += len(feed)
-            else:
+            if pos >= n:
                 if out:  # truncated member: keep what decoded, stop
                     yield b"".join(out)
                 return
+            feed = mv[pos : pos + chunk]
+            pos += len(feed)
             out.append(d.decompress(feed))
             if d.eof:
-                carry = d.unused_data
+                pos -= len(d.unused_data)
                 yield b"".join(out)
                 break
+            chunk = min(chunk << 1, 1 << 20)
 
 
 def _gunzip_members(data: bytes) -> bytes:
