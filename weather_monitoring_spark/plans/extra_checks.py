@@ -2902,20 +2902,64 @@ EXTRA_SPECS.append(
 )
 
 
+def _plant_structured_text() -> F.Column:
+    """Multi-line / multi-paragraph text planted from the document's own
+    bytes (the _plant_html discipline): the raw ``documents.text`` has
+    ZERO newlines (measured), so without planting, the line/paragraph
+    legs of the repetition rules compute trivially (one line, one
+    paragraph) and the cross-engine check never exercises them. Classes:
+    every 3rd doc carries a DUPLICATE LINE pair inside paragraph 1;
+    every 4th doc repeats an 80-char slice as two identical standalone
+    PARAGRAPHS; every doc has >= 2 lines and >= 2 paragraphs."""
+    d = F.col("doc_id")
+    p1 = F.substring(F.col("text"), 1, 80)
+    return F.concat(
+        p1,
+        F.lit("\n"),
+        F.when(
+            d % 3 == 0, F.lit("dup line marker\ndup line marker\n")
+        ).otherwise(F.lit("")),
+        F.substring(F.col("text"), 41, 80),
+        F.lit("\n\n"),
+        F.when(d % 4 == 0, F.concat(p1, F.lit("\n\n"), p1, F.lit("\n\n")))
+        .otherwise(F.lit("")),
+        F.lit("closing paragraph of doc "),
+        d.cast("string"),
+    )
+
+
+_O_PLANT_STRUCTURED = """(
+    substring(text, 1, 80) || chr(10) ||
+    CASE WHEN doc_id % 3 = 0
+         THEN 'dup line marker' || chr(10) || 'dup line marker' || chr(10)
+         ELSE '' END ||
+    substring(text, 41, 80) || chr(10) || chr(10) ||
+    CASE WHEN doc_id % 4 = 0
+         THEN substring(text, 1, 80) || chr(10) || chr(10)
+           || substring(text, 1, 80) || chr(10) || chr(10)
+         ELSE '' END ||
+    'closing paragraph of doc ' || CAST(doc_id AS VARCHAR))"""
+
+
 def _gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher REPETITION rule set (Rae et al. Table A1 section A1.2):
     duplicate line/paragraph fractions and character fractions, top-
     {2,3,4}-gram character fraction (most-frequent gram, count >= 2),
     duplicated-{5..10}-gram character coverage (interval-union, overlaps
-    once), paper thresholds as a first-failing verdict. Zero-shuffle
-    row-local array algebra (sort-adjacency dup detection); the oracle
-    replays the definitions as list comprehensions; all numerators exact
-    BIGINTs, each fraction ONE IEEE divide."""
+    once), paper thresholds as a first-failing verdict, over PLANTED
+    multi-line/multi-paragraph text (r10: the raw table has no newlines,
+    so the line/paragraph legs were never oracle-exercised before).
+    Zero-shuffle row-local array algebra (sort-adjacency dup detection);
+    the oracle replays the definitions as list comprehensions; all
+    numerators exact BIGINTs, each fraction ONE IEEE divide."""
     from weather_monitoring_spark.operators.quality import (
         gopher_repetition_rules,
     )
 
-    return gopher_repetition_rules(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _plant_structured_text().alias("text")
+    )
+    return gopher_repetition_rules(docs)
 
 
 def _o_gopher_rep() -> str:
@@ -2923,7 +2967,9 @@ def _o_gopher_rep() -> str:
         o_gopher_repetition_sql,
     )
 
-    return o_gopher_repetition_sql()
+    return o_gopher_repetition_sql(
+        source=f"(SELECT doc_id, {_O_PLANT_STRUCTURED} AS text FROM documents)"
+    )
 
 
 EXTRA_SPECS.append(
