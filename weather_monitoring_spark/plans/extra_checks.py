@@ -2983,22 +2983,78 @@ EXTRA_SPECS.append(
 )
 
 
+def _plant_c4_page() -> F.Column:
+    """Multi-line page text planted from the document's own bytes (the
+    same r10 rationale as _plant_structured_text: raw documents.text has
+    no newlines, so the oracle check split every page into ONE line and
+    the line-keep/rebuild legs ran trivially). Line classes: two keeper
+    sentences (terminal '.', >= 3 words), a too-short line, a
+    javascript line on every 4th doc; page classes: a brace drop on
+    every 5th, lorem ipsum on every 7th (brace precedence covers the
+    overlap), and 4 extra sentences on every 2nd so verdicts split
+    kept vs too_few_sentences."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("First full sentence stays with "),
+        F.substring(F.col("text"), 1, 8),
+        F.lit(" inside.\ntiny\n"),
+        F.when(
+            d % 4 == 0,
+            F.lit("Please enable javascript to view this page.\n"),
+        ).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("some lorem ipsum filler text\n")).otherwise(
+            F.lit("")
+        ),
+        F.lit("Second keeper sentence number "),
+        d.cast("string"),
+        F.lit(" stays.\n"),
+        F.when(
+            d % 2 == 0,
+            F.lit("Extra one. Extra two. Extra three. Extra four.\n"),
+        ).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("code { sample }\n")).otherwise(F.lit("")),
+    )
+
+
+_O_PLANT_C4 = """(
+    'First full sentence stays with ' || substring(text, 1, 8) ||
+    ' inside.' || chr(10) || 'tiny' || chr(10) ||
+    CASE WHEN doc_id % 4 = 0
+         THEN 'Please enable javascript to view this page.' || chr(10)
+         ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0
+         THEN 'some lorem ipsum filler text' || chr(10) ELSE '' END ||
+    'Second keeper sentence number ' || CAST(doc_id AS VARCHAR) ||
+    ' stays.' || chr(10) ||
+    CASE WHEN doc_id % 2 = 0
+         THEN 'Extra one. Extra two. Extra three. Extra four.' || chr(10)
+         ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN 'code { sample }' || chr(10) ELSE '' END)"""
+
+
 def _c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4 cleaning rule set (Raffel et al. 2020 section 2.2): line-level
     keep predicate (terminal punctuation, >= 3 words, no 'javascript')
     rebuilding text_clean, plus the paper's page-level drops (brace /
     lorem ipsum / bad-word list / < 5 sentences) as a first-failing
-    verdict. One zero-shuffle projection; counts exact BIGINTs, strings
-    byte-built — the whole frame hash-matches with no IEEE terms."""
+    verdict — over PLANTED multi-line pages (r10: the raw table has no
+    newlines, so the line legs ran on one-line pages before). One
+    zero-shuffle projection; counts exact BIGINTs, strings byte-built —
+    the whole frame hash-matches with no IEEE terms."""
     from weather_monitoring_spark.operators.quality import c4_rules
 
-    return c4_rules(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _plant_c4_page().alias("text")
+    )
+    return c4_rules(docs)
 
 
 def _o_c4() -> str:
     from weather_monitoring_spark.operators.quality import o_c4_rules_sql
 
-    return o_c4_rules_sql()
+    return o_c4_rules_sql(
+        source=f"(SELECT doc_id, {_O_PLANT_C4} AS text FROM documents)"
+    )
 
 
 EXTRA_SPECS.append(
