@@ -1567,3 +1567,60 @@ def test_semantic_decontaminate_flags_planted_paraphrase(spark):
     # after the -id-1 mapping and silently corrupt verdicts
     with pytest.raises(ValueError, match="bench vec_id"):
         semantic_decontaminate(train, bad)
+
+
+def test_semantic_decontaminate_cross_equals_blocked_bitwise(spark):
+    """The r10 cross-side path (GEMM prefilter + exact fold re-score
+    against the broadcast bench matrix) must produce BIT-EQUAL verdicts,
+    max_cos included, to the union formulation — same exactness
+    discipline, ~n_train/n_bench less work."""
+    import math
+
+    from weather_monitoring_spark.operators.training_prep import (
+        semantic_decontaminate,
+    )
+
+    def vec(seed, dim=8):
+        # deterministic, non-trivial float32-ish values
+        return [math.sin(seed * 7.3 + j * 1.7) for j in range(dim)]
+
+    train = spark.createDataFrame(
+        [(i, vec(i)) for i in range(60)],
+        "vec_id bigint, embedding array<float>",
+    )
+    # bench: three train-adjacent vectors + one orthogonal-ish
+    bench = spark.createDataFrame(
+        [(0, vec(3)), (1, vec(17)), (2, vec(44)), (3, [1.0] + [0.0] * 7)],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = lambda df: sorted(
+        (r["vec_id"], r["contaminated"], r["max_cos"], r["n_bench_hits"])
+        for r in df.collect()
+    )
+    a = rows(semantic_decontaminate(train, bench, threshold=0.9,
+                                    method="cross"))
+    b = rows(semantic_decontaminate(train, bench, threshold=0.9,
+                                    method="blocked"))
+    assert a == b  # bit-equal max_cos included
+    assert any(r[1] for r in a)  # the planted neighbors flagged
+
+    # auto picks cross below the cap and falls back above it; forcing
+    # cross above the cap is an audit-grade error
+    import weather_monitoring_spark.operators.training_prep as tp
+    import pytest
+
+    old = tp.SEMANTIC_CROSS_BENCH_CAP
+    try:
+        tp.SEMANTIC_CROSS_BENCH_CAP = 2
+        with pytest.raises(ValueError, match="closure cap"):
+            semantic_decontaminate(train, bench, method="cross")
+        c = rows(semantic_decontaminate(train, bench, threshold=0.9))
+        assert c == b  # auto fell back to the union path, same answer
+    finally:
+        tp.SEMANTIC_CROSS_BENCH_CAP = old
+
+    # empty bench: every train row explicitly clean
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    out = semantic_decontaminate(train, empty).collect()
+    assert len(out) == 60
+    assert all(not r["contaminated"] and r["n_bench_hits"] == 0 for r in out)

@@ -585,13 +585,110 @@ def mixture_weights(
 SEMANTIC_CONTAM_THRESHOLD = 0.85
 
 
+#: Bench-size cap for the cross-side GEMM path: the bench matrix ships
+#: to every task as a closure (100k x 64 float64 ~ 51 MB). Above this,
+#: "auto" falls back to the union formulation.
+SEMANTIC_CROSS_BENCH_CAP = 100_000
+
+
+def _semantic_cross(
+    train_emb: DataFrame,
+    bench_rows: list,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Cross-side-only scorer: ONE pass over train with the (tiny) bench
+    matrix broadcast as a task closure — GEMM prefilter with the
+    guaranteed-recall margin, then the exact sequential-fold re-score on
+    the collision-bounded candidates (the cosine_neardup_pairs
+    discipline), so results are BIT-EQUAL to the union path. Work is
+    O(n_train * n_bench) FLOPs with zero pair-explosion shuffle, vs the
+    union self-join's O((n_train + n_bench)^2) block grid — the shape a
+    decontamination run actually has (bench << train)."""
+    import numpy as np
+
+    from weather_monitoring_spark.operators.similarity import (
+        PREFILTER_MARGIN,
+        dot_expr,
+        norm_expr,
+    )
+
+    if not bench_rows:  # empty bench: every train row is explicitly clean
+        return train_emb.select(id_col).select(
+            id_col,
+            F.lit(False).alias("contaminated"),
+            F.lit(None).cast("double").alias("max_cos"),
+            F.lit(0).cast("bigint").alias("n_bench_hits"),
+        )
+    b_ids = np.asarray([r[0] for r in bench_rows], dtype=np.int64)
+    bm = np.asarray([list(r[1]) for r in bench_rows], dtype=np.float64)
+    bn = np.sqrt((bm * bm).sum(axis=1))
+    thr = threshold - PREFILTER_MARGIN
+    # cap the transient score matrix at ~32M cells per chunk
+    chunk = max(1, (1 << 25) // max(1, len(b_ids)))
+
+    def find(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            v = np.asarray([list(x) for x in pdf[vec_col]], dtype=np.float64)
+            vn = np.sqrt((v * v).sum(axis=1))
+            for lo in range(0, len(ids), chunk):
+                hi = min(lo + chunk, len(ids))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = (v[lo:hi] @ bm.T) / np.outer(vn[lo:hi], bn)
+                ti, bi = np.nonzero(s >= thr)  # NaN (zero norms) -> False
+                if len(ti):
+                    yield pd.DataFrame(
+                        {id_col: ids[lo:hi][ti], "_bid": b_ids[bi]}
+                    )
+
+    cand = train_emb.select(id_col, vec_col).mapInPandas(
+        find, f"{id_col} bigint, _bid bigint"
+    )
+    t = train_emb.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_tv"),
+        norm_expr(vec_col).alias("_tn"),
+    )
+    b = F.broadcast(
+        train_emb.sparkSession.createDataFrame(
+            [(int(i), list(map(float, v))) for i, v in bench_rows],
+            f"_bid bigint, _bv array<double>",
+        ).withColumn("_bn", norm_expr("_bv"))
+    )
+    hits = (
+        cand.join(t, id_col)
+        .join(b, "_bid")
+        .withColumn(
+            "cosine", dot_expr("_tv", "_bv") / (F.col("_tn") * F.col("_bn"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .groupBy(id_col)
+        .agg(
+            F.max("cosine").alias("max_cos"),
+            F.count("*").cast("bigint").alias("n_bench_hits"),
+        )
+    )
+    return train_emb.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.col("max_cos").isNotNull().alias("contaminated"),
+        "max_cos",
+        F.coalesce(F.col("n_bench_hits"), F.lit(0)).alias("n_bench_hits"),
+    )
+
+
 def semantic_decontaminate(
     train_emb: DataFrame,
     bench_emb: DataFrame,
     threshold: float = SEMANTIC_CONTAM_THRESHOLD,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "blocked",
+    method: str = "auto",
 ) -> DataFrame:
     """Embedding-axis decontamination — the third axis of the family:
     ``contamination_flags`` is exact n-gram overlap, winnowing gives the
@@ -602,19 +699,25 @@ def semantic_decontaminate(
     row (zero-filled clean verdicts — the contamination_flags contract);
     ``max_cos`` is NULL when nothing cleared ``threshold``.
 
-    Composition, not reimplementation: bench ids map injectively into
-    the NEGATIVE id space, the union runs the existing exact
-    ``cosine_neardup_pairs`` (blocked-GEMM prefilter + exact fold
-    re-score — its scale story carries over verbatim), and only
-    cross-side pairs count. Train AND bench ids must be non-negative —
-    each checked with one narrow min() scan (audit-grade operator; the
-    fit_quality_classifier guard precedent): a negative id on either
-    side would alias across the sign boundary and silently corrupt the
-    cross-side classification. Train-train and
-    bench-bench pairs are computed by the union formulation but the
-    quadratic work is the SAME GEMM block grid a self-join would do —
-    the cross-side filter is on the candidate output, which is
-    collision-bounded by the threshold."""
+    ``method`` (r10): ``"auto"`` (default) takes the CROSS-SIDE path
+    when bench fits the closure cap (SEMANTIC_CROSS_BENCH_CAP rows):
+    one pass over train scoring each batch against the broadcast bench
+    matrix — GEMM prefilter with the guaranteed-recall margin, exact
+    sequential-fold re-score on the collision-bounded candidates, so
+    results are BIT-EQUAL to the union path at O(n_train * n_bench)
+    FLOPs instead of the union self-join's O((n_train + n_bench)^2)
+    block grid (measured 631 s -> see BASELINE.md at 755k x 64 / 1k
+    bench). ``"cross"`` forces it (audit-grade error above the cap);
+    any other value ("blocked", ...) runs the original union
+    formulation with that value forwarded to ``cosine_neardup_pairs``:
+    bench ids map injectively into the NEGATIVE id space, the union
+    runs the existing exact machinery, and only cross-side pairs count.
+
+    Train AND bench ids must be non-negative — each checked with one
+    narrow min() scan (audit-grade operator; the fit_quality_classifier
+    guard precedent): a negative id on either side would alias across
+    the sign boundary and silently corrupt the cross-side
+    classification."""
     from weather_monitoring_spark.operators.similarity import (
         cosine_neardup_pairs,
     )
@@ -636,6 +739,22 @@ def semantic_decontaminate(
             f"(min={blo}) — negative ids would alias into the train side "
             f"after the -id-1 mapping"
         )
+    if method in ("auto", "cross"):
+        rows = (
+            bench_emb.select(id_col, vec_col)
+            .limit(SEMANTIC_CROSS_BENCH_CAP + 1)
+            .collect()
+        )
+        if len(rows) <= SEMANTIC_CROSS_BENCH_CAP:
+            return _semantic_cross(train_emb, rows, threshold, id_col, vec_col)
+        if method == "cross":
+            raise ValueError(
+                f"semantic_decontaminate: bench exceeds the cross-path "
+                f"closure cap ({SEMANTIC_CROSS_BENCH_CAP} rows) — use "
+                f"method='blocked' (the union formulation) for large "
+                f"benches"
+            )
+        method = "blocked"  # auto fallback: union formulation below
     bench = bench_emb.select(
         (-F.col(id_col) - 1).alias(id_col), F.col(vec_col)
     )
