@@ -128,8 +128,17 @@ print(json.dumps({
 
 
 def main() -> None:
+    import os
+
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     mb = int(sys.argv[2]) if len(sys.argv) > 2 else 128  # per side; x2 total
+    # the -c worker has no __file__ to derive the repo root from — hand
+    # it the import path explicitly so the probe runs from any cwd
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ}
+    env["PYTHONPATH"] = repo + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
     for variant in (
         "legacy_accumulate",
         "per_file",
@@ -142,6 +151,7 @@ def main() -> None:
             capture_output=True,
             text=True,
             check=True,
+            env=env,
         )
         print(out.stdout.strip())
 

@@ -881,3 +881,40 @@ def test_warc_record_straddling_gzip_members_parses_identically(spark, tmp_path)
     strip = lambda r: (r.record_offset, r.warc_type, r.target_uri,
                        r.http_status, r.content_type, bytes(r.payload))
     assert [strip(r) for r in whole] == [strip(r) for r in split]
+
+
+def test_warc_parse_survives_buffer_compaction_threshold():
+    """Regression for the r10 self-review finding: buffer compaction
+    firing INSIDE the body-fill loop shifted buf out from under the
+    captured body_start/hdr_end (corrupted payloads, skipped records)
+    once the parse cursor passed 8 MiB. This fixture crosses the
+    threshold in both paths: ~15 MiB of 5 MiB-body records parsed plain
+    (compaction between records) and as two gzip members whose boundary
+    falls INSIDE the third record's body after the threshold (the
+    body-fill compaction case)."""
+    import gzip
+    import hashlib
+
+    from weather_monitoring_spark.sources import warc as W
+
+    recs = [
+        _warc_record("http://big/%d" % i, (b"B%d|" % i) * (5 * 1024 * 1024 // 4))
+        for i in range(3)
+    ]
+    recs.append(_warc_record("http://tail/x", b"<html>tail body</html>"))
+    blob = b"".join(recs)
+
+    def strip(r):
+        return (
+            r["record_offset"],
+            r["target_uri"],
+            r["n_bytes"],
+            hashlib.md5(r["payload"]).hexdigest(),
+        )
+
+    plain = [strip(r) for r in W._parse_warc("p", blob)]
+    assert len(plain) == 4
+    cut = 12 * 1024 * 1024  # inside record 3's body, past the threshold
+    gz = gzip.compress(blob[:cut], 1) + gzip.compress(blob[cut:], 1)
+    inc = [strip(r) for r in W._parse_warc("p", gz)]
+    assert inc == plain

@@ -47,26 +47,26 @@ STYLE_RE = r"(?is)<style\b[^>]*>.*?</style\s*>"
 COMMENT_RE = r"(?s)<!--.*?-->"
 TAG_RE = r"<[^>]*>"
 WS_RE = r"\s+"
-#: lines=True mode: closing block-level tags and <br> become line
-#: breaks BEFORE the generic tag strip, so the extracted text carries
-#: the line structure line-level curation needs (C4 line gates,
-#: line/boilerplate dedup). RE2-and-Java-safe, mirrored in the oracle.
-BLOCK_BREAK_RE = (
-    r"(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|article"
-    r"|header|footer|pre)\s*>|<br\s*/?\s*>"
-)
-#: lines=True collapse: horizontal whitespace only, then newline runs.
-HWS_ONLY_RE = r"[ \t\r\f]+"
-NL_RUN_RE = r" ?\n[ \n]*"
 #: paragraphs=True mode: block-level closers become PARAGRAPH breaks
 #: (blank line) while <br> stays a line break, so the extracted text
 #: carries the two-level structure the Gopher A1.2 paragraph rules
-#: (split on \\n{2,}) need. Same closer set as BLOCK_BREAK_RE.
+#: (split on \\n{2,}) need. RE2-and-Java-safe, mirrored in the oracle.
 BLOCK_CLOSE_RE = (
     r"(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|article"
     r"|header|footer|pre)\s*>"
 )
 BR_RE = r"(?i)<br\s*/?\s*>"
+#: lines=True mode: closing block-level tags and <br> become line
+#: breaks BEFORE the generic tag strip, so the extracted text carries
+#: the line structure line-level curation needs (C4 line gates,
+#: line/boilerplate dedup). DERIVED from the two constants above so
+#: the lines and paragraphs modes can never disagree on the closer set
+#: (both (?i) flags apply from their own alternative onward — same
+#: semantics in Java regex and RE2).
+BLOCK_BREAK_RE = BLOCK_CLOSE_RE + "|" + BR_RE
+#: lines=True collapse: horizontal whitespace only, then newline runs.
+HWS_ONLY_RE = r"[ \t\r\f]+"
+NL_RUN_RE = r" ?\n[ \n]*"
 #: paragraphs=True collapse: spaces hugging any newline die, then 3+
 #: newline runs become exactly one blank line.
 NL_PAD_RE = r" *\n *"

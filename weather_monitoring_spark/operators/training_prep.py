@@ -591,6 +591,31 @@ SEMANTIC_CONTAM_THRESHOLD = 0.85
 SEMANTIC_CROSS_BENCH_CAP = 100_000
 
 
+def _semantic_verdicts(
+    train_emb: DataFrame, hits: DataFrame | None, id_col: str
+) -> DataFrame:
+    """THE definition of semantic_decontaminate's output contract —
+    (id, contaminated, max_cos, n_bench_hits) for EVERY train row,
+    zero-filled clean verdicts — shared by the cross path, the union
+    path, and the empty-bench case (``hits=None``), so the bit-equality
+    guarantee between methods cannot drift through a schema edit in one
+    of them."""
+    ids = train_emb.select(id_col)
+    if hits is None:
+        return ids.select(
+            id_col,
+            F.lit(False).alias("contaminated"),
+            F.lit(None).cast("double").alias("max_cos"),
+            F.lit(0).cast("bigint").alias("n_bench_hits"),
+        )
+    return ids.join(hits, id_col, "left").select(
+        id_col,
+        F.col("max_cos").isNotNull().alias("contaminated"),
+        "max_cos",
+        F.coalesce(F.col("n_bench_hits"), F.lit(0)).alias("n_bench_hits"),
+    )
+
+
 def _semantic_cross(
     train_emb: DataFrame,
     bench_rows: list,
@@ -615,12 +640,7 @@ def _semantic_cross(
     )
 
     if not bench_rows:  # empty bench: every train row is explicitly clean
-        return train_emb.select(id_col).select(
-            id_col,
-            F.lit(False).alias("contaminated"),
-            F.lit(None).cast("double").alias("max_cos"),
-            F.lit(0).cast("bigint").alias("n_bench_hits"),
-        )
+        return _semantic_verdicts(train_emb, None, id_col)
     b_ids = np.asarray([r[0] for r in bench_rows], dtype=np.int64)
     bm = np.asarray([list(r[1]) for r in bench_rows], dtype=np.float64)
     bn = np.sqrt((bm * bm).sum(axis=1))
@@ -674,12 +694,7 @@ def _semantic_cross(
             F.count("*").cast("bigint").alias("n_bench_hits"),
         )
     )
-    return train_emb.select(id_col).join(hits, id_col, "left").select(
-        id_col,
-        F.col("max_cos").isNotNull().alias("contaminated"),
-        "max_cos",
-        F.coalesce(F.col("n_bench_hits"), F.lit(0)).alias("n_bench_hits"),
-    )
+    return _semantic_verdicts(train_emb, hits, id_col)
 
 
 def semantic_decontaminate(
@@ -728,17 +743,19 @@ def semantic_decontaminate(
             f"semantic_decontaminate: train {id_col} must be non-negative "
             f"(min={lo}) — the bench side maps into the negative id space"
         )
-    # Symmetric guard: a NEGATIVE bench id maps via -id-1 into the
-    # non-negative space, would be classified as a TRAIN row by the
-    # cross-side filter, and can collide with a real train id — wrong
-    # contamination verdicts with no error. Same audit-grade check.
-    blo = bench_emb.agg(F.min(id_col).alias("m")).first()["m"]
-    if blo is not None and blo < 0:
-        raise ValueError(
-            f"semantic_decontaminate: bench {id_col} must be non-negative "
-            f"(min={blo}) — negative ids would alias into the train side "
-            f"after the -id-1 mapping"
-        )
+    def _bench_guard(blo) -> None:
+        # Symmetric guard: a NEGATIVE bench id maps via -id-1 into the
+        # non-negative space, would be classified as a TRAIN row by the
+        # cross-side filter, and can collide with a real train id —
+        # wrong contamination verdicts with no error (and the cross
+        # path's id mapping shares the contract). Audit-grade check.
+        if blo is not None and blo < 0:
+            raise ValueError(
+                f"semantic_decontaminate: bench {id_col} must be "
+                f"non-negative (min={blo}) — negative ids would alias "
+                f"into the train side after the -id-1 mapping"
+            )
+
     if method in ("auto", "cross"):
         rows = (
             bench_emb.select(id_col, vec_col)
@@ -746,6 +763,9 @@ def semantic_decontaminate(
             .collect()
         )
         if len(rows) <= SEMANTIC_CROSS_BENCH_CAP:
+            # the full bench is in hand: the min is free — no second
+            # frame scan (r10 self-review)
+            _bench_guard(min((r[0] for r in rows), default=None))
             return _semantic_cross(train_emb, rows, threshold, id_col, vec_col)
         if method == "cross":
             raise ValueError(
@@ -755,6 +775,7 @@ def semantic_decontaminate(
                 f"benches"
             )
         method = "blocked"  # auto fallback: union formulation below
+    _bench_guard(bench_emb.agg(F.min(id_col).alias("m")).first()["m"])
     bench = bench_emb.select(
         (-F.col(id_col) - 1).alias(id_col), F.col(vec_col)
     )
@@ -775,9 +796,4 @@ def semantic_decontaminate(
         F.max("cosine").alias("max_cos"),
         F.count("*").cast("bigint").alias("n_bench_hits"),
     )
-    return train_emb.select(id_col).join(hits, id_col, "left").select(
-        id_col,
-        F.col("max_cos").isNotNull().alias("contaminated"),
-        "max_cos",
-        F.coalesce(F.col("n_bench_hits"), F.lit(0)).alias("n_bench_hits"),
-    )
+    return _semantic_verdicts(train_emb, hits, id_col)

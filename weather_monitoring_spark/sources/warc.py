@@ -138,19 +138,27 @@ def _parse_warc(
     compact_at = 1 << 23
 
     def pull() -> bool:
-        nonlocal base0, start
-        if start > compact_at:
-            base0 += start
-            del buf[:start]
-            start = 0
+        # extend ONLY — compaction is done explicitly at points where
+        # every live buffer coordinate is accounted for (a compaction
+        # inside the body-fill loop once shifted buf out from under the
+        # captured body_start/hdr_end: corrupted payloads + skipped
+        # records past the threshold — caught in the r10 self-review)
         c = next(chunks, None)
         if c is None:
             return False
         buf.extend(c)
         return True
 
+    def compact() -> None:
+        nonlocal base0, start
+        if start > compact_at:
+            base0 += start
+            del buf[:start]
+            start = 0
+
     pull()
     while True:
+        compact()  # between records: only `start` is live
         # tolerate separator slack / trailing junk before the next
         # record; the magic may straddle a member boundary, so failed
         # scans retain a len("WARC/")-1 tail before pulling more
@@ -158,17 +166,21 @@ def _parse_warc(
         while i < 0:
             if len(buf) - start > 4:
                 start = len(buf) - 4
+            compact()  # junk-heavy streams must not accumulate
             if not pull():
                 return
             i = buf.find(b"WARC/", start)
         start = i
         hdr_end = buf.find(b"\r\n\r\n", start)
         while hdr_end < 0:
+            compact()  # hdr_end recomputed below, only `start` live
             if not pull():
                 return
             hdr_end = buf.find(b"\r\n\r\n", start)
         headers: dict[str, str] = {}
-        for line in bytes(buf[start:hdr_end]).split(b"\r\n")[1:]:
+        with memoryview(buf) as mv:  # one copy, not bytearray-slice + bytes
+            hdr_bytes = bytes(mv[start:hdr_end])
+        for line in hdr_bytes.split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
             if _:
                 headers[k.strip().lower().decode("latin-1")] = (
@@ -180,9 +192,18 @@ def _parse_warc(
             length = 0
         body_start = hdr_end + 4
         while len(buf) < body_start + length:
+            # giant-record guard: drop the consumed prefix, adjusting
+            # every live coordinate by the shift
+            if start > compact_at:
+                base0 += start
+                del buf[:start]
+                body_start -= start
+                hdr_end -= start
+                start = 0
             if not pull():
                 break  # truncated record: keep the bytes that arrived
-        block = bytes(buf[body_start : body_start + length])
+        with memoryview(buf) as mv:
+            block = bytes(mv[body_start : body_start + length])
         rec_offset = base0 + start
         start = min(len(buf), body_start + length)
         status, ctype, payload = None, headers.get("content-type"), block
