@@ -93,10 +93,53 @@ def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
             chunk = min(chunk << 1, 1 << 20)
 
 
+#: Output-size cap per decompressed chunk (compression-bomb guard: a
+#: 1 MB compressed slice of zeros inflates ~1000x; max_length bounds
+#: each yield at 8 MB and the remainder re-feeds via unconsumed_tail).
+_GUNZIP_MAX_OUT = 1 << 23
+
+
+def _iter_gzip_chunks(data: bytes) -> Iterator[bytes]:
+    """Like ``_iter_gzip_members`` but yields BOUNDED decompressed
+    chunks (<= _GUNZIP_MAX_OUT each) instead of whole members: the
+    degenerate single-member multi-record file — and a compression-bomb
+    member — stream through in pieces, so the parse buffer is bounded
+    by the largest RECORD, never the largest member. Cursor accounting:
+    ``unconsumed_tail`` (input withheld by the output cap) and
+    ``unused_data`` (input past the member end) are both contiguous
+    suffixes of the bytes fed so far, so ``pos -= len(unused_data)`` on
+    eof lands exactly on the next member boundary even when the last
+    feed came from the tail."""
+    mv = memoryview(data)
+    n = len(data)
+    pos = 0
+    while pos + 2 <= n and bytes(mv[pos : pos + 2]) == _GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=31)
+        chunk = 1 << 13
+        tail = b""
+        while True:
+            if tail:
+                out = d.decompress(tail, _GUNZIP_MAX_OUT)
+                tail = d.unconsumed_tail
+            elif pos < n:
+                feed = mv[pos : pos + chunk]
+                pos += len(feed)
+                out = d.decompress(feed, _GUNZIP_MAX_OUT)
+                tail = d.unconsumed_tail
+                chunk = min(chunk << 1, 1 << 20)
+            else:
+                return  # truncated member: whatever decoded was yielded
+            if out:
+                yield out
+            if d.eof:
+                pos -= len(d.unused_data)
+                break
+
+
 def _gunzip_members(data: bytes) -> bytes:
-    """All members joined — the eager convenience form of
-    ``_iter_gzip_members`` (the parse loop itself consumes the iterator
-    so a file's full decompressed image never materializes)."""
+    """All members joined — the eager convenience form (the parse loop
+    itself consumes the bounded-chunk iterator so neither a file's nor
+    even one member's full decompressed image ever materializes)."""
     return b"".join(_iter_gzip_members(data))
 
 
@@ -119,16 +162,18 @@ def _parse_warc(
     fraction is small.
 
     Memory shape (gzipped input): records parse INCREMENTALLY out of a
-    sliding buffer fed one gzip member at a time, so a task's working
-    set is (compressed file) + (largest in-flight record) + (the
+    sliding buffer fed bounded decompressed chunks (<= 8 MB each,
+    crossing gzip-member boundaries transparently), so a task's working
+    set is (compressed file) + (largest in-flight RECORD) + (the
     caller's row chunk) — the full decompressed image of a ~1 GB gz /
-    3-5 GB raw Common Crawl shard never materializes. Record offsets
+    3-5 GB raw Common Crawl shard never materializes, not even for the
+    degenerate single-member file or a compression-bomb member. Record offsets
     are positions in the DECOMPRESSED stream, byte-identical to a
     whole-buffer parse (the plain-file path, where binaryFile already
     delivered the full bytes, IS the whole-buffer parse: the cursor
     walks the input in place). The buffer compacts amortized-O(n)."""
     chunks = (
-        _iter_gzip_members(data)
+        _iter_gzip_chunks(data)
         if data[:2] == _GZIP_MAGIC
         else iter((data,))
     )
