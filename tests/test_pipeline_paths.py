@@ -918,3 +918,89 @@ def test_warc_parse_survives_buffer_compaction_threshold():
     gz = gzip.compress(blob[:cut], 1) + gzip.compress(blob[cut:], 1)
     inc = [strip(r) for r in W._parse_warc("p", gz)]
     assert inc == plain
+
+
+def test_plain_warc_feeds_parse_buffer_in_bounded_slices(monkeypatch):
+    """r11 (advisor): the uncompressed path feeds the sliding buffer in
+    <= _GUNZIP_MAX_OUT memoryview slices (was one whole-file extend =
+    ~2x file peak). Shrinking the slice bound to 64 bytes forces every
+    header and body to straddle slice boundaries; rows must be
+    byte-identical to the unsliced parse, and the buffer must actually
+    stay bounded (compaction trims the consumed prefix)."""
+    import hashlib
+
+    from weather_monitoring_spark.sources import warc as W
+
+    recs = [
+        _warc_record("urn:none", b"software: t\r\n", warc_type="warcinfo"),
+        _warc_record("http://a/1", b"<html>" + b"A" * 500 + b"</html>"),
+        _warc_record("http://b/2", b"<html>tiny</html>", status=404),
+        _warc_record("http://c/3", b"GET / HTTP/1.1", warc_type="request"),
+    ]
+    blob = b"".join(recs)
+
+    def strip(r):
+        return (
+            r["record_offset"],
+            r["warc_type"],
+            r["target_uri"],
+            r["http_status"],
+            r["n_bytes"],
+            hashlib.md5(r["payload"]).hexdigest(),
+        )
+
+    whole = [strip(r) for r in W._parse_warc("p", blob)]
+    assert len(whole) == 4
+
+    monkeypatch.setattr(W, "_GUNZIP_MAX_OUT", 64)
+    slices = list(W._iter_plain_chunks(blob))
+    assert all(len(s) <= 64 for s in slices)
+    assert b"".join(bytes(s) for s in slices) == blob
+    sliced = [strip(r) for r in W._parse_warc("p", blob)]
+    assert sliced == whole
+
+    # responses_only pushes the keep predicate through the sliced path too
+    kept = [strip(r) for r in W._parse_warc("p", blob, responses_only=True)]
+    assert kept == [whole[1]]
+
+
+def test_warc_stream_max_files_per_trigger_bounds_microbatches(tmp_path, spark):
+    """r11 (verdict #3): a multi-file drop must process in >1
+    micro-batch under max_files_per_trigger (the catch-up-restart
+    guard: without the bound, the FIRST trigger of a restart ingests
+    every pending ~1 GB segment at once). Total rows and ids stay
+    identical to the batch reader."""
+    import gzip
+
+    from weather_monitoring_spark.sources.warc import (
+        read_warc,
+        read_warc_stream,
+    )
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    for i in range(3):
+        (d / f"seg{i}.warc.gz").write_bytes(
+            gzip.compress(
+                _warc_record(f"http://s{i}/p", f"<html>seg {i}</html>".encode())
+            )
+        )
+
+    batch_sizes = []
+
+    def sink(df, epoch_id):
+        batch_sizes.append(df.count())
+
+    q = (
+        read_warc_stream(spark, str(d), max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # availableNow honors maxFilesPerTrigger: one file per micro-batch
+    assert len(batch_sizes) >= 3
+    assert sum(batch_sizes) == 3
+    assert read_warc(spark, str(d)).count() == 3

@@ -36,6 +36,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from weather_monitoring_spark.sources.filestream import MAX_FILES_PER_TRIGGER
+
 WARC_SCHEMA = (
     "asset_id bigint, source string, record_offset bigint, warc_type string, "
     "record_id string, target_uri string, warc_date string, http_status int, "
@@ -143,6 +145,19 @@ def _gunzip_members(data: bytes) -> bytes:
     return b"".join(_iter_gzip_members(data))
 
 
+def _iter_plain_chunks(data: bytes) -> Iterator[memoryview]:
+    """Bounded slices of an UNCOMPRESSED file (<= _GUNZIP_MAX_OUT each):
+    feeding the parse buffer in pieces lets compaction trim the consumed
+    prefix as the cursor advances, so peak task memory is the resident
+    input + the largest in-flight record — NOT input + a full second
+    copy in the buffer (the r10 shape was one buf.extend of the whole
+    file, ~2x file peak; the docstring claimed in-place walking).
+    memoryview slices: zero-copy until buf.extend consumes them."""
+    mv = memoryview(data)
+    for lo in range(0, len(data), _GUNZIP_MAX_OUT):
+        yield mv[lo : lo + _GUNZIP_MAX_OUT]
+
+
 def _parse_warc(
     path: str, data: bytes, responses_only: bool = False
 ) -> Iterator[dict]:
@@ -167,15 +182,17 @@ def _parse_warc(
     set is (compressed file) + (largest in-flight RECORD) + (the
     caller's row chunk) — the full decompressed image of a ~1 GB gz /
     3-5 GB raw Common Crawl shard never materializes, not even for the
-    degenerate single-member file or a compression-bomb member. Record offsets
-    are positions in the DECOMPRESSED stream, byte-identical to a
-    whole-buffer parse (the plain-file path, where binaryFile already
-    delivered the full bytes, IS the whole-buffer parse: the cursor
-    walks the input in place). The buffer compacts amortized-O(n)."""
+    degenerate single-member file or a compression-bomb member. Record
+    offsets are positions in the DECOMPRESSED stream, byte-identical to
+    a whole-buffer parse. The plain-file path feeds the same sliding
+    buffer in bounded memoryview slices (r11: one whole-file
+    ``buf.extend`` made peak ~2x file size), so its working set is the
+    resident input + the largest record. The buffer compacts
+    amortized-O(n)."""
     chunks = (
         _iter_gzip_chunks(data)
         if data[:2] == _GZIP_MAGIC
-        else iter((data,))
+        else _iter_plain_chunks(data)
     )
     buf = bytearray()
     base0 = 0  # stream offset of buf[0]
@@ -335,7 +352,15 @@ def read_warc(
     ``responses_only=True`` keeps only 2xx html-or-unknown response
     records, dropping everything else's payload inside the parse (the
     predicate ``warc_responses_to_documents`` would apply anyway,
-    pushed down to the byte level)."""
+    pushed down to the byte level).
+
+    Glob overlap caveat: the default ``*.warc*`` also matches WET
+    segments (Common Crawl names them ``*.warc.wet.gz``), so pointing
+    this at a tree holding BOTH ingests conversion records alongside
+    responses. When WARC and WET share a tree, pass ``glob="*.warc.gz"``
+    (which does NOT match ``...warc.wet.gz``) or set
+    ``responses_only=True`` / project through
+    ``warc_responses_to_documents`` — both filter conversions out."""
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -356,6 +381,7 @@ def read_warc_stream(
     path: str,
     glob: str = "*.warc*",
     responses_only: bool = False,
+    max_files_per_trigger: int = MAX_FILES_PER_TRIGGER,
 ) -> DataFrame:
     """Streaming twin of ``read_warc``: WARC files LANDING in ``path``
     (how a live crawl delivers — a new ~1 GB segment file at a time)
@@ -364,10 +390,18 @@ def read_warc_stream(
     restarts and re-triggers. Identical parse, schema, and record ids
     to the batch reader; downstream, ``warc_responses_to_documents``
     and the projection gates (quality/c4/mojibake) compose unchanged —
-    they are the same operators on a streaming frame."""
+    they are the same operators on a streaming frame.
+
+    ``max_files_per_trigger`` bounds micro-batch admission (default 50,
+    the reference's parquet-stream bound,
+    ``SparkParquetStreamingToElasticsearch.java:82``): without it, the
+    FIRST trigger of a catch-up restart would ingest every pending
+    ~1 GB segment in one micro-batch (r10 verdict finding). ``glob``
+    has the same WARC/WET overlap caveat as ``read_warc``."""
     raw = (
         spark.readStream.format("binaryFile")
         .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .schema(_BINARYFILE_SCHEMA)
         .load(path)
         .select("path", "content")
@@ -426,14 +460,18 @@ def read_wet_stream(
     spark: SparkSession,
     path: str,
     glob: str = "*.wet*",
+    max_files_per_trigger: int = MAX_FILES_PER_TRIGGER,
 ) -> DataFrame:
     """Streaming twin of ``read_wet`` (the ``read_warc_stream``
     machinery with the WET listing glob): WET segment files landing in
     ``path`` parse incrementally through the checkpointed file-source
     log — exactly-once across restarts, identical rows and record ids
     to the batch reader; ``wet_to_documents`` composes unchanged on the
-    streaming frame."""
-    return read_warc_stream(spark, path, glob=glob)
+    streaming frame. ``max_files_per_trigger`` bounds micro-batch
+    admission exactly as on ``read_warc_stream``."""
+    return read_warc_stream(
+        spark, path, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
 
 
 def wet_to_documents(records: DataFrame) -> DataFrame:
