@@ -1624,3 +1624,52 @@ def test_semantic_decontaminate_cross_equals_blocked_bitwise(spark):
     out = semantic_decontaminate(train, empty).collect()
     assert len(out) == 60
     assert all(not r["contaminated"] and r["n_bench_hits"] == 0 for r in out)
+
+
+def test_semantic_cross_cap_is_byte_aware(spark, monkeypatch):
+    """r11 (verdict #1): cross-path admission is budgeted in BYTES
+    (rows x dim x 8), not rows alone — the same bench row count that
+    passes at a narrow dim must fall back (or, forced, raise) at a wide
+    dim, so a dim-1024 bench can never collect ~800 MB to the driver.
+    Auto's fallback stays bit-equal to the union path."""
+    import pytest
+
+    import weather_monitoring_spark.operators.training_prep as tp
+    from weather_monitoring_spark.operators.training_prep import (
+        semantic_decontaminate,
+    )
+
+    monkeypatch.setattr(tp, "SEMANTIC_CROSS_BENCH_BYTES", 1 << 12)  # 4 KiB
+
+    def frames(dim):
+        train = spark.createDataFrame(
+            [(i, [float((i * 13 + j * 7) % 11 - 5) for j in range(dim)])
+             for i in range(12)],
+            "vec_id bigint, embedding array<float>",
+        )
+        bench = spark.createDataFrame(
+            [(i, [float((i * 17 + j * 3) % 11 - 5) for j in range(dim)])
+             for i in range(10)],
+            "vec_id bigint, embedding array<float>",
+        )
+        return train, bench
+
+    # dim 8: the 4 KiB budget admits 4096/64 = 64 rows -> the 10-row
+    # bench takes the cross path
+    train, bench = frames(8)
+    assert semantic_decontaminate(train, bench, method="cross").count() == 12
+
+    # dim 128: the SAME row count now exceeds 4096/1024 = 4 rows
+    train, bench = frames(128)
+    with pytest.raises(ValueError, match="closure cap .* dim 128"):
+        semantic_decontaminate(train, bench, method="cross")
+
+    rows = lambda df: sorted(
+        (r["vec_id"], r["contaminated"], r["max_cos"], r["n_bench_hits"])
+        for r in df.collect()
+    )
+    auto = rows(semantic_decontaminate(train, bench, threshold=0.95))
+    blocked = rows(
+        semantic_decontaminate(train, bench, threshold=0.95, method="blocked")
+    )
+    assert auto == blocked  # auto fell back to the union path, bit-equal

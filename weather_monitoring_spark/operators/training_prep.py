@@ -585,10 +585,16 @@ def mixture_weights(
 SEMANTIC_CONTAM_THRESHOLD = 0.85
 
 
-#: Bench-size cap for the cross-side GEMM path: the bench matrix ships
-#: to every task as a closure (100k x 64 float64 ~ 51 MB). Above this,
+#: Bench-size caps for the cross-side GEMM path: the bench matrix ships
+#: to every task as a closure, so admission is budgeted in BYTES
+#: (rows x dim x 8, the float64 matrix the scorer builds), with a row
+#: ceiling on top. r10's row-only cap admitted 100k rows regardless of
+#: vector width — ~51 MB at dim 64 but ~800 MB collected to the driver
+#: and broadcast at a realistic dim-1024 embedding, exactly the failure
+#: the cap exists to prevent (r10 verdict #1). Above either bound,
 #: "auto" falls back to the union formulation.
 SEMANTIC_CROSS_BENCH_CAP = 100_000
+SEMANTIC_CROSS_BENCH_BYTES = 64 << 20
 
 
 def _semantic_verdicts(
@@ -715,8 +721,12 @@ def semantic_decontaminate(
     ``max_cos`` is NULL when nothing cleared ``threshold``.
 
     ``method`` (r10): ``"auto"`` (default) takes the CROSS-SIDE path
-    when bench fits the closure cap (SEMANTIC_CROSS_BENCH_CAP rows):
-    one pass over train scoring each batch against the broadcast bench
+    when bench fits the closure budget — min(SEMANTIC_CROSS_BENCH_CAP
+    rows, SEMANTIC_CROSS_BENCH_BYTES as a rows x dim float64 matrix;
+    byte-aware since r11 so a wide-embedding bench cannot collect
+    hundreds of MB to the driver — admission is decided by two
+    vector-free probes before any embedding leaves the cluster): one
+    pass over train scoring each batch against the broadcast bench
     matrix — GEMM prefilter with the guaranteed-recall margin, exact
     sequential-fold re-score on the collision-bounded candidates, so
     results are BIT-EQUAL to the union path at O(n_train * n_bench)
@@ -757,12 +767,23 @@ def semantic_decontaminate(
             )
 
     if method in ("auto", "cross"):
-        rows = (
-            bench_emb.select(id_col, vec_col)
-            .limit(SEMANTIC_CROSS_BENCH_CAP + 1)
-            .collect()
+        # Admission via two VECTOR-FREE probes (r10 advisor: the old
+        # single collect shipped up to cap+1 full embedding rows to the
+        # driver only to discard them on fallback): one row for the
+        # vector width, then an id-only bounded count. Embeddings are
+        # collected only once the cross path is certain to run. The
+        # byte budget uses the FIRST row's dim as the matrix width —
+        # the scorer itself requires rectangular benches.
+        d0 = bench_emb.select(F.size(F.col(vec_col)).alias("d")).first()
+        if d0 is None:  # empty bench: every train row explicitly clean
+            return _semantic_cross(train_emb, [], threshold, id_col, vec_col)
+        dim = max(int(d0["d"] or 0), 1)
+        row_cap = min(
+            SEMANTIC_CROSS_BENCH_CAP, SEMANTIC_CROSS_BENCH_BYTES // (dim * 8)
         )
-        if len(rows) <= SEMANTIC_CROSS_BENCH_CAP:
+        n = bench_emb.select(id_col).limit(row_cap + 1).count()
+        if n <= row_cap:
+            rows = bench_emb.select(id_col, vec_col).collect()
             # the full bench is in hand: the min is free — no second
             # frame scan (r10 self-review)
             _bench_guard(min((r[0] for r in rows), default=None))
@@ -770,9 +791,11 @@ def semantic_decontaminate(
         if method == "cross":
             raise ValueError(
                 f"semantic_decontaminate: bench exceeds the cross-path "
-                f"closure cap ({SEMANTIC_CROSS_BENCH_CAP} rows) — use "
-                f"method='blocked' (the union formulation) for large "
-                f"benches"
+                f"closure cap ({row_cap} rows at dim {dim} = "
+                f"min({SEMANTIC_CROSS_BENCH_CAP} rows, "
+                f"{SEMANTIC_CROSS_BENCH_BYTES >> 20} MiB as float64)) — "
+                f"use method='blocked' (the union formulation) for "
+                f"large benches"
             )
         method = "blocked"  # auto fallback: union formulation below
     _bench_guard(bench_emb.agg(F.min(id_col).alias("m")).first()["m"])
