@@ -1,0 +1,170 @@
+"""Charset-sniffing decode stage (operators/charset.py) — the WHATWG
+ladder for WARC payloads (r11, verdict #5): BOM > HTTP charset param >
+meta prescan > UTF-8 validity > windows-1252 fallback, with STRICT
+trials of declared charsets so lying declarations fall through instead
+of shredding pages into U+FFFD."""
+
+from tests.test_pipeline_paths import _warc_record
+from weather_monitoring_spark.operators.charset import (
+    PRESCAN_BYTES,
+    resolve_charset_label,
+    sniff_decode_bytes,
+)
+
+TEXT = "Café déjà vu — naïve “fiancée” résumé"
+
+
+def test_ladder_rung1_bom_overrides_everything():
+    # a BOM wins even against a contradicting transport declaration
+    assert (
+        sniff_decode_bytes(
+            b"\xef\xbb\xbf" + TEXT.encode("utf-8"),
+            "text/html; charset=iso-8859-1",
+        )
+        == TEXT
+    )
+    assert sniff_decode_bytes(b"\xff\xfe" + TEXT.encode("utf-16-le"), None) == TEXT
+    assert sniff_decode_bytes(b"\xfe\xff" + TEXT.encode("utf-16-be"), None) == TEXT
+
+
+def test_ladder_rung2_http_charset_param_with_whatwg_label_folding():
+    # iso-8859-1 folds to windows-1252 per WHATWG: the curly quotes and
+    # em-dash (0x93/0x94/0x97, C1 controls under real latin-1) decode
+    # as punctuation
+    raw = TEXT.encode("windows-1252")
+    assert sniff_decode_bytes(raw, 'text/html; charset="ISO-8859-1"') == TEXT
+    assert sniff_decode_bytes(raw, "text/html; charset=latin1") == TEXT
+
+
+def test_ladder_rung3_meta_prescan():
+    body = TEXT.encode("cp1251", "replace")  # cyrillic page
+    cyr = "Привет, мир — тест".encode("cp1251")
+    page = (
+        b'<html><head><meta charset="windows-1251"></head><body>'
+        + cyr
+        + b"</body></html>"
+    )
+    out = sniff_decode_bytes(page, "text/html")
+    assert "Привет, мир" in out
+    # http-equiv form resolves too
+    page2 = (
+        b'<html><head><meta http-equiv="Content-Type" '
+        b'content="text/html; charset=windows-1251"></head><body>'
+        + cyr
+        + b"</body></html>"
+    )
+    assert "Привет, мир" in sniff_decode_bytes(page2, None)
+    del body
+
+
+def test_meta_declaration_past_prescan_window_is_ignored():
+    # declaration buried past 1024 bytes: the ladder continues — the
+    # payload is valid UTF-8, so rung 4 wins and the (wrong) late
+    # cp1251 declaration never mangles it
+    filler = b"<!--" + b"x" * PRESCAN_BYTES + b"-->"
+    page = filler + b'<meta charset="windows-1251">' + TEXT.encode("utf-8")
+    assert TEXT in sniff_decode_bytes(page, None)
+
+
+def test_lying_declaration_falls_through_strict():
+    # declared utf-8, but the bytes are windows-1252: strict utf-8
+    # fails, rung 4 fails, rung 5 decodes it — no U+FFFD shredding
+    raw = TEXT.encode("windows-1252")
+    out = sniff_decode_bytes(raw, "text/html; charset=utf-8")
+    assert out == TEXT
+    assert "�" not in out
+
+
+def test_ladder_rung4_utf8_validity_and_rung5_fallback():
+    assert sniff_decode_bytes(TEXT.encode("utf-8"), None) == TEXT  # rung 4
+    assert sniff_decode_bytes(TEXT.encode("windows-1252"), None) == TEXT  # rung 5
+    assert sniff_decode_bytes(b"plain ascii", "text/html") == "plain ascii"
+    assert sniff_decode_bytes(None, None) is None
+    # cp1252's five undefined bytes replace instead of raising (total)
+    assert "�" in sniff_decode_bytes(b"bad \x81 byte", None)
+
+
+def test_unknown_label_continues_ladder():
+    assert resolve_charset_label("not-a-charset-9000") is None
+    assert resolve_charset_label(None) is None
+    assert resolve_charset_label("Shift_JIS") == "shift_jis"
+    out = sniff_decode_bytes(
+        TEXT.encode("utf-8"), "text/html; charset=not-a-charset-9000"
+    )
+    assert out == TEXT
+
+
+def test_warc_sniffed_documents_end_to_end(tmp_path, spark):
+    """The same logical page planted in five encodings (UTF-8 declared,
+    1252 via transport, 1252 via meta, 1252 undeclared, UTF-8 BOM) must
+    decode to the SAME text under charset="sniff" and SURVIVE curation
+    — the pages UTF-8-only decoding loses to decode noise (r11 verdict
+    #5's done-criterion)."""
+    import gzip
+
+    from weather_monitoring_spark.operators.htmlops import extract_html_text
+    from weather_monitoring_spark.pipelines import curate_crawl
+    from weather_monitoring_spark.sources.warc import (
+        read_warc,
+        warc_responses_to_documents,
+    )
+
+    sents = (
+        "Café déjà vu pour la fiancée naïve après le résumé détaillé. "
+        "Le château sérieux présente une démonstration générale utile. "
+        "Ces phrases démontrent la préservation des accents français. "
+        "Chaque document traverse la même chaîne de conservation ici."
+    )
+    html = f"<html><body><p>{sents}</p></body></html>"
+    html_meta = html.replace(
+        "<html>", '<html><head><meta charset="windows-1252"></head>'
+    )
+    recs = [
+        _warc_record(
+            "http://utf8/1", html.encode("utf-8"),
+            ctype="text/html; charset=utf-8",
+        ),
+        _warc_record(
+            "http://transport/2", html.encode("windows-1252"),
+            ctype="text/html; charset=iso-8859-1",
+        ),
+        _warc_record(
+            "http://meta/3", html_meta.encode("windows-1252"),
+            ctype="text/html",
+        ),
+        _warc_record(
+            "http://bare/4", html.encode("windows-1252"), ctype="text/html"
+        ),
+        _warc_record(
+            "http://bom/5", b"\xef\xbb\xbf" + html.encode("utf-8"),
+            ctype="text/html",
+        ),
+    ]
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs)
+    )
+
+    docs = warc_responses_to_documents(
+        read_warc(spark, str(d)), charset="sniff"
+    )
+    urls = {r["doc_id"]: r["url"] for r in docs.select("doc_id", "url").collect()}
+    texts = {
+        urls[r["doc_id"]]: r["text"]
+        for r in extract_html_text(docs, html_col="html").collect()
+    }
+    assert len(texts) == 5
+    assert len(set(texts.values())) == 1  # all five decode identically
+    assert "déjà" in texts["http://bare/4"]
+    assert "�" not in texts["http://transport/2"]
+
+    # and they SURVIVE curation — note the five pages are exact
+    # content twins AFTER correct decoding, so exact dedup collapses
+    # them to ONE survivor: the proof the decode stage worked (mangled
+    # twins would NOT collapse — their bytes differ)
+    stages = curate_crawl(docs, min_tokens=10, checkpoint=False)
+    curated = {r["doc_id"] for r in stages.curated.select("doc_id").collect()}
+    assert curated == set(urls)  # every page clears the quality gates
+    clean = [r["doc_id"] for r in stages.clean.select("doc_id").collect()]
+    assert len(clean) == 1 and clean[0] in urls

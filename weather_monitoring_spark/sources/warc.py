@@ -409,11 +409,22 @@ def read_warc_stream(
     return raw.mapInPandas(_make_parse_batches(responses_only), WARC_SCHEMA)
 
 
-def warc_responses_to_documents(records: DataFrame) -> DataFrame:
+def warc_responses_to_documents(
+    records: DataFrame, charset: str = "utf-8"
+) -> DataFrame:
     """Project 2xx HTML response records onto the crawl-page contract
-    ``pipelines.curate_crawl`` ingests: (doc_id, url, html). The byte ->
-    string decode is JVM-side (UTF-8; real pipelines sniff charsets in a
-    decode stage — out of scope here, as for multimodal codecs).
+    ``pipelines.curate_crawl`` ingests: (doc_id, url, html).
+
+    ``charset`` picks the byte -> string decode (r11, verdict #5 —
+    real crawls are ~5-10% non-UTF-8):
+
+    - ``"utf-8"`` (default): JVM-side ``F.decode`` — zero Python, the
+      right call for WET-adjacent or known-UTF-8 corpora;
+    - ``"sniff"``: the WHATWG ladder (BOM > HTTP charset param > meta
+      prescan > UTF-8 validity > windows-1252 fallback) as an
+      Arrow-batched projection (``operators/charset.py``) — pages that
+      UTF-8-only decoding shreds into replacement noise survive
+      curation intact, composing with the downstream mojibake repair.
 
     NULL content_type means "keep": since the parser sets content_type
     NULL when an HTTP response carries no Content-Type header (never
@@ -421,6 +432,16 @@ def warc_responses_to_documents(records: DataFrame) -> DataFrame:
     actually fires for unknown-type pages as intended. Reading with
     ``read_warc(..., responses_only=True)`` applies this same predicate
     at the byte level; this filter is then a cheap no-op."""
+    if charset == "utf-8":
+        html = F.decode(F.col("payload"), "UTF-8")
+    elif charset == "sniff":
+        from weather_monitoring_spark.operators.charset import (
+            sniffed_text_col,
+        )
+
+        html = sniffed_text_col(F.col("payload"), F.col("content_type"))
+    else:
+        raise ValueError(f"charset must be 'utf-8' or 'sniff', got {charset!r}")
     return (
         records.filter(
             (F.col("warc_type") == "response")
@@ -432,7 +453,7 @@ def warc_responses_to_documents(records: DataFrame) -> DataFrame:
         .select(
             F.col("asset_id").alias("doc_id"),
             F.col("target_uri").alias("url"),
-            F.decode(F.col("payload"), "UTF-8").alias("html"),
+            html.alias("html"),
         )
     )
 
