@@ -10,11 +10,14 @@ each file's bytes. The parallelism unit is the FILE, exactly how Common
 Crawl ships (segments of ~1 GB files, tens of thousands per crawl), so a
 1000-executor cluster saturates on file count; ``pathGlobFilter`` prunes
 non-WARC paths during listing. Task memory: gzipped input parses
-INCREMENTALLY (one member at a time through a sliding buffer, one
-yielded frame per file chunked at WARC_YIELD_RECORDS), so the working
-set is the compressed file + the largest in-flight record + one row
-chunk — never the 3-5 GB decompressed image of a CC shard
-(scripts/probe_warc_memory.py quantifies each shape).
+INCREMENTALLY (bounded decompressed chunks through a sliding buffer,
+one yielded frame per file chunked at WARC_YIELD_RECORDS) and plain
+input feeds the same buffer in bounded slices, so the working set is
+the resident file + the largest in-flight record + one row chunk —
+never the 3-5 GB decompressed image of a CC shard
+(scripts/probe_warc_memory.py quantifies each shape;
+scripts/probe_warc_fullscale.py proves the bound at the real ~1 GB gz
+/ 3 GB raw shard shape, all three on-disk forms).
 
 Record ids are content-addressed digests of (path, byte offset) — stable
 across re-listing, repartitioning, and incremental crawls (the
