@@ -19,6 +19,13 @@ full passes; the reported per-query number — and the total — is the
 MEDIAN, with per-query [min, max] spread alongside. Round 3 showed
 single-shot numbers move +-40-65% on unchanged code purely from host
 load; medians of 5 separate noise from drift.
+
+A host-speed anchor (scripts/host_anchor.py — fixed CPU work, no
+Spark) runs after the suite and lands in the result as "host_anchor"
+(and "par32_s" in the headline): r11 traced a 1.3x uniform suite swing
+to hypervisor parallel throttling visible ONLY in the 32-process leg,
+so cross-round comparisons should divide by the anchor before claiming
+drift.
 """
 
 from __future__ import annotations
@@ -88,6 +95,33 @@ def main() -> None:
             timings[name] = round(statistics.median(ok), 4)
             spread[name] = [round(min(ok), 4), round(max(ok), 4)]
 
+    # Host-speed anchor (r11): ~10 s of FIXED CPU work (no Spark/JVM/
+    # repo code) measured next to every suite so cross-round drift
+    # divides out instead of being re-argued — par32_s is the leg that
+    # sees hypervisor parallel throttling (r11 found the nominal 32
+    # vCPUs delivering ~12-14 effective units while single-thread legs
+    # were normal; see BASELINE.md). Failure is non-fatal.
+    anchor = None
+    try:
+        import subprocess
+
+        a_out = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "scripts",
+                    "host_anchor.py",
+                ),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=180,
+        )
+        anchor = json.loads(a_out.stdout.strip().splitlines()[-1])
+    except Exception as e:  # pragma: no cover
+        print(f"bench: host anchor failed: {e}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "query_suite_wall_clock",
@@ -97,6 +131,7 @@ def main() -> None:
         "runs": n_runs,
         "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "host_anchor": anchor,
     }
     line = json.dumps(result)
     # Compact headline line (total + sf + runs, ~100 bytes). The full
@@ -116,6 +151,9 @@ def main() -> None:
             "unit": "sec",
             "runs": n_runs,
             "sf": result["sf"],
+            # the parallel-throttle anchor leg, inline so a
+            # tail-truncated capture still carries the normalizer
+            "par32_s": (anchor or {}).get("anchor", {}).get("par32_s"),
             "partial": True,
             "detail": "bench_result.json",
         }
