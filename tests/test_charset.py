@@ -168,3 +168,50 @@ def test_warc_sniffed_documents_end_to_end(tmp_path, spark):
     assert curated == set(urls)  # every page clears the quality gates
     clean = [r["doc_id"] for r in stages.clean.select("doc_id").collect()]
     assert len(clean) == 1 and clean[0] in urls
+
+
+def test_sniffed_decode_composes_on_streaming_front_door(tmp_path, spark):
+    """charset="sniff" is a per-row projection, so it must run
+    unchanged inside a StreamingQuery (the batch==stream discipline
+    every gate follows): a windows-1252 segment landing in the
+    directory decodes correctly through the checkpointed stream."""
+    import gzip
+
+    from weather_monitoring_spark.sources.warc import (
+        read_warc,
+        read_warc_stream,
+        warc_responses_to_documents,
+    )
+
+    html = "<html><body><p>Café déjà “vu”</p></body></html>"
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "seg.warc.gz").write_bytes(
+        gzip.compress(
+            _warc_record(
+                "http://w1252/1", html.encode("windows-1252"),
+                ctype="text/html; charset=iso-8859-1",
+            )
+        )
+    )
+    out = str(tmp_path / "out")
+    q = (
+        warc_responses_to_documents(
+            read_warc_stream(spark, str(d)), charset="sniff"
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert [r["html"] for r in rows] == [html]
+    # streaming == batch, byte for byte
+    batch = warc_responses_to_documents(
+        read_warc(spark, str(d)), charset="sniff"
+    ).collect()
+    assert {(r["doc_id"], r["html"]) for r in rows} == {
+        (r["doc_id"], r["html"]) for r in batch
+    }
