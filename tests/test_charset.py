@@ -215,3 +215,63 @@ def test_sniffed_decode_composes_on_streaming_front_door(tmp_path, spark):
     assert {(r["doc_id"], r["html"]) for r in rows} == {
         (r["doc_id"], r["html"]) for r in batch
     }
+
+
+def test_default_decode_is_total_one_bad_page_cannot_kill_the_job(
+    tmp_path, spark
+):
+    """r11 regression: Spark 4's decode(payload,'UTF-8') RAISES
+    MALFORMED_CHARACTER_CODING on the first invalid byte, so the old
+    default projection crashed the whole ingest on one damaged or
+    non-UTF-8 page. The default is now make_valid_utf8 (U+FFFD
+    replacement, byte-identical on valid input); charset="sniff"
+    recovers the same page losslessly. WET's projection shares the
+    hardening."""
+    import gzip
+
+    from weather_monitoring_spark.sources.warc import (
+        read_warc,
+        read_wet,
+        warc_responses_to_documents,
+        wet_to_documents,
+    )
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    ok = "<html><p>plain ascii page body</p></html>"
+    bad = "<html><p>Café latin-1 page</p></html>"
+    (d / "seg.warc.gz").write_bytes(
+        gzip.compress(_warc_record("http://ok/1", ok.encode("utf-8")))
+        + gzip.compress(
+            _warc_record("http://bad/2", bad.encode("windows-1252"))
+        )
+    )
+
+    # default path: both pages survive, the damaged one carries U+FFFD
+    docs = {
+        r["url"]: r["html"]
+        for r in warc_responses_to_documents(read_warc(spark, str(d))).collect()
+    }
+    assert docs["http://ok/1"] == ok
+    assert docs["http://bad/2"] == bad.replace("é", "�")
+
+    # sniff path: the same page recovered losslessly
+    sniffed = {
+        r["url"]: r["html"]
+        for r in warc_responses_to_documents(
+            read_warc(spark, str(d)), charset="sniff"
+        ).collect()
+    }
+    assert sniffed["http://bad/2"] == bad
+
+    # WET twin: a conversion record truncated mid-multibyte must not raise
+    w = tmp_path / "wet"
+    w.mkdir()
+    damaged = "déjà vu".encode("utf-8")[:-1]  # cut inside the last char
+    (w / "seg.warc.wet.gz").write_bytes(
+        gzip.compress(
+            _warc_record("http://t/1", damaged, warc_type="conversion")
+        )
+    )
+    rows = wet_to_documents(read_wet(spark, str(w))).collect()
+    assert len(rows) == 1 and rows[0]["text"].startswith("déjà v")

@@ -421,8 +421,13 @@ def warc_responses_to_documents(
     ``charset`` picks the byte -> string decode (r11, verdict #5 —
     real crawls are ~5-10% non-UTF-8):
 
-    - ``"utf-8"`` (default): JVM-side ``F.decode`` — zero Python, the
-      right call for WET-adjacent or known-UTF-8 corpora;
+    - ``"utf-8"`` (default): JVM-side, zero Python —
+      ``make_valid_utf8(cast(payload as string))``, which equals
+      ``decode(payload, 'UTF-8')`` on valid input but replaces invalid
+      sequences with U+FFFD (the browser behavior). Spark 4's
+      ``decode`` RAISES ``MALFORMED_CHARACTER_CODING`` on the first
+      bad byte — one damaged or non-UTF-8 page would kill a whole
+      ingest job (r11 finding, regression-pinned);
     - ``"sniff"``: the WHATWG ladder (BOM > HTTP charset param > meta
       prescan > UTF-8 validity > windows-1252 fallback) as an
       Arrow-batched projection (``operators/charset.py``) — pages that
@@ -436,7 +441,7 @@ def warc_responses_to_documents(
     ``read_warc(..., responses_only=True)`` applies this same predicate
     at the byte level; this filter is then a cheap no-op."""
     if charset == "utf-8":
-        html = F.decode(F.col("payload"), "UTF-8")
+        html = F.make_valid_utf8(F.col("payload").cast("string"))
     elif charset == "sniff":
         from weather_monitoring_spark.operators.charset import (
             sniffed_text_col,
@@ -504,9 +509,15 @@ def wet_to_documents(records: DataFrame) -> DataFrame:
     (``pipelines.curate_crawl(..., pre_extracted=True)`` consumes this
     directly, skipping the HTML-extraction stage the WARC path needs).
     WET payloads keep the source line structure, so the line/paragraph
-    gates (C4, Gopher repetition) see real lines."""
+    gates (C4, Gopher repetition) see real lines.
+
+    Decode is total: WET is UTF-8 by spec, but crawl damage (a record
+    truncated mid-multibyte-char) must not kill the job — Spark 4's
+    ``decode`` raises on the first bad byte, so this uses
+    ``make_valid_utf8`` (U+FFFD replacement; identical output on valid
+    input), the same r11 hardening as the WARC documents projection."""
     return records.filter(F.col("warc_type") == "conversion").select(
         F.col("asset_id").alias("doc_id"),
         F.col("target_uri").alias("url"),
-        F.decode(F.col("payload"), "UTF-8").alias("text"),
+        F.make_valid_utf8(F.col("payload").cast("string")).alias("text"),
     )
