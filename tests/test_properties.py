@@ -357,3 +357,84 @@ def test_dedup_paragraphs_keeps_exactly_one_copy_in_first_position(paras):
         assert got[i]["text_clean"] == "\n\n".join(expect), (i, p)
         assert got[i]["n_paras"] == len(p)
         assert got[i]["n_kept"] == len(expect)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=st.data())
+def test_warc_parse_agrees_across_encodings_and_tolerates_truncation(data):
+    """r11 fuzz of the crawl-facing parser (pure Python, no Spark):
+    random record mixes with arbitrary binary bodies and inter-record
+    junk must parse IDENTICALLY from plain bytes, per-record gzip
+    members, and one single gzip member (offsets in decompressed
+    coordinates); planted fields round-trip exactly; and any truncation
+    point — mid-header, mid-body, mid-gzip-member — yields a prefix
+    of records without raising (the crawl-damage contract)."""
+    import gzip
+    import hashlib
+    import zlib
+
+    from tests.test_pipeline_paths import _warc_record
+    from weather_monitoring_spark.sources import warc as W
+
+    n = data.draw(st.integers(min_value=1, max_value=6))
+    planted, parts = [], []
+    for i in range(n):
+        wtype = data.draw(
+            st.sampled_from(["response", "request", "warcinfo", "conversion"])
+        )
+        body = data.draw(st.binary(min_size=0, max_size=400))
+        status = data.draw(st.sampled_from([200, 204, 301, 404, 500]))
+        ctype = data.draw(st.sampled_from(["text/html", "text/plain", None]))
+        planted.append((wtype, f"http://h/{i}", body, status, ctype))
+        parts.append(
+            _warc_record(
+                f"http://h/{i}", body, warc_type=wtype, status=status,
+                ctype=ctype,
+            )
+        )
+        junk = data.draw(
+            st.binary(min_size=0, max_size=24).filter(
+                lambda b: b"WARC/" not in b
+            )
+        )
+        parts.append(junk)
+    blob = b"".join(parts)
+
+    def strip(rows):
+        return [
+            (
+                r["record_offset"], r["warc_type"], r["target_uri"],
+                r["http_status"], r["content_type"], r["n_bytes"],
+                hashlib.md5(r["payload"]).hexdigest(),
+            )
+            for r in rows
+        ]
+
+    plain = strip(W._parse_warc("p", blob))
+    per_member = b"".join(
+        gzip.compress(p, compresslevel=1) for p in parts if p
+    )
+    co = zlib.compressobj(1, zlib.DEFLATED, 31)
+    single = co.compress(blob) + co.flush()
+    assert strip(W._parse_warc("p", per_member)) == plain
+    assert strip(W._parse_warc("p", single)) == plain
+
+    # planted fields round-trip exactly
+    assert len(plain) == n
+    for (wtype, uri, body, status, ctype), row in zip(planted, plain):
+        _, r_type, r_uri, r_status, r_ctype, r_n, r_md5 = row
+        assert (r_type, r_uri) == (wtype, uri)
+        assert r_md5 == hashlib.md5(body).hexdigest() and r_n == len(body)
+        if wtype == "response":
+            assert r_status == status and r_ctype == ctype
+        else:
+            assert r_status is None
+
+    # truncation at arbitrary cut points: prefix of records, no raise
+    for target in (blob, per_member, single):
+        k = data.draw(st.integers(min_value=0, max_value=len(target)))
+        cut = strip(W._parse_warc("p", target[:k]))
+        assert len(cut) <= n
+        # every fully-delivered record parses identically to the full run
+        for got, want in zip(cut[: max(0, len(cut) - 1)], plain):
+            assert got == want
