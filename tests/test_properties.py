@@ -438,3 +438,33 @@ def test_warc_parse_agrees_across_encodings_and_tolerates_truncation(data):
         # every fully-delivered record parses identically to the full run
         for got, want in zip(cut[: max(0, len(cut) - 1)], plain):
             assert got == want
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    payload=st.binary(min_size=0, max_size=600),
+    ctype=st.one_of(st.none(), st.text(max_size=60)),
+)
+def test_charset_sniff_is_total(payload, ctype):
+    """The crawl-facing decode ladder must be TOTAL: any byte string
+    with any (possibly garbage) Content-Type header decodes to a str —
+    never raises, never loses the empty-vs-None distinction. UTF-8
+    inputs round-trip exactly (rung 4 precedes the lossy fallback)."""
+    from weather_monitoring_spark.operators.charset import sniff_decode_bytes
+
+    out = sniff_decode_bytes(payload, ctype)
+    assert isinstance(out, str)
+    if not payload:
+        assert out == ""
+    try:
+        text = payload.decode("utf-8")
+        bom_free = not payload[:3] == b"\xef\xbb\xbf" and payload[:2] not in (
+            b"\xff\xfe", b"\xfe\xff"
+        )
+        declared = ctype or ""
+        # with no BOM and no (possibly lying) declaration steering an
+        # earlier rung, valid UTF-8 must round-trip exactly
+        if bom_free and "charset" not in declared.lower():
+            assert out == text
+    except UnicodeDecodeError:
+        pass
