@@ -1004,3 +1004,50 @@ def test_warc_stream_max_files_per_trigger_bounds_microbatches(tmp_path, spark):
     assert len(batch_sizes) >= 3
     assert sum(batch_sizes) == 3
     assert read_warc(spark, str(d)).count() == 3
+
+
+def test_warc_corrupt_gzip_member_costs_records_not_the_job(tmp_path, spark):
+    """r11 (the decode-hardening class): a corrupt gzip member used to
+    raise zlib.error out of the parse task — one damaged member in a
+    100 TB crawl killed the whole job. The decompressors now yield what
+    decoded and RESYNC at the next member's magic, so damage is local:
+    records in intact members all survive, nothing raises."""
+    import gzip
+
+    from weather_monitoring_spark.sources import warc as W
+
+    recs = [
+        _warc_record(f"http://m/{i}", f"<html>member {i} body</html>".encode())
+        for i in range(4)
+    ]
+    members = [gzip.compress(r, compresslevel=1) for r in recs]
+
+    # shape 1: garbage deflate bytes mid-member (raises mid-stream)
+    bad = bytearray(members[1])
+    for j in range(12, min(28, len(bad))):
+        bad[j] ^= 0xFF
+    blob1 = members[0] + bytes(bad) + members[2] + members[3]
+
+    # shape 2: flipped CRC trailer (raises at member end, after output)
+    bad2 = bytearray(members[2])
+    bad2[-5] ^= 0xFF
+    blob2 = members[0] + members[1] + bytes(bad2) + members[3]
+
+    for blob, must_survive in (
+        (blob1, {"http://m/0", "http://m/2", "http://m/3"}),
+        (blob2, {"http://m/0", "http://m/1", "http://m/3"}),
+    ):
+        rows = list(W._parse_warc("p", bytes(blob)))  # must not raise
+        uris = {r["target_uri"] for r in rows}
+        assert must_survive <= uris
+        # the eager member iterator shares the contract
+        raw = W._gunzip_members(bytes(blob))
+        assert all(u.rsplit("/", 1)[-1].encode() in raw
+                   for u in must_survive)
+
+    # end-to-end through Spark: the damaged file still loads
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "dmg.warc.gz").write_bytes(blob1)
+    got = {r.target_uri for r in W.read_warc(spark, str(d)).collect()}
+    assert {"http://m/0", "http://m/2", "http://m/3"} <= got

@@ -430,6 +430,14 @@ def test_warc_parse_agrees_across_encodings_and_tolerates_truncation(data):
         else:
             assert r_status is None
 
+    # a single byte flip ANYWHERE in the gzip form (magic, header,
+    # deflate stream, CRC trailer): damage is local, never an exception
+    for target in (per_member, single):
+        i = data.draw(st.integers(min_value=0, max_value=len(target) - 1))
+        dmg = bytearray(target)
+        dmg[i] ^= data.draw(st.integers(min_value=1, max_value=255))
+        list(W._parse_warc("p", bytes(dmg)))  # must not raise
+
     # truncation at arbitrary cut points: prefix of records, no raise
     for target in (blob, per_member, single):
         k = data.draw(st.integers(min_value=0, max_value=len(target)))

@@ -50,6 +50,17 @@ WARC_SCHEMA = (
 _GZIP_MAGIC = b"\x1f\x8b"
 
 
+def _resync_gzip(data: bytes, member_start: int) -> int:
+    """Recovery cursor after a corrupt gzip member: the next plausible
+    member header (magic + the deflate CM byte, \\x1f\\x8b\\x08 — every
+    gzip in the wild) strictly past the damaged member's own header. A
+    false positive inside compressed bytes just fails fast with another
+    zlib.error and resyncs again, strictly forward, so recovery is
+    bounded by one scan of the file. Returns -1 when no candidate
+    remains (drop the tail, stop)."""
+    return data.find(_GZIP_MAGIC + b"\x08", member_start + 2)
+
+
 def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
     """Decompress gzip members ONE AT A TIME (Common Crawl gzips each
     WARC record as its own member so readers can seek; a plain
@@ -68,12 +79,17 @@ def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
       byte copies; a fixed-large-chunk carry chain is O(chunk) per
       member).
 
-    A truncated final member yields what decoded, then stops (the
-    crawl-damage tolerance contract)."""
+    A truncated final member yields what decoded, then stops; a CORRUPT
+    member (bad deflate data or a failed CRC — zlib.error) yields what
+    decoded and RESYNCS at the next gzip magic, so one damaged member
+    costs its own records, never the file or the job (the crawl-damage
+    tolerance contract; r11 — the same never-raise class as the decode
+    hardening)."""
     mv = memoryview(data)
     n = len(data)
     pos = 0
     while pos + 2 <= n and bytes(mv[pos : pos + 2]) == _GZIP_MAGIC:
+        member_start = pos
         d = zlib.decompressobj(wbits=31)
         out = []
         # feed sizes ramp 8 KB -> 1 MB within a member: the per-member
@@ -83,19 +99,26 @@ def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
         # REWINDS by len(unused_data) to the exact member boundary —
         # no compressed carry-over between members at all.
         chunk = 1 << 13
-        while True:
-            if pos >= n:
-                if out:  # truncated member: keep what decoded, stop
+        try:
+            while True:
+                if pos >= n:
+                    if out:  # truncated member: keep what decoded, stop
+                        yield b"".join(out)
+                    return
+                feed = mv[pos : pos + chunk]
+                pos += len(feed)
+                out.append(d.decompress(feed))
+                if d.eof:
+                    pos -= len(d.unused_data)
                     yield b"".join(out)
-                return
-            feed = mv[pos : pos + chunk]
-            pos += len(feed)
-            out.append(d.decompress(feed))
-            if d.eof:
-                pos -= len(d.unused_data)
+                    break
+                chunk = min(chunk << 1, 1 << 20)
+        except zlib.error:
+            if out:  # keep the prefix that decoded before the damage
                 yield b"".join(out)
-                break
-            chunk = min(chunk << 1, 1 << 20)
+            pos = _resync_gzip(data, member_start)
+            if pos < 0:
+                return
 
 
 #: Output-size cap per decompressed chunk (compression-bomb guard: a
@@ -114,31 +137,40 @@ def _iter_gzip_chunks(data: bytes) -> Iterator[bytes]:
     ``unused_data`` (input past the member end) are both contiguous
     suffixes of the bytes fed so far, so ``pos -= len(unused_data)`` on
     eof lands exactly on the next member boundary even when the last
-    feed came from the tail."""
+    feed came from the tail. Corrupt members (zlib.error) resync at the
+    next gzip magic like ``_iter_gzip_members`` — already-yielded
+    chunks stand (the parser junk-skips any garbage), one damaged
+    member never costs the file or the job."""
     mv = memoryview(data)
     n = len(data)
     pos = 0
     while pos + 2 <= n and bytes(mv[pos : pos + 2]) == _GZIP_MAGIC:
+        member_start = pos
         d = zlib.decompressobj(wbits=31)
         chunk = 1 << 13
         tail = b""
-        while True:
-            if tail:
-                out = d.decompress(tail, _GUNZIP_MAX_OUT)
-                tail = d.unconsumed_tail
-            elif pos < n:
-                feed = mv[pos : pos + chunk]
-                pos += len(feed)
-                out = d.decompress(feed, _GUNZIP_MAX_OUT)
-                tail = d.unconsumed_tail
-                chunk = min(chunk << 1, 1 << 20)
-            else:
-                return  # truncated member: whatever decoded was yielded
-            if out:
-                yield out
-            if d.eof:
-                pos -= len(d.unused_data)
-                break
+        try:
+            while True:
+                if tail:
+                    out = d.decompress(tail, _GUNZIP_MAX_OUT)
+                    tail = d.unconsumed_tail
+                elif pos < n:
+                    feed = mv[pos : pos + chunk]
+                    pos += len(feed)
+                    out = d.decompress(feed, _GUNZIP_MAX_OUT)
+                    tail = d.unconsumed_tail
+                    chunk = min(chunk << 1, 1 << 20)
+                else:
+                    return  # truncated member: whatever decoded was yielded
+                if out:
+                    yield out
+                if d.eof:
+                    pos -= len(d.unused_data)
+                    break
+        except zlib.error:
+            pos = _resync_gzip(data, member_start)
+            if pos < 0:
+                return
 
 
 def _gunzip_members(data: bytes) -> bytes:
