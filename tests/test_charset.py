@@ -275,3 +275,92 @@ def test_default_decode_is_total_one_bad_page_cannot_kill_the_job(
     )
     rows = wet_to_documents(read_wet(spark, str(w))).collect()
     assert len(rows) == 1 and rows[0]["text"].startswith("déjà v")
+
+
+def test_r11_crawl_stack_composes_in_one_streaming_query(tmp_path, spark):
+    """Every r11 piece in ONE StreamingQuery: bounded micro-batch
+    admission (max_files_per_trigger=1) over a landing directory whose
+    segments include a CORRUPT gzip member and a windows-1252 page,
+    sniff-decoded in-stream, C4-gated, archived to parquet — damage is
+    local, encodings are recovered, and the three files process in
+    three micro-batches."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.operators.quality import c4_rules
+    from weather_monitoring_spark.operators.htmlops import extract_html_text
+    from weather_monitoring_spark.sources.warc import (
+        read_warc_stream,
+        warc_responses_to_documents,
+    )
+
+    sents = (
+        "The café owner said that déjà vu is common in the naïve résumé. "
+        "Every document should keep the château accents through the whole "
+        "pipeline here. These sentences carry enough plain English words "
+        "for the quality gates to keep the page. The archive then stores "
+        "each kept page with its identifiers for later auditing. Nothing "
+        "about this prose should trip any of the standard content rules."
+    )
+    html = f"<html><body><p>{sents}</p></body></html>"
+    d = tmp_path / "landing"
+    d.mkdir()
+    # seg0: clean utf-8 page
+    (d / "seg0.warc.gz").write_bytes(
+        gzip.compress(
+            _warc_record("http://utf8/1", html.encode("utf-8"),
+                         ctype="text/html; charset=utf-8")
+        )
+    )
+    # seg1: latin-1-declared 1252 page AFTER a corrupt member
+    good = gzip.compress(
+        _warc_record("http://w1252/2", html.encode("windows-1252"),
+                     ctype="text/html; charset=iso-8859-1")
+    )
+    corrupt = bytearray(
+        gzip.compress(_warc_record("http://dead/x", b"<html>lost</html>"))
+    )
+    for j in range(12, 24):
+        corrupt[j] ^= 0xFF
+    (d / "seg1.warc.gz").write_bytes(bytes(corrupt) + good)
+    # seg2: bare 1252 page (fallback rung)
+    (d / "seg2.warc.gz").write_bytes(
+        gzip.compress(
+            _warc_record("http://bare/3", html.encode("windows-1252"),
+                         ctype="text/html")
+        )
+    )
+
+    batches = []
+
+    def sink(df, epoch_id):
+        batches.append(df.collect())
+
+    docs = warc_responses_to_documents(
+        read_warc_stream(spark, str(d), max_files_per_trigger=1),
+        charset="sniff",
+    )
+    gated = (
+        c4_rules(
+            extract_html_text(docs, html_col="html", lines=True).select(
+                "doc_id", "text"
+            )
+        )
+        .filter("verdict = 'kept'")
+        .select("doc_id", F.col("text_clean").alias("text"))
+    )
+    q = (
+        gated.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(batches) >= 3  # one file per micro-batch under the bound
+    rows = [r for b in batches for r in b]
+    assert len(rows) == 3  # dead/x lost to the corrupt member, rest kept
+    texts = {r["text"] for r in rows}
+    assert len(texts) == 1  # all three encodings decode identically
+    assert "déjà" in next(iter(texts)) and "�" not in next(iter(texts))
