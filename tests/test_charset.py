@@ -84,6 +84,27 @@ def test_ladder_rung4_utf8_validity_and_rung5_fallback():
     assert "�" in sniff_decode_bytes(b"bad \x81 byte", None)
 
 
+def test_non_text_codec_labels_cannot_crash_the_ladder():
+    """ADVICE r12 (high): ``codecs.lookup`` resolves binary transform
+    codecs ('hex', 'base64', 'uu', 'rot13', 'zlib', 'quopri'), whose
+    ``bytes.decode`` raises LookupError — not UnicodeDecodeError — so a
+    single crawled page declaring ``charset=hex`` would crash the
+    pandas_udf task and abort the whole ingest. They must resolve to
+    None (ladder continues to the validity rungs) and decoding must be
+    total regardless."""
+    for label in ("hex", "base64", "uu", "rot13", "zlib", "quopri"):
+        assert resolve_charset_label(label) is None, label
+        # transport-layer declaration
+        out = sniff_decode_bytes(TEXT.encode("utf-8"), f"text/html; charset={label}")
+        assert out == TEXT, label
+        # meta-prescan declaration, non-UTF-8 body: rung 5 still saves it
+        page = (
+            f'<meta charset="{label}">'.encode("ascii") + TEXT.encode("windows-1252")
+        )
+        out2 = sniff_decode_bytes(page, None)
+        assert TEXT in out2, label
+
+
 def test_unknown_label_continues_ladder():
     assert resolve_charset_label("not-a-charset-9000") is None
     assert resolve_charset_label(None) is None

@@ -1673,3 +1673,55 @@ def test_semantic_cross_cap_is_byte_aware(spark, monkeypatch):
         semantic_decontaminate(train, bench, threshold=0.95, method="blocked")
     )
     assert auto == blocked  # auto fell back to the union path, bit-equal
+
+
+def test_semantic_cross_admission_is_atomic(spark, monkeypatch, tmp_path):
+    """r12 advisor: the id-only admission probe and the embedding
+    collect are separate jobs, so a non-deterministic / concurrently
+    growing bench lineage can hand the collect MORE rows than the probe
+    admitted — the collect itself must stay LIMIT-bounded and the cap
+    enforced on what actually arrived. Simulated with a mapInPandas
+    bench whose row count grows on its third lineage evaluation (dim
+    probe, id count, collect)."""
+    import pytest
+
+    import weather_monitoring_spark.operators.training_prep as tp
+    from weather_monitoring_spark.operators.training_prep import (
+        semantic_decontaminate,
+    )
+
+    monkeypatch.setattr(tp, "SEMANTIC_CROSS_BENCH_CAP", 4)
+    counter = str(tmp_path / "evals")
+
+    def grow(batches):
+        import os
+
+        import pandas as pd
+
+        for _ in batches:  # drain the single input partition
+            pass
+        n = 0
+        if os.path.exists(counter):
+            with open(counter) as f:
+                n = int(f.read() or 0)
+        with open(counter, "w") as f:
+            f.write(str(n + 1))
+        rows = 2 if n < 2 else 6  # grows between probe and collect
+        yield pd.DataFrame(
+            {
+                "vec_id": list(range(rows)),
+                "embedding": [[1.0, 0.0, 0.0, 0.0]] * rows,
+            }
+        )
+
+    bench = spark.range(0, 1, 1, 1).mapInPandas(
+        grow, "vec_id bigint, embedding array<float>"
+    )
+    train = spark.createDataFrame(
+        [(i, [0.0, 1.0, 0.0, 0.0]) for i in range(3)],
+        "vec_id bigint, embedding array<float>",
+    )
+    # probe sees 2 <= 4 and admits; the bounded collect then receives
+    # 5 (= cap+1) rows -> the grown bench is rejected, not collected
+    with pytest.raises(ValueError, match="closure cap"):
+        semantic_decontaminate(train, bench, method="cross")

@@ -40,8 +40,9 @@ downstream (a page that was CORRECTLY decoded here no longer needs
 repair; one that was double-encoded at the origin still does).
 
 Reference parity: the reference ingests UTF-8 JSON only
-(``central-station/.../Main.java:31``); this extends the engine's
-crawl-pipeline scope per the builder brief.
+(``Base-Central-Station/src/main/java/org/example/CentralStation.java:58-63``,
+``Rain-Detector/src/main/java/org/example/Main.java:31``); this extends
+the engine's crawl-pipeline scope per the builder brief.
 """
 
 from __future__ import annotations
@@ -121,7 +122,14 @@ _META_CHARSET_RE = re.compile(
 
 def resolve_charset_label(label: str | None) -> str | None:
     """WHATWG label -> Python codec name, or None for an unknown/empty
-    label (the ladder then continues to the validity rungs)."""
+    label (the ladder then continues to the validity rungs).
+
+    Only TEXT encodings resolve: ``codecs.lookup`` also knows binary
+    transform codecs (``hex``, ``base64``, ``uu``, ``rot13``,
+    ``zlib``, ...) whose ``bytes.decode`` raises ``LookupError``
+    instead of ``UnicodeDecodeError`` — a crawled page declaring
+    ``charset=hex`` must fall through the ladder, not crash the task.
+    """
     if not label:
         return None
     name = label.strip().strip("\"'").lower()
@@ -129,9 +137,12 @@ def resolve_charset_label(label: str | None) -> str | None:
     if codec:
         return codec
     try:
-        return codecs.lookup(name).name
+        info = codecs.lookup(name)
     except LookupError:
         return None
+    if not getattr(info, "_is_text_encoding", True):
+        return None
+    return info.name
 
 
 def _declared_labels(payload: bytes, content_type: str | None):
@@ -161,9 +172,12 @@ def sniff_decode_bytes(payload: bytes | None, content_type: str | None) -> str |
         if codec:
             try:
                 # strict: a lying declaration falls through the ladder
-                # instead of shredding the page into U+FFFD
+                # instead of shredding the page into U+FFFD.
+                # LookupError/TypeError belt-and-braces: a codec that
+                # slipped past the text-encoding gate must degrade to
+                # the validity rungs, never abort the ingest.
                 return payload.decode(codec)
-            except (UnicodeDecodeError, ValueError):
+            except (UnicodeDecodeError, ValueError, LookupError, TypeError):
                 pass
     try:
         return payload.decode("utf-8")

@@ -773,7 +773,11 @@ def semantic_decontaminate(
         # vector width, then an id-only bounded count. Embeddings are
         # collected only once the cross path is certain to run. The
         # byte budget uses the FIRST row's dim as the matrix width —
-        # the scorer itself requires rectangular benches.
+        # the scorer itself requires rectangular benches. The probes +
+        # collect are up to three evaluations of the bench lineage; a
+        # caller with an expensive uncached bench should .cache() it —
+        # benches are small by definition here (cap = 100k rows/64 MiB),
+        # so we do not force a persist on the user's frame.
         d0 = bench_emb.select(F.size(F.col(vec_col)).alias("d")).first()
         if d0 is None:  # empty bench: every train row explicitly clean
             return _semantic_cross(train_emb, [], threshold, id_col, vec_col)
@@ -783,11 +787,21 @@ def semantic_decontaminate(
         )
         n = bench_emb.select(id_col).limit(row_cap + 1).count()
         if n <= row_cap:
-            rows = bench_emb.select(id_col, vec_col).collect()
-            # the full bench is in hand: the min is free — no second
-            # frame scan (r10 self-review)
-            _bench_guard(min((r[0] for r in rows), default=None))
-            return _semantic_cross(train_emb, rows, threshold, id_col, vec_col)
+            # The collect itself stays LIMIT-bounded (r12 advisor: the
+            # probe and the collect are separate jobs, so a
+            # non-deterministic or concurrently-growing bench source
+            # could hand the unbounded collect more rows than the probe
+            # saw — the cap must hold at the moment of collection, not
+            # the moment of admission).
+            rows = bench_emb.select(id_col, vec_col).limit(row_cap + 1).collect()
+            if len(rows) <= row_cap:
+                # the full bench is in hand: the min is free — no
+                # second frame scan (r10 self-review)
+                _bench_guard(min((r[0] for r in rows), default=None))
+                return _semantic_cross(
+                    train_emb, rows, threshold, id_col, vec_col
+                )
+            del rows  # bench grew between probe and collect
         if method == "cross":
             raise ValueError(
                 f"semantic_decontaminate: bench exceeds the cross-path "
