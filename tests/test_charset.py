@@ -115,6 +115,75 @@ def test_unknown_label_continues_ladder():
     assert out == TEXT
 
 
+def test_two_phase_routing_is_byte_identical_to_the_ladder(spark):
+    """r12 (verdict #2): the two-phase sniff (JVM ``make_valid_utf8``
+    for valid-UTF-8-no-contradicting-declaration pages, Python ladder
+    for the rest) must be BYTE-IDENTICAL to the pure ladder on an
+    adversarial corpus — every routing boundary: BOMs, lying/unknown/
+    non-text declarations, meta past the prescan window, invalid bytes,
+    NULLs, empties, multi-byte chars cut at the 1024-byte prescan
+    edge."""
+    import random
+
+    from weather_monitoring_spark.operators.charset import with_sniffed_text
+
+    rng = random.Random(0xC0DEC)
+    encodings = ["utf-8", "windows-1252", "cp1251", "shift_jis", "gb18030"]
+    labels = [
+        None, "utf-8", "UTF-8", "utf8", "latin1", "iso-8859-1",
+        "windows-1251", "shift_jis", "gb2312", "hex", "base64",
+        "not-a-charset-9000", "rot13",
+    ]
+    texts = [TEXT, "Привет, мир — тест", "こんにちは世界", "你好，世界", "plain ascii", ""]
+
+    def one_case():
+        enc = rng.choice(encodings)
+        text = rng.choice(texts)
+        body = text.encode(enc, "replace")
+        form = rng.randrange(6)
+        label = rng.choice(labels)
+        ct = None if label is None else f"text/html; charset={label}"
+        if form == 0:  # bare body, transport declaration only
+            return body, ct
+        if form == 1:  # meta declaration (possibly lying)
+            meta = rng.choice(labels[1:])
+            return (f'<meta charset="{meta}">'.encode() + body), ct
+        if form == 2:  # BOM
+            bom = rng.choice([b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff"])
+            codec = {b"\xef\xbb\xbf": "utf-8", b"\xff\xfe": "utf-16-le",
+                     b"\xfe\xff": "utf-16-be"}[bom]
+            return bom + text.encode(codec), ct
+        if form == 3:  # meta buried past the prescan window
+            filler = b"<!--" + bytes(rng.randrange(97, 123) for _ in range(1030)) + b"-->"
+            return filler + b'<meta charset="windows-1251">' + body, ct
+        if form == 4:  # random bytes (possibly invalid everywhere)
+            return bytes(rng.randrange(256) for _ in range(rng.randrange(0, 80))), ct
+        # multi-byte char straddling the 1024-byte prescan edge
+        pad = b"x" * 1022
+        return pad + "é€".encode("utf-8") + body, ct
+
+    cases = [one_case() for _ in range(300)] + [(None, "text/html"), (None, None)]
+    # a row id keys the order-insensitive comparison: the two-phase
+    # union reorders rows by route
+    df = spark.createDataFrame(
+        [(i, p, c) for i, (p, c) in enumerate(cases)],
+        "rid bigint, payload binary, ct string",
+    )
+
+    def outputs(two_phase):
+        rows = with_sniffed_text(
+            df, "html", content_type_col="ct", two_phase=two_phase
+        ).collect()
+        return {r["rid"]: r["html"] for r in rows}
+
+    one, two = outputs(False), outputs(True)
+    assert set(one) == set(two) == set(range(len(cases)))
+    for rid, (payload, ct) in enumerate(cases):
+        ref = sniff_decode_bytes(payload, ct)
+        assert one[rid] == ref, (ct, (payload or b"")[:60])
+        assert two[rid] == ref, (ct, (payload or b"")[:60])
+
+
 def test_warc_sniffed_documents_end_to_end(tmp_path, spark):
     """The same logical page planted in five encodings (UTF-8 declared,
     1252 via transport, 1252 via meta, 1252 undeclared, UTF-8 BOM) must

@@ -187,10 +187,103 @@ def sniff_decode_bytes(payload: bytes | None, content_type: str | None) -> str |
         return payload.decode("windows-1252", "replace")
 
 
-def sniffed_text_col(payload: Column, content_type: Column) -> Column:
+#: JVM twins of the ladder's declaration regexes (Java syntax; the
+#: character classes are pure ASCII, so byte/char semantics agree).
+_HTTP_CHARSET_RE_JVM = r"""(?i)charset\s*=\s*["']?\s*([A-Za-z0-9._:-]+)"""
+_META_CHARSET_RE_JVM = (
+    r"""(?i)<meta[^>]{0,200}?charset\s*=\s*["']?\s*([A-Za-z0-9._:-]+)"""
+)
+
+#: The WHATWG labels that NAME utf-8. A declaration carrying one of
+#: these cannot contradict the UTF-8 fast path; anything else (even an
+#: unknown label) routes to the Python ladder — conservative, because
+#: fidelity beats coverage on the routing predicate.
+_UTF8_LABELS = ("", "utf-8", "utf8", "unicode-1-1-utf-8")
+
+
+def _fast_path_eligible(payload: Column, content_type: Column) -> Column:
+    """True exactly when the ladder's answer is provably the strict
+    UTF-8 decode: no BOM (a UTF-8 BOM changes the output — the ladder
+    strips it; UTF-16 BOM bytes are never valid UTF-8 anyway), payload
+    bytes valid UTF-8, and neither the transport header nor the
+    1024-byte meta prescan declares a non-utf-8 charset. Pure JVM
+    expressions — evaluated inside whole-stage codegen, zero Python."""
+    no_bom = ~(
+        (F.hex(payload.substr(F.lit(1), F.lit(3))) == "EFBBBF")
+        | F.hex(payload.substr(F.lit(1), F.lit(2))).isin("FFFE", "FEFF")
+    )
+    valid = F.is_valid_utf8(payload.cast("string"))
+    http_label = F.lower(
+        F.coalesce(
+            F.regexp_extract(content_type, _HTTP_CHARSET_RE_JVM, 1), F.lit("")
+        )
+    )
+    meta_label = F.lower(
+        F.coalesce(
+            F.regexp_extract(
+                payload.substr(F.lit(1), F.lit(PRESCAN_BYTES)).cast("string"),
+                _META_CHARSET_RE_JVM,
+                1,
+            ),
+            F.lit(""),
+        )
+    )
+    # conjunct order is a cost decision: codegen's && short-circuits,
+    # so the bounded checks (BOM bytes, header regex, 1 KiB prescan
+    # regex) run before the full-payload validity scan — a page
+    # ineligible by declaration never pays the whole-body pass
+    return (
+        no_bom
+        & http_label.isin(*_UTF8_LABELS)
+        & meta_label.isin(*_UTF8_LABELS)
+        & valid
+    )
+
+
+def sniffed_text_col(
+    payload: Column, content_type: Column, two_phase: bool = True
+) -> Column:
     """``(payload binary, content_type string) -> string`` as a
-    composable Column — an Arrow-batched pandas_udf running the ladder
-    per row (see the module docstring for why there is no SQL form)."""
+    composable Column — the WHATWG ladder (see the module docstring for
+    why there is no SQL form).
+
+    ``two_phase`` (default, r12 verdict #2): real crawls are majority
+    valid-UTF-8-with-no-contradicting-declaration, and for exactly
+    those pages the ladder's answer IS the strict UTF-8 decode — a
+    plain ``binary -> string`` cast, since the routing predicate
+    (:func:`_fast_path_eligible`) has already PROVEN validity, making
+    ``make_valid_utf8``'s rewrite pass redundant. The expression is
+
+        coalesce(ladder_udf(IF(!fast, payload), IF(!fast, ct)),
+                 cast(payload as string))
+
+    i.e. the pandas_udf still runs over every row (Spark extracts
+    Python UDFs from conditionals and evaluates them unconditionally),
+    but fast-path rows cross the Arrow boundary as NULLs: no page
+    bytes shipped to Python, no PyBytes/str materialization, no decode
+    — just a per-row None check. The udf returns NULL exactly for
+    (gated-fast | originally-NULL) rows, and coalesce's JVM branch
+    yields NULL for a NULL payload too, so the NULL contract is
+    preserved.
+
+    Three architectures were measured before shipping this one
+    (interleaved best-of-5 at local[32] AND single-core control, 500k
+    pages / 1.5 GB, 60%- and 95%-UTF-8 mixes — see BASELINE.md r12
+    rows): a filter/filter/UNION frame split wins on a cached source
+    (1.4x) but RE-SCANS the source twice — behind the WARC parse that
+    doubles the most expensive stage of the crawl path; a single-pass
+    ``mapInArrow`` router (JVM flag + vectorized Arrow cast for fast
+    rows) loses outright (0.5-0.9x: the Arrow machinery + predicate
+    cost exceeds the boxing it avoids); this gated form is the only
+    design that wins in every regime (1.09-1.18x), keeps one scan,
+    preserves row order, and composes as a plain Column. The honest
+    ceiling is modest because the crossing's cost is dominated by
+    per-ROW machinery, not bytes — Amdahl on the non-UTF-8 fraction
+    bounds any routing scheme.
+
+    ``two_phase=False`` is the pure ladder (every row's bytes cross) —
+    the probe baseline and the differential-test oracle.
+    """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -206,4 +299,34 @@ def sniffed_text_col(payload: Column, content_type: Column) -> Column:
             dtype=object,
         )
 
-    return pandas_udf(_decode, "string")(payload, content_type)
+    ladder = pandas_udf(_decode, "string")
+    if not two_phase:
+        return ladder(payload, content_type)
+    fast = F.coalesce(
+        _fast_path_eligible(payload, content_type), F.lit(False)
+    )
+    return F.coalesce(
+        ladder(F.when(~fast, payload), F.when(~fast, content_type)),
+        payload.cast("string"),
+    )
+
+
+def with_sniffed_text(
+    df,
+    out_col: str,
+    payload_col: str = "payload",
+    content_type_col: str = "content_type",
+    two_phase: bool = True,
+):
+    """Frame-level convenience: ``df`` plus ``out_col`` (string)
+    decoded by the WHATWG ladder via :func:`sniffed_text_col` —
+    ``two_phase`` routes the valid-UTF-8 majority's BYTES around the
+    Python crossing (see that docstring for the measured design
+    rationale). Single scan, row order preserved, works unchanged on
+    streaming frames."""
+    return df.withColumn(
+        out_col,
+        sniffed_text_col(
+            F.col(payload_col), F.col(content_type_col), two_phase=two_phase
+        ),
+    )

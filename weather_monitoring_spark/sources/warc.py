@@ -461,10 +461,13 @@ def warc_responses_to_documents(
       bad byte — one damaged or non-UTF-8 page would kill a whole
       ingest job (r11 finding, regression-pinned);
     - ``"sniff"``: the WHATWG ladder (BOM > HTTP charset param > meta
-      prescan > UTF-8 validity > windows-1252 fallback) as an
-      Arrow-batched projection (``operators/charset.py``) — pages that
-      UTF-8-only decoding shreds into replacement noise survive
-      curation intact, composing with the downstream mojibake repair.
+      prescan > UTF-8 validity > windows-1252 fallback) as a TWO-PHASE
+      Arrow-batched projection (``operators/charset.py``, r12): a JVM
+      codegen predicate proves the valid-UTF-8-no-contradicting-
+      declaration majority, whose bytes then never cross into Python —
+      pages that UTF-8-only decoding shreds into replacement noise
+      survive curation intact, composing with the downstream mojibake
+      repair.
 
     NULL content_type means "keep": since the parser sets content_type
     NULL when an HTTP response carries no Content-Type header (never
@@ -472,29 +475,33 @@ def warc_responses_to_documents(
     actually fires for unknown-type pages as intended. Reading with
     ``read_warc(..., responses_only=True)`` applies this same predicate
     at the byte level; this filter is then a cheap no-op."""
-    if charset == "utf-8":
-        html = F.make_valid_utf8(F.col("payload").cast("string"))
-    elif charset == "sniff":
+    if charset not in ("utf-8", "sniff"):
+        raise ValueError(f"charset must be 'utf-8' or 'sniff', got {charset!r}")
+    pages = records.filter(
+        (F.col("warc_type") == "response")
+        & F.col("http_status").between(200, 299)
+        & F.coalesce(
+            F.lower("content_type").contains("html"), F.lit(True)
+        )
+    )
+    if charset == "sniff":
+        # Two-phase routing (r12): the valid-UTF-8 majority's BYTES
+        # never cross into Python — only declaration-bearing /
+        # non-UTF-8 pages walk the ladder. Byte-identical to the pure
+        # ladder; single scan, row order preserved.
         from weather_monitoring_spark.operators.charset import (
-            sniffed_text_col,
+            with_sniffed_text,
         )
 
-        html = sniffed_text_col(F.col("payload"), F.col("content_type"))
+        pages = with_sniffed_text(pages, "html")
     else:
-        raise ValueError(f"charset must be 'utf-8' or 'sniff', got {charset!r}")
-    return (
-        records.filter(
-            (F.col("warc_type") == "response")
-            & F.col("http_status").between(200, 299)
-            & F.coalesce(
-                F.lower("content_type").contains("html"), F.lit(True)
-            )
+        pages = pages.withColumn(
+            "html", F.make_valid_utf8(F.col("payload").cast("string"))
         )
-        .select(
-            F.col("asset_id").alias("doc_id"),
-            F.col("target_uri").alias("url"),
-            html.alias("html"),
-        )
+    return pages.select(
+        F.col("asset_id").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("html"),
     )
 
 
