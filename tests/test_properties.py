@@ -476,3 +476,120 @@ def test_charset_sniff_is_total(payload, ctype):
             assert out == text
     except UnicodeDecodeError:
         pass
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=st.data())
+def test_curate_crawl_tolerates_arbitrary_damage_end_to_end(data, tmp_path_factory):
+    """r12 (verdict #6): compose the r11 fuzz pieces — random record
+    mixes (responses/conversions, mixed encodings, BOMs, lying or
+    non-text charset labels, null URIs, empty payloads, inter-record
+    junk) on damaged media (corrupt gzip member / truncation) driven
+    through the FULL Spark path: read_warc -> warc_responses_to_documents
+    (two-phase sniff) -> curate_crawl. Contract: no raise anywhere, the
+    Spark documents equal the plain-parse oracle's projection of the
+    SAME damaged bytes (multiset of url/text), and the survivor count
+    equals curating the oracle's documents."""
+    import gzip
+
+    from tests.test_pipeline_paths import _warc_record
+    from weather_monitoring_spark.operators.charset import sniff_decode_bytes
+    from weather_monitoring_spark.pipelines import curate_crawl
+    from weather_monitoring_spark.sources import warc as W
+    from weather_monitoring_spark.sources.warc import (
+        read_warc,
+        warc_responses_to_documents,
+    )
+
+    spark = _get_spark()
+
+    texts = [
+        "Café déjà vu — naïve résumé with enough words to maybe survive",
+        "Привет, мир — тест damage tolerance property",
+        "plain ascii body that is perfectly ordinary",
+        "",
+    ]
+    encodings = ["utf-8", "windows-1252", "cp1251"]
+    labels = [None, "utf-8", "latin1", "windows-1251", "hex", "nonsense-9000"]
+
+    n = data.draw(st.integers(min_value=1, max_value=5))
+    parts = []
+    for i in range(n):
+        wtype = data.draw(st.sampled_from(["response", "conversion", "request"]))
+        text = data.draw(st.sampled_from(texts))
+        enc = data.draw(st.sampled_from(encodings))
+        body = text.encode(enc, "replace")
+        if data.draw(st.booleans()):
+            body = b"\xef\xbb\xbf" + body  # BOM variant
+        label = data.draw(st.sampled_from(labels))
+        ctype = (
+            None
+            if label is None and data.draw(st.booleans())
+            else f"text/html; charset={label}" if label else "text/html"
+        )
+        status = data.draw(st.sampled_from([200, 204, 404]))
+        rec = _warc_record(
+            f"http://h/{i}", body, warc_type=wtype, status=status, ctype=ctype
+        )
+        if data.draw(st.booleans()) and f"http://h/{i}" in rec.decode("latin1"):
+            # null-URI variant: WARC header lines are not covered by
+            # Content-Length, so stripping the line is damage-free
+            rec = rec.replace(
+                f"WARC-Target-URI: http://h/{i}\r\n".encode(), b"", 1
+            )
+        parts.append(rec)
+        junk = data.draw(
+            st.binary(min_size=0, max_size=16).filter(lambda b: b"WARC/" not in b)
+        )
+        parts.append(junk)
+
+    # damage the on-disk form
+    form = data.draw(st.sampled_from(["members_corrupt", "members_trunc", "plain_trunc"]))
+    if form == "plain_trunc":
+        blob = b"".join(parts)
+        cut = data.draw(st.integers(min_value=0, max_value=len(blob)))
+        damaged, suffix = blob[:cut], ".warc"
+    else:
+        members = [gzip.compress(p, compresslevel=1) for p in parts if p]
+        blob = b"".join(members)
+        if form == "members_trunc":
+            cut = data.draw(st.integers(min_value=0, max_value=len(blob)))
+            damaged = blob[:cut]
+        else:
+            dmg = bytearray(blob)
+            i = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+            dmg[i] ^= data.draw(st.integers(min_value=1, max_value=255))
+            damaged = bytes(dmg)
+        suffix = ".warc.gz"
+
+    # oracle: plain-parse the SAME damaged bytes, apply the documents
+    # projection (response & 2xx & html-or-absent content type) + the
+    # ladder decode
+    oracle = [
+        (r["target_uri"], sniff_decode_bytes(r["payload"], r["content_type"]))
+        for r in W._parse_warc("p", damaged)
+        if r["warc_type"] == "response"
+        and r["http_status"] is not None
+        and 200 <= r["http_status"] <= 299
+        and (r["content_type"] is None or "html" in r["content_type"].lower())
+    ]
+
+    d = tmp_path_factory.mktemp("fuzzwarc")
+    (d / f"part{suffix}").write_bytes(damaged)
+    docs = warc_responses_to_documents(
+        read_warc(spark, str(d), glob=f"*{suffix}"), charset="sniff"
+    )
+    got = [(r["url"], r["html"]) for r in docs.collect()]
+    assert sorted(got, key=repr) == sorted(oracle, key=repr)
+
+    # the full curation chain must not raise on whatever survived, and
+    # must agree with curating the oracle's documents directly
+    stages = curate_crawl(docs, min_tokens=1, checkpoint=False)
+    n_clean = stages.clean.count()
+    oracle_docs = spark.createDataFrame(
+        [(f"o{i}", u, t) for i, (u, t) in enumerate(oracle)],
+        "doc_id string, url string, html string",
+    )
+    assert n_clean == curate_crawl(
+        oracle_docs, min_tokens=1, checkpoint=False
+    ).clean.count()
