@@ -359,3 +359,51 @@ def test_fix_mojibake_table_mode_is_exchange_free_and_modes_validated(spark):
     assert "Exchange" not in plan and "Python" not in plan
     with pytest.raises(ValueError, match="mode"):
         fix_mojibake(df, mode="nope")
+
+
+def test_two_phase_gating_is_identical_for_full_mojibake(spark):
+    """r12: the charset-routing pattern applied to the full-mode
+    mojibake repair — text with no cp1252 lead-image char
+    (U+00C2-U+00F4) cannot change under the byte-round-trip, so a JVM
+    predicate routes clean rows around the Arrow crossing (measured
+    1.31x on a 5%-dirty 1.5 GB corpus; the same gate on NFC measured a
+    wash and was NOT shipped — see the note in textops.py). The gated
+    default must be byte-identical to the raw udf over an adversarial
+    corpus: ASCII, genuine 'â' words, damaged CJK/emoji, hole bytes,
+    NFD forms, empties, NULLs."""
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.operators.textops import (
+        _fix_mojibake_udf,
+        _w1252,
+        mojibake_fixed_col,
+    )
+
+    def damage(s: str) -> str:
+        return _w1252(s.encode("utf-8"))
+
+    rows = [
+        "plain ascii only",
+        "",
+        None,
+        "café",  # NFD-decomposed
+        "café",  # precomposed
+        "ﬁle ﬂow ½ Ⅳ",  # compatibility forms
+        "x́ edge combining",
+        "the word â alone stays",
+        f"title {damage('日本語')} body",
+        f"emoji {damage('🙂')} here",
+        damage("’") + " and " + damage("é"),
+        damage("”quoted”"),  # 0x9D hole byte
+        "mixed ascii then é then ascii",
+        "Ð¿Ñ€Ð¸Ð²ÐµÑ‚",  # damaged cyrillic
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(rows)],
+                               "doc_id bigint, text string")
+    t = F.col("text")
+    got = df.select(
+        mojibake_fixed_col(t, mode="full").alias("gated"),
+        _fix_mojibake_udf()(t).alias("raw"),
+    ).collect()
+    for r in got:
+        assert r["gated"] == r["raw"], r
