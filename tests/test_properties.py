@@ -586,9 +586,11 @@ def test_curate_crawl_tolerates_arbitrary_damage_end_to_end(data, tmp_path_facto
     # must agree with curating the oracle's documents directly
     stages = curate_crawl(docs, min_tokens=1, checkpoint=False)
     n_clean = stages.clean.count()
+    # doc_id is BIGINT in the crawl contract (warc asset_id = digest
+    # int; dedup_clusters casts cluster labels to long)
     oracle_docs = spark.createDataFrame(
-        [(f"o{i}", u, t) for i, (u, t) in enumerate(oracle)],
-        "doc_id string, url string, html string",
+        [(1_000_000 + i, u, t) for i, (u, t) in enumerate(oracle)],
+        "doc_id bigint, url string, html string",
     )
     assert n_clean == curate_crawl(
         oracle_docs, min_tokens=1, checkpoint=False
