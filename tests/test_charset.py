@@ -454,3 +454,19 @@ def test_r11_crawl_stack_composes_in_one_streaming_query(tmp_path, spark):
     texts = {r["text"] for r in rows}
     assert len(texts) == 1  # all three encodings decode identically
     assert "déjà" in next(iter(texts)) and "�" not in next(iter(texts))
+
+
+def test_curate_crawl_rejects_non_integral_doc_ids_eagerly(spark):
+    """r12 (found by the damage property): a string doc_id used to fail
+    DEEP in the dedup-cluster stage with CAST_INVALID_INPUT under ANSI;
+    the pipeline now rejects it before any job runs."""
+    import pytest
+
+    from weather_monitoring_spark.pipelines import curate_crawl
+
+    bad = spark.createDataFrame(
+        [("a1", "http://h/1", "some text")],
+        "doc_id string, url string, html string",
+    )
+    with pytest.raises(TypeError, match="doc_id must be an integral type"):
+        curate_crawl(bad, min_tokens=1, checkpoint=False)

@@ -148,6 +148,18 @@ def curate_crawl(
     ``clean`` docs. ``split_salt`` overrides the split hash salt.
     """
 
+    # doc_id must be integral (the sources' DOCUMENTS_SCHEMA contract;
+    # warc asset_ids are digest ints): the dedup-cluster stage casts
+    # cluster labels to long, and under ANSI a string id would fail
+    # DEEP in codegen with CAST_INVALID_INPUT instead of here.
+    id_type = dict(crawl.dtypes).get("doc_id")
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"curate_crawl: doc_id must be an integral type, got "
+            f"{id_type!r} — cast ids to bigint (sources.jsonl/csv/warc "
+            f"already do)"
+        )
+
     def pin(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True) if checkpoint else df
 
