@@ -116,13 +116,13 @@ def test_unknown_label_continues_ladder():
 
 
 def test_two_phase_routing_is_byte_identical_to_the_ladder(spark):
-    """r12 (verdict #2): the two-phase sniff (JVM ``make_valid_utf8``
-    for valid-UTF-8-no-contradicting-declaration pages, Python ladder
-    for the rest) must be BYTE-IDENTICAL to the pure ladder on an
-    adversarial corpus — every routing boundary: BOMs, lying/unknown/
-    non-text declarations, meta past the prescan window, invalid bytes,
-    NULLs, empties, multi-byte chars cut at the 1024-byte prescan
-    edge."""
+    """r12 (verdict #2): the two-phase sniff (JVM cast for proven
+    valid-UTF-8-no-contradicting-declaration pages whose bytes never
+    cross into Python, the ladder for the rest) must be BYTE-IDENTICAL
+    to the pure ladder on an adversarial corpus — every routing
+    boundary: BOMs, lying/unknown/non-text declarations, meta past the
+    prescan window, invalid bytes, NULLs, empties, multi-byte chars cut
+    at the 1024-byte prescan edge."""
     import random
 
     from weather_monitoring_spark.operators.charset import with_sniffed_text
@@ -163,8 +163,6 @@ def test_two_phase_routing_is_byte_identical_to_the_ladder(spark):
         return pad + "é€".encode("utf-8") + body, ct
 
     cases = [one_case() for _ in range(300)] + [(None, "text/html"), (None, None)]
-    # a row id keys the order-insensitive comparison: the two-phase
-    # union reorders rows by route
     df = spark.createDataFrame(
         [(i, p, c) for i, (p, c) in enumerate(cases)],
         "rid bigint, payload binary, ct string",
