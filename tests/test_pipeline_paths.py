@@ -1051,3 +1051,32 @@ def test_warc_corrupt_gzip_member_costs_records_not_the_job(tmp_path, spark):
     (d / "dmg.warc.gz").write_bytes(blob1)
     got = {r.target_uri for r in W.read_warc(spark, str(d)).collect()}
     assert {"http://m/0", "http://m/2", "http://m/3"} <= got
+
+
+def test_giant_status_line_cannot_overflow_the_parse(tmp_path, spark):
+    """r12 (self-found, the charset=hex class): a crawled response whose
+    HTTP status line carries a giant digit run (isdigit() accepts any
+    length) used to overflow the int32 http_status field inside the
+    Arrow conversion — one malicious page killing the parse task. It
+    must parse as status-unknown (NULL) instead; sane statuses are
+    untouched."""
+    from weather_monitoring_spark.sources import warc as W
+    from weather_monitoring_spark.sources.warc import read_warc
+
+    big = _warc_record("http://h/big", b"body", status=200)
+    # splice an oversized status into the HTTP line
+    big = big.replace(b"HTTP/1.1 200 OK", b"HTTP/1.1 99999999999999999999 OK")
+    ok = _warc_record("http://h/ok", b"body", status=204)
+    blob = big + ok
+
+    rows = list(W._parse_warc("p", blob))
+    by_uri = {r["target_uri"]: r for r in rows}
+    assert by_uri["http://h/big"]["http_status"] is None
+    assert by_uri["http://h/ok"]["http_status"] == 204
+
+    (tmp_path / "s.warc").write_bytes(blob)
+    got = {
+        r["target_uri"]: r["http_status"]
+        for r in read_warc(spark, str(tmp_path), glob="*.warc").collect()
+    }
+    assert got == {"http://h/big": None, "http://h/ok": 204}

@@ -309,7 +309,16 @@ def _parse_warc(
             if http_end >= 0:
                 http_hdr = block[:http_end].split(b"\r\n")
                 parts = http_hdr[0].split(b" ")
-                if len(parts) >= 2 and parts[1].isdigit():
+                # bounded: RFC 7230 status-code is 3DIGIT; accept any
+                # digit run that fits the int32 schema field — a
+                # crawled page with a giant digit-string status line
+                # must parse as status-unknown, not kill the task with
+                # an Arrow OverflowError (the charset=hex class)
+                if (
+                    len(parts) >= 2
+                    and parts[1].isdigit()
+                    and len(parts[1]) <= 9
+                ):
                     status = int(parts[1])
                 # absent HTTP Content-Type = unknown (NULL), NOT the
                 # WARC envelope type (see docstring)
