@@ -133,6 +133,12 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "host_anchor": anchor,
     }
+    # Load-normalized suite value (r12, BASELINE.md anchor rule):
+    # norm = suite / par32 divides out hypervisor parallel throttling
+    # so cross-round rows compare without re-arguing the band.
+    par32 = (anchor or {}).get("anchor", {}).get("par32_s")
+    if par32:
+        result["norm_suite_over_par32"] = round(result["value"] / par32, 1)
     line = json.dumps(result)
     # Compact headline line (total + sf + runs, ~100 bytes). The full
     # per-query line is ~4.6 KB; the driver keeps the TAIL of stdout, so
