@@ -457,3 +457,35 @@ def test_shards_with_token_ids(spark, tmp_path):
     row = written.filter("doc_id = 7").select("input_ids").first()
     assert list(row["input_ids"]) == TOK.encode("doc 7. " + NATURAL)
     assert verify_training_shards(spark, out, token_counter=counter).count() == 0
+
+
+def test_mismatched_vocab_fails_at_load_not_mid_encode():
+    """r12 (the charset=hex class, config flavor): a vocab that is not
+    closed over the merge table (truncated download, files from two
+    different tokenizers) used to KeyError mid-job inside the encode
+    udf on whichever document first reached the missing piece — it must
+    fail eagerly at construction with a diagnosable error. A consistent
+    pair (incl. the vendored table's own vocab round-trip) still
+    loads."""
+    import pytest
+
+    from weather_monitoring_spark.functions.bpe import BPETokenizer
+
+    tok = BPETokenizer.vendored()
+    # the vendored vocab is closed: re-supplying it explicitly loads
+    assert BPETokenizer(tok.merges, dict(tok.vocab)).encode("hello world")
+
+    # drop one merge-result piece -> eager failure naming the piece
+    broken = dict(tok.vocab)
+    victim = tok.merges[0][0] + tok.merges[0][1]
+    broken.pop(victim)
+    with pytest.raises(ValueError, match="not closed over the merge table"):
+        BPETokenizer(tok.merges, broken)
+
+    # drop a base byte char -> same eager failure
+    from weather_monitoring_spark.functions.bpe import bytes_to_unicode
+
+    broken2 = dict(tok.vocab)
+    broken2.pop(bytes_to_unicode()[0])
+    with pytest.raises(ValueError, match="not closed over the merge table"):
+        BPETokenizer(tok.merges, broken2)

@@ -146,6 +146,25 @@ class BPETokenizer:
             for a, b in self.merges:
                 vocab[a + b] = next_id
                 next_id += 1
+        else:
+            # Eager closure check (r12): every piece encode() can emit
+            # is a base byte char or the result a+b of some merge, so a
+            # supplied vocab must cover exactly that closure — a
+            # mismatched merges/vocab pair (truncated download, wrong
+            # file) must fail HERE at load, not KeyError hours into a
+            # distributed encode on whichever document first reaches
+            # the missing piece.
+            b2u = bytes_to_unicode()
+            missing = [c for b in range(256) if (c := b2u[b]) not in vocab]
+            missing += [a + b for a, b in self.merges if a + b not in vocab]
+            if missing:
+                raise ValueError(
+                    f"BPE vocab is not closed over the merge table: "
+                    f"{len(missing)} reachable piece(s) missing "
+                    f"(first: {missing[0]!r}) — encode() would KeyError "
+                    f"mid-job; the merges/vocab files do not belong "
+                    f"together"
+                )
         self.vocab = dict(vocab)
         self.id_to_token = {i: t for t, i in self.vocab.items()}
         self._cache: dict[str, tuple[str, ...]] = {}
