@@ -14,7 +14,9 @@ INCREMENTALLY (bounded decompressed chunks through a sliding buffer,
 one yielded frame per file chunked at WARC_YIELD_RECORDS) and plain
 input feeds the same buffer in bounded slices, so the working set is
 the resident file + the largest in-flight record + one row chunk —
-never the 3-5 GB decompressed image of a CC shard
+never the 3-5 GB decompressed image of a CC shard (capture-time HTTP
+framing — chunked transfer, gzip/deflate content-codings — is undone
+per record, adding at most the _HTTP_INFLATE_CAP-bounded entity)
 (scripts/probe_warc_memory.py quantifies each shape;
 scripts/probe_warc_fullscale.py proves the bound at the real ~1 GB gz
 / 3 GB raw shard shape, all three on-disk forms).
@@ -193,13 +195,123 @@ def _iter_plain_chunks(data: bytes) -> Iterator[memoryview]:
         yield mv[lo : lo + _GUNZIP_MAX_OUT]
 
 
+#: Decompressed-bytes cap for ONE HTTP payload's content-coding. A page
+#: that inflates past 64 MiB is a compression bomb, not a document — the
+#: decoded prefix is kept and the tail dropped (damage stays local).
+_HTTP_INFLATE_CAP = 1 << 26
+
+
+def _dechunk(payload: bytes) -> bytes | None:
+    """RFC 9112 §7.1 chunked transfer decoding, damage-tolerant: hex
+    size line (chunk extensions after ``;`` ignored, size token bounded
+    at 16 hex digits — the giant-digit-run class), chunk data, CRLF;
+    a ``0`` chunk ends the body (trailer fields dropped). Returns None
+    when the FIRST size line is not chunked framing (a lying
+    Transfer-Encoding header — keep the raw bytes); damage after at
+    least one good chunk keeps everything decoded so far and invents
+    nothing. A record truncated mid-chunk keeps the bytes that arrived,
+    matching the parser's truncated-record contract."""
+    out = bytearray()
+    pos = 0
+    first = True
+    n = len(payload)
+    while pos < n:
+        eol = payload.find(b"\r\n", pos, pos + 1026)
+        if eol < 0:
+            break
+        size_tok = payload[pos:eol].split(b";", 1)[0].strip()
+        if not size_tok or len(size_tok) > 16:
+            break
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            break
+        if size < 0:
+            break
+        first = False
+        if size == 0:
+            break  # terminal chunk; trailers (if any) are dropped
+        data_start = eol + 2
+        out += payload[data_start : data_start + size]
+        # skip the chunk-data CRLF; if it is missing (framing damage)
+        # the next size-line parse fails and we keep the decoded prefix
+        pos = data_start + size + 2
+    return None if first else bytes(out)
+
+
+def _inflate(payload: bytes, coding: str) -> bytes | None:
+    """gzip / x-gzip / deflate HTTP content-codings via zlib. Deflate in
+    the wild is both zlib-wrapped and raw (RFC 9110 §8.4.1.2's noted
+    server bug), so both window forms are tried. Multi-member gzip
+    streams concatenate; output is capped at _HTTP_INFLATE_CAP. Returns
+    None when the bytes do not decode under the coding at all (a lying
+    header — keep the raw bytes); a stream damaged after one good
+    member keeps the decoded prefix."""
+    attempts = (15, -15) if coding == "deflate" else (47,)
+    for wbits in attempts:
+        out = bytearray()
+        data = payload
+        ok = False
+        while data and len(out) < _HTTP_INFLATE_CAP:
+            d = zlib.decompressobj(wbits=wbits)
+            try:
+                out += d.decompress(data, _HTTP_INFLATE_CAP - len(out))
+            except zlib.error:
+                break
+            ok = True
+            if not d.eof:
+                break  # truncated or capped: keep the decoded prefix
+            data = d.unused_data
+        if ok:
+            return bytes(out)
+    return None
+
+
+def _decode_http_payload(payload: bytes, te: str, ce: str) -> bytes:
+    """Undo the HTTP message framing a capture-time WARC preserves. ISO
+    28500 stores a response record's block "as received over the
+    network" — Common Crawl ships identity bodies, but wget --warc and
+    Heritrix captures keep ``Transfer-Encoding: chunked`` framing and
+    ``Content-Encoding`` compression in the block (the reason warcio
+    grew ``decode_content=``). Without this step a chunked page reaches
+    the charset ladder with hex size lines spliced into the text and a
+    gzip'd page reads as binary garbage.
+
+    Codings decode outermost-first: transfer codings (applied last, so
+    undone first) in reverse list order, then content codings in
+    reverse. ``identity`` is a no-op. An UNKNOWN coding (``br`` /
+    ``zstd`` — no codec in this environment; ``compress``) stops the
+    walk with the bytes as-is: an un-undoable outer layer makes inner
+    layers unreachable, and keeping raw bytes keeps damage local."""
+    codings = [t.strip() for t in ce.split(",") if t.strip()] + [
+        t.strip() for t in te.split(",") if t.strip()
+    ]
+    for coding in reversed(codings):
+        if coding == "identity":
+            continue
+        if coding == "chunked":
+            decoded = _dechunk(payload)
+        elif coding in ("gzip", "x-gzip", "deflate"):
+            decoded = _inflate(payload, coding)
+        else:
+            break
+        if decoded is None:
+            break
+        payload = decoded
+    return payload
+
+
 def _parse_warc(
     path: str, data: bytes, responses_only: bool = False
 ) -> Iterator[dict]:
     """Sequential single-pass WARC 1.0/1.1 record parser: header block to
     the blank line, Content-Length body bytes, CRLF CRLF separator.
     Response records additionally split the HTTP message: status line ->
-    http_status, Content-Type header, payload after the HTTP headers.
+    http_status, Content-Type header, payload after the HTTP headers —
+    with capture-time framing undone (``Transfer-Encoding: chunked``
+    dechunked, gzip/deflate content-codings inflated; see
+    ``_decode_http_payload``) so ``payload``/``n_bytes`` always mean
+    the entity bytes, whichever crawler wrote the file.
     An HTTP response WITHOUT a Content-Type header gets content_type
     NULL — never the WARC record's own ``application/http`` envelope
     type, which would read as "not html" and wrongly drop the page in
@@ -304,6 +416,7 @@ def _parse_warc(
         rec_offset = base0 + start
         start = min(len(buf), body_start + length)
         status, ctype, payload = None, headers.get("content-type"), block
+        http_te = http_ce = ""
         if headers.get("warc-type") == "response" and block[:5] == b"HTTP/":
             http_end = block.find(b"\r\n\r\n")
             if http_end >= 0:
@@ -324,9 +437,16 @@ def _parse_warc(
                 # WARC envelope type (see docstring)
                 ctype = None
                 for line in http_hdr[1:]:
-                    k, _, v = line.partition(b":")
-                    if _ and k.strip().lower() == b"content-type":
+                    k, sep, v = line.partition(b":")
+                    if not sep:
+                        continue
+                    key = k.strip().lower()
+                    if key == b"content-type":
                         ctype = v.strip().decode("latin-1")
+                    elif key == b"transfer-encoding":
+                        http_te = v.strip().decode("latin-1").lower()
+                    elif key == b"content-encoding":
+                        http_ce = v.strip().decode("latin-1").lower()
                 payload = block[http_end + 4 :]
         if responses_only and not (
             headers.get("warc-type") == "response"
@@ -335,6 +455,11 @@ def _parse_warc(
             and (ctype is None or "html" in ctype.lower())
         ):
             continue
+        if http_te or http_ce:
+            # decode AFTER the keep predicate: skipped records never
+            # pay dechunk/inflate; the predicate reads only status and
+            # content-type, which framing does not change
+            payload = _decode_http_payload(payload, http_te, http_ce)
         digest = hashlib.md5(f"{path}#{rec_offset}".encode()).hexdigest()
         yield {
             "asset_id": int(digest[:15], 16),
