@@ -110,3 +110,26 @@ def test_streaming_dedup_partial_batch_replay_reconciles(spark, tmp_path):
     b2 = _docs(spark, [(5, _varied("gamma")), (6, _varied("eps"))])
     dd.process_batch(b2, 2)
     assert sorted(r.doc_id for r in dd.corpus().collect()) == [1, 2, 3, 4, 6]
+
+
+def test_streaming_dedup_null_text_docs_are_not_collapsed(spark, tmp_path):
+    """NULL text means UNKNOWN content (e.g. a reject-routed or damaged
+    record whose payload was lost): such docs must neither dedup against
+    EACH OTHER (md5(NULL) pooled them — and the null-rejecting semi join
+    then dropped every one of them) nor enter the fuzzy stage (they all
+    minhash to the same degenerate signature). Re-arrival of the SAME
+    doc_id still dedups via its sentinel fingerprint."""
+    dd = StreamingDocDedup(spark, str(tmp_path / "store"))
+
+    b0 = _docs(
+        spark,
+        [(1, None), (2, None), (3, _varied("beta")), (4, None)],
+    )
+    dd.process_batch(b0, 0)
+    assert sorted(r.doc_id for r in dd.corpus().collect()) == [1, 2, 3, 4]
+
+    # same null doc_id re-arrives (at-least-once source): store dedup
+    # fires on the sentinel; a NEW null-text doc id still survives
+    b1 = _docs(spark, [(2, None), (5, None), (6, _varied("gamma"))])
+    dd.process_batch(b1, 1)
+    assert sorted(r.doc_id for r in dd.corpus().collect()) == [1, 2, 3, 4, 5, 6]

@@ -1338,16 +1338,21 @@ def test_url_dedup_and_domain_filter(spark):
             (20, "https://spam.bad-domain.com/x"),
             (21, "https://other.bad-domain.com/y"),
             (30, "https://keep.example.org/z"),
+            (40, None),  # URI-less pages (damaged WARC header): unknown
+            (41, None),  # identity — must NOT dedup against each other
         ],
         "doc_id long, url string",
     )
     groups = {r.keeper_doc_id: r.n_copies for r in url_dedup(df).collect()}
     assert groups[10] == 3  # 10, 11, 12 collapse onto one canonical URL
     assert groups[20] == 1 and groups[21] == 1 and groups[30] == 1
+    # NULL canonical urls are each their own keeper (md5(NULL) is NULL;
+    # one GROUP BY NULL group previously deleted all but one such doc)
+    assert groups[40] == 1 and groups[41] == 1
 
     blocked = spark.createDataFrame([("bad-domain.com",)], "domain string")
     kept = {r.doc_id for r in filter_by_domains(df, blocked).collect()}
-    assert kept == {10, 11, 12, 30}
+    assert kept == {10, 11, 12, 30, 40, 41}
 
 
 def test_distributed_cumsum_partitioning_is_pinned(spark):

@@ -127,9 +127,20 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
     Returns (fp, keeper_doc_id, n_copies). The min-id keeper rule makes
     survivor choice deterministic (plain ``dropDuplicates`` keeps an
-    arbitrary row)."""
+    arbitrary row).
+
+    NULL text means UNKNOWN content, not shared content: each such doc
+    is its own keeper (``md5(NULL)`` is NULL and GROUP BY would pool
+    every null-text doc into one group, deleting all but one — the
+    url_dedup r12 null-collapse class; '' still dedups normally)."""
     return (
-        docs.select(F.md5(F.col(text_col)).alias("fp"), F.col(id_col))
+        docs.select(
+            F.coalesce(
+                F.md5(F.col(text_col)),
+                F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+            ).alias("fp"),
+            F.col(id_col),
+        )
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("keeper_doc_id"),

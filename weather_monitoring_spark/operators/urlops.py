@@ -217,10 +217,25 @@ def url_dedup(
     """Exact URL-identity dedup AFTER canonicalization: one keeper (min
     id) per canonical URL — the cheapest dedup stage of a crawl, run
     before any content hashing. Same shuffle shape as exact_dedup:
-    only (canon digest, id) rows move."""
+    only (canon digest, id) rows move.
+
+    A NULL canonical URL (missing url — e.g. a WARC response whose
+    WARC-Target-URI header was damaged away — or an un-canonicalizable
+    one) means UNKNOWN identity, not shared identity: each such doc is
+    its own keeper (fingerprint coalesced to a per-doc sentinel).
+    ``md5(NULL)`` is NULL and GROUP BY puts all NULLs in one group, so
+    the un-coalesced form silently deleted every URI-less page but one
+    — found by the r12 curate_crawl damage property, where WHICH doc
+    survived the collapse depended on digest id order."""
     return (
         canonicalize_urls(docs, url_col, id_col)
-        .select(F.md5(F.col("canon_url")).alias("url_fp"), F.col(id_col))
+        .select(
+            F.coalesce(
+                F.md5(F.col("canon_url")),
+                F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+            ).alias("url_fp"),
+            F.col(id_col),
+        )
         .groupBy("url_fp")
         .agg(
             F.min(id_col).alias("keeper_doc_id"),

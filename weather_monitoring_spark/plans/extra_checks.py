@@ -2036,7 +2036,8 @@ EXTRA_SPECS.extend(
             spark=_url_dedup,
             oracle=f"""
                 WITH u AS (SELECT doc_id, {_O_PLANT_URL} AS url FROM documents)
-                SELECT md5({o_canonical_url("url")}) AS url_fp,
+                SELECT coalesce(md5({o_canonical_url("url")}),
+                                'null:' || CAST(doc_id AS VARCHAR)) AS url_fp,
                        min(doc_id) AS keeper_doc_id,
                        CAST(count(*) AS BIGINT) AS n_copies
                 FROM u GROUP BY 1

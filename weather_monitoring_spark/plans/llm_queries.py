@@ -75,7 +75,8 @@ O_DOC_SHINGLES = f"SELECT doc_id, {o_shingles('tk')} AS sh FROM ({O_DOC_TOKENS})
     "distinct text. The shuffle moves (16-byte digest, id) pairs, never "
     "documents — the 100 TB-safe formulation.",
     oracle="""
-        SELECT md5(text) AS fp, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+        SELECT coalesce(md5(text), 'null:' || CAST(doc_id AS VARCHAR)) AS fp,
+               min(doc_id) AS keeper_doc_id, count(*) AS n_copies
         FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         GROUP BY 1
     """,

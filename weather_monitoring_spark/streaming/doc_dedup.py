@@ -95,16 +95,32 @@ class StreamingDocDedup:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= self._last_applied():
             return
-        # 1. exact: batch-internal (min doc_id per hash) + vs store
-        hashed = batch_df.withColumn("fp", F.md5(F.col("text")))
+        # 1. exact: batch-internal (min doc_id per hash) + vs store.
+        # NULL text = UNKNOWN content, never shared content: md5(NULL)
+        # is NULL, and a NULL fp would fail the null-rejecting semi
+        # join below — silently dropping EVERY null-text doc (the
+        # url_dedup r12 null-collapse class, one layer worse). The
+        # sentinel makes each null-text doc its own exact-dedup group
+        # while re-arrival of the same doc_id still dedups vs store.
+        hashed = batch_df.withColumn(
+            "fp",
+            F.coalesce(
+                F.md5(F.col("text")),
+                F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
+            ),
+        )
         w_min = hashed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
         fresh = hashed.join(w_min, ["fp", "doc_id"], "left_semi")
         store_fp = self._read_before(self.fp_dir, batch_id)
         if store_fp is not None:
             fresh = fresh.join(store_fp, "fp", "left_anti")
 
-        # 2. fuzzy: band hashes of the exact-surviving rows.
-        sigs = minhash_signatures(fresh)
+        # 2. fuzzy: band hashes of the exact-surviving rows. Null-text
+        # rows BYPASS the fuzzy stage entirely (here and in the store
+        # write below): they have no content to be "near" — but they
+        # all minhash to the same degenerate signature, so letting them
+        # in would re-collapse them against each other at step 2a.
+        sigs = minhash_signatures(fresh.filter(F.col("text").isNotNull()))
         bands = sigs.select(
             "doc_id",
             F.posexplode(
@@ -150,7 +166,9 @@ class StreamingDocDedup:
         # fp write would see the batch's own fingerprints and filter out
         # its own survivors. localCheckpoint pins the rows themselves.
         fresh = fresh.localCheckpoint(eager=True)
-        survivor_bands = minhash_signatures(fresh).select(
+        survivor_bands = minhash_signatures(
+            fresh.filter(F.col("text").isNotNull())
+        ).select(
             "doc_id",
             F.posexplode(
                 F.array(*[F.col(f"band_{b}") for b in range(LSH_BANDS)])
