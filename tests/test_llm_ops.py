@@ -324,8 +324,10 @@ def test_minhash_arrow_plan_has_no_doc_exchange(spark):
 
 
 def test_minhash_arrow_handles_empty_and_null_docs(spark):
-    """Shingle-less documents (< 3 tokens) and NULL text produce the
-    all-null-minhash row (sig '') on both paths."""
+    """NULL text emits NO signature row (unknown content — the r12
+    null-identity contract); a shingle-less doc (< 3 tokens) keeps its
+    row with sig '' but NULL band keys, so it can never LSH-pair.
+    Identical on both signature paths."""
     from weather_monitoring_spark.operators.dedup import minhash_signatures
 
     docs = spark.createDataFrame(
@@ -334,12 +336,34 @@ def test_minhash_arrow_handles_empty_and_null_docs(spark):
     )
     for method in ("arrow", "agg"):
         rows = {
-            r["doc_id"]: r["sig"]
-            for r in minhash_signatures(docs, method=method).collect()
+            r["doc_id"]: r for r in minhash_signatures(docs, method=method).collect()
         }
-        assert rows[1] == ""
-        assert rows[2] == ""
-        assert rows[3] != ""
+        assert set(rows) == {1, 3}  # null text: no row
+        assert rows[1]["sig"] == "" and rows[1]["band_0"] is None
+        assert rows[3]["sig"] != "" and rows[3]["band_0"] is not None
+
+
+def test_contentless_docs_never_lsh_pair(spark):
+    """Two null-text docs and two DIFFERENT sub-shingle short docs must
+    not become LSH candidates of each other (they shared the degenerate
+    sig-'' bucket before r12 — and at scale the hot-bucket guard then
+    collapsed them as exact-signature dups); real near-dups still pair."""
+    from weather_monitoring_spark.operators.dedup import minhash_lsh_pairs
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, None),
+            (3, "hi"),
+            (4, "yo"),
+            (5, base),
+            (6, base.replace("tok7", "swap", 1)),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(p.id_a, p.id_b) for p in minhash_lsh_pairs(docs).collect()}
+    assert pairs == {(5, 6)}
 
 
 def test_jaccard_threshold_separates_planted_pairs(spark):

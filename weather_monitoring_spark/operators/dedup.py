@@ -364,11 +364,20 @@ def minhash_signatures(
     the legacy explode + K-column min() aggregate (one corpus exchange
     with K int64 cells per partial row — the r6 25x probe's spill row);
     kept as the all-JVM cross-check, bit-identical output
-    (tests/test_llm_ops.py pins agreement)."""
+    (tests/test_llm_ops.py pins agreement).
+
+    NULL text emits NO signature row: no content means nothing to be
+    near, and the degenerate all-equal signature NULLs otherwise
+    produce made every null-text doc an LSH near-dup of every other —
+    the r12 null-identity-collapse class, one stage later. ('' still
+    signs: empty docs are genuinely identical content, and exact dedup
+    collapses them first anyway. simhash_neardup_pairs already drops
+    null text via its explode.)"""
     if method not in ("arrow", "agg"):
         raise ValueError(f"unknown minhash method: {method!r}")
     with_sh = (
-        docs.withColumn("_tk", tokens_expr(text_col))
+        docs.filter(F.col(text_col).isNotNull())
+        .withColumn("_tk", tokens_expr(text_col))
         .withColumn("_sh", shingles_expr("_tk"))
     )
     if method == "arrow":
@@ -400,10 +409,19 @@ def minhash_signatures(
         parts = ", ".join(
             f"CAST(mh_{b * LSH_ROWS + r} AS STRING)" for r in range(LSH_ROWS)
         )
+        # A shingle-less doc (< 3 tokens) has all-NULL minhashes; its
+        # band key must be NULL, not h60(md5('')): a shared sentinel
+        # bucket made every short doc an LSH candidate of every other
+        # (and at scale the hot-bucket guard then collapsed them as
+        # exact-signature "dups"). NULL keys drop out of every
+        # equality/semi/anti join downstream — no pairing, by type
+        # system rather than by special case. Oracle mirrors the CASE.
+        h60 = h60_from_md5_sql(f"md5(concat_ws('-', {parts}))")
         band_cols.append(
-            F.expr(h60_from_md5_sql(f"md5(concat_ws('-', {parts}))")).alias(
-                f"band_{b}"
-            )
+            F.expr(
+                f"CASE WHEN mh_0 IS NULL THEN CAST(NULL AS BIGINT) "
+                f"ELSE {h60} END"
+            ).alias(f"band_{b}")
         )
     sig_str = F.concat_ws("-", *[F.col(f"mh_{i}").cast("string") for i in range(k)])
     return sigs.select(F.col(id_col), sig_str.alias("sig"), *band_cols)

@@ -223,18 +223,29 @@ def _o_minhash_sig() -> str:
     sig = "concat_ws('-', " + ", ".join(
         f"CAST(mh_{i} AS VARCHAR)" for i in range(MINHASH_K)
     ) + ")"
+    # Mirrors minhash_signatures' null contract: NULL text emits no row
+    # (own filtered root — O_DOC_TOKENS is shared by oracles that must
+    # keep all docs), and a shingle-less doc's band keys are NULL (so
+    # the band join can never pair it), not a shared h60(md5('')).
     bands = ", ".join(
-        o_h60_from_md5(
+        "CASE WHEN mh_0 IS NULL THEN NULL ELSE "
+        + o_h60_from_md5(
             "md5(concat_ws('-', "
             + ", ".join(
                 f"CAST(mh_{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
             )
             + "))"
         )
-        + f" AS band_{b}"
+        + f" END AS band_{b}"
         for b in range(LSH_BANDS)
     )
-    return f"SELECT doc_id, {sig} AS sig, {bands} FROM (SELECT doc_id, {mh} FROM ({O_DOC_SHINGLE_HASHES}))"
+    shingle_hashes = (
+        f"SELECT doc_id, {o_shingle_hashes('sh')} AS hh FROM "
+        f"(SELECT doc_id, {o_shingles('tk')} AS sh FROM "
+        f"(SELECT doc_id, {o_tokens('text')} AS tk FROM documents "
+        f"WHERE text IS NOT NULL))"
+    )
+    return f"SELECT doc_id, {sig} AS sig, {bands} FROM (SELECT doc_id, {mh} FROM ({shingle_hashes}))"
 
 
 @query(
