@@ -137,13 +137,26 @@ def test_decode_order_content_then_transfer():
 
 
 def test_unknown_coding_stops_walk_keeping_bytes():
-    assert _decode_http_payload(b"br-bytes", "", "br") == b"br-bytes"
-    # chunked outer is undone even when the inner coding is unknown
+    assert _decode_http_payload(b"zs-bytes", "", "zstd") == b"zs-bytes"
+    # chunked outer is undone even when the inner coding is undecodable
     assert (
-        _decode_http_payload(_chunked(b"br-bytes", [4]), "chunked", "br")
-        == b"br-bytes"
+        _decode_http_payload(_chunked(b"zs-bytes", [4]), "chunked", "zstd")
+        == b"zs-bytes"
     )
     assert _decode_http_payload(BODY, "", "identity") == BODY
+
+
+def test_br_coding_fenced_on_optional_brotli():
+    """'br' decodes when the optional brotli lib is importable; without
+    it the walk stops with bytes as-is (this environment's fence)."""
+    from weather_monitoring_spark.sources import warc as W
+
+    if W.brotli is None:
+        assert _decode_http_payload(b"br-bytes", "", "br") == b"br-bytes"
+    else:
+        enc = W.brotli.compress(BODY)
+        assert _decode_http_payload(enc, "", "br") == BODY
+        assert _decode_http_payload(b"not brotli", "", "br") == b"not brotli"
 
 
 # --------------------------- parser integration --------------------------

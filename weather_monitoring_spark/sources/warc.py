@@ -37,6 +37,11 @@ import hashlib
 import zlib
 from typing import Iterable, Iterator
 
+try:  # optional: the 'br' HTTP content-coding (RFC 7932). Absent in
+    import brotli  # this environment — the decode walk then stops at
+except ImportError:  # 'br' with bytes kept raw (the documented fence).
+    brotli = None
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -279,10 +284,12 @@ def _decode_http_payload(payload: bytes, te: str, ce: str) -> bytes:
 
     Codings decode outermost-first: transfer codings (applied last, so
     undone first) in reverse list order, then content codings in
-    reverse. ``identity`` is a no-op. An UNKNOWN coding (``br`` /
-    ``zstd`` — no codec in this environment; ``compress``) stops the
-    walk with the bytes as-is: an un-undoable outer layer makes inner
-    layers unreachable, and keeping raw bytes keeps damage local."""
+    reverse. ``identity`` is a no-op. ``br`` decodes when the optional
+    brotli lib is importable (absent here — fence-tested both ways). An
+    UNDECODABLE coding (``br`` without the lib, ``zstd``, ``compress``)
+    stops the walk with the bytes as-is: an un-undoable outer layer
+    makes inner layers unreachable, and keeping raw bytes keeps damage
+    local."""
     codings = [t.strip() for t in ce.split(",") if t.strip()] + [
         t.strip() for t in te.split(",") if t.strip()
     ]
@@ -293,6 +300,15 @@ def _decode_http_payload(payload: bytes, te: str, ce: str) -> bytes:
             decoded = _dechunk(payload)
         elif coding in ("gzip", "x-gzip", "deflate"):
             decoded = _inflate(payload, coding)
+        elif coding == "br" and brotli is not None:
+            # one-shot (the google brotli API has no incremental cap);
+            # the bomb cap applies post-hoc — a burst allocation is
+            # bounded by the record already being in memory times the
+            # brotli ratio, and a lying header keeps raw bytes as ever
+            try:
+                decoded = brotli.decompress(payload)[:_HTTP_INFLATE_CAP]
+            except Exception:
+                decoded = None
         else:
             break
         if decoded is None:
