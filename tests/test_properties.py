@@ -484,15 +484,18 @@ def test_curate_crawl_tolerates_arbitrary_damage_end_to_end(data, tmp_path_facto
     """r12 (verdict #6): compose the r11 fuzz pieces — random record
     mixes (responses/conversions, mixed encodings, BOMs, lying or
     non-text charset labels, null URIs, empty payloads, inter-record
-    junk) on damaged media (corrupt gzip member / truncation) driven
-    through the FULL Spark path: read_warc -> warc_responses_to_documents
-    (two-phase sniff) -> curate_crawl. Contract: no raise anywhere, the
-    Spark documents equal the plain-parse oracle's projection of the
-    SAME damaged bytes (multiset of url/text), and the survivor count
-    equals curating the oracle's documents."""
+    junk, and capture-time HTTP framing: chunked transfer / gzip
+    content-coding / both) on damaged media (corrupt gzip member /
+    truncation) driven through the FULL Spark path: read_warc ->
+    warc_responses_to_documents (two-phase sniff) -> curate_crawl.
+    Contract: no raise anywhere, the Spark documents equal the
+    plain-parse oracle's projection of the SAME damaged bytes (multiset
+    of url/text), and the survivor count equals curating the oracle's
+    documents."""
     import gzip
 
     from tests.test_pipeline_paths import _warc_record
+    from tests.test_warc_http_decode import _http_record
     from weather_monitoring_spark.operators.charset import sniff_decode_bytes
     from weather_monitoring_spark.pipelines import curate_crawl
     from weather_monitoring_spark.sources import warc as W
@@ -528,9 +531,33 @@ def test_curate_crawl_tolerates_arbitrary_damage_end_to_end(data, tmp_path_facto
             else f"text/html; charset={label}" if label else "text/html"
         )
         status = data.draw(st.sampled_from([200, 204, 404]))
-        rec = _warc_record(
-            f"http://h/{i}", body, warc_type=wtype, status=status, ctype=ctype
+        framing = (
+            data.draw(st.sampled_from(["none", "chunked", "gzip", "chunked+gzip"]))
+            if wtype == "response"
+            else "none"
         )
+        if framing != "none":
+            # capture-time HTTP framing (wget --warc / Heritrix shape):
+            # the parse must undo it, so the framed record curates
+            # identically to its identity twin
+            hdrs = {} if ctype is None else {"Content-Type": ctype}
+            if "gzip" in framing:
+                body = gzip.compress(body)
+                hdrs["Content-Encoding"] = "gzip"
+            if "chunked" in framing:
+                csz = data.draw(st.integers(min_value=1, max_value=64))
+                chunks = bytearray()
+                for lo in range(0, len(body), csz):
+                    part = body[lo : lo + csz]
+                    chunks += f"{len(part):x}".encode() + b"\r\n" + part + b"\r\n"
+                chunks += b"0\r\n\r\n"
+                body = bytes(chunks)
+                hdrs["Transfer-Encoding"] = "chunked"
+            rec = _http_record(f"http://h/{i}", body, hdrs, status=status)
+        else:
+            rec = _warc_record(
+                f"http://h/{i}", body, warc_type=wtype, status=status, ctype=ctype
+            )
         if data.draw(st.booleans()) and f"http://h/{i}" in rec.decode("latin1"):
             # null-URI variant: WARC header lines are not covered by
             # Content-Length, so stripping the line is damage-free
