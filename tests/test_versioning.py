@@ -57,3 +57,26 @@ def test_dup_source_matrix_known_frame(spark):
     }
     # (1,3) and (3,1) both normalize to (books, web)
     assert out == {("web", "web"): 1, ("books", "web"): 2, ("code", "web"): 1}
+
+
+def test_snapshot_diff_null_text_is_presence_not_absence(spark):
+    """Digest nullity is snapshot_diff's row-presence flag, so NULL text
+    must digest to a per-id sentinel: a doc present in both snapshots
+    with NULL text on one side is 'changed'/'unchanged', never
+    'added'/'removed' (the r12 null-identity class)."""
+    old = spark.createDataFrame(
+        [(1, None), (2, "was text"), (3, None), (5, "gone")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (3, "now text"), (4, None)],
+        "doc_id long, text string",
+    )
+    by = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert by == {
+        1: "unchanged",  # null -> null: same id, no evidence of change
+        2: "changed",    # text -> null
+        3: "changed",    # null -> text
+        4: "added",      # truly absent from old (null text irrelevant)
+        5: "removed",    # truly absent from new
+    }

@@ -34,9 +34,25 @@ def snapshot_diff(
     'added' | 'removed' | 'changed' | 'unchanged'.
 
     Both sides reduce to (id, digest) projections before a full outer
-    join on the id; text never crosses the shuffle."""
-    o = old.select(F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("old_digest"))
-    n = new.select(F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("new_digest"))
+    join on the id; text never crosses the shuffle.
+
+    NULL text digests to a per-id ``null:<id>`` sentinel, NOT NULL:
+    digest nullity is this function's row-presence flag, so a doc
+    present in both snapshots with NULL text on one side was
+    misclassified as added/removed (the r12 null-identity class). With
+    the sentinel, null -> null reads 'unchanged' (same id, no evidence
+    of change) and null -> text reads 'changed'."""
+    def dig(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.coalesce(
+                F.md5(F.col(text_col)),
+                F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+            ).alias(alias),
+        )
+
+    o = dig(old, "old_digest")
+    n = dig(new, "new_digest")
     return (
         o.join(n, "_id", "full_outer")
         .select(

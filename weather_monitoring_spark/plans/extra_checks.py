@@ -1126,12 +1126,15 @@ EXTRA_SPECS: list[QuerySpec] = [
         spark=_snapshot_diff,
         oracle="""
             WITH o AS (
-                SELECT doc_id, md5(text) AS old_digest
+                SELECT doc_id,
+                       coalesce(md5(text),
+                                'null:' || CAST(doc_id AS VARCHAR)) AS old_digest
                 FROM documents WHERE doc_id % 7 <> 0
             ), n AS (
                 SELECT doc_id,
-                       md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
-                                ELSE text END) AS new_digest
+                       coalesce(md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                                         ELSE text END),
+                                'null:' || CAST(doc_id AS VARCHAR)) AS new_digest
                 FROM documents WHERE doc_id % 5 <> 0
             )
             SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
