@@ -153,8 +153,13 @@ def _gemm_quantized_sums(
     why the ORACLE pins method='fold' and gemm is the scale path."""
     import numpy as np
 
+    from weather_monitoring_spark.operators.similarity import (
+        scoreable_vectors,
+    )
+
     cent = np.ascontiguousarray(centroids, dtype=np.float64)
     dim = cent.shape[1]
+    emb = scoreable_vectors(emb, vec_col, dim=dim)
 
     def gen(batches):
         import pandas as pd
@@ -210,6 +215,13 @@ def kmeans_train(
     is its OWN reproducible sequence, not the oracle's)."""
     if method not in ("fold", "gemm"):
         raise ValueError(f"unknown assignment method: {method}")
+    from weather_monitoring_spark.operators.similarity import (
+        scoreable_vectors,
+    )
+
+    # NULL/empty vectors are unscoreable (the r12 null-identity class,
+    # vector form) — ungated they crashed the seed build / Arrow matmul
+    emb = scoreable_vectors(emb, vec_col)
     unit = emb.select(
         F.col(id_col).alias("_kid"), _unit_expr(vec_col).alias("u")
     )
@@ -219,10 +231,26 @@ def kmeans_train(
         .select("u")
         .collect()
     )
-    centroids = [list(r["u"]) for r in seeds]
-    if not centroids:
-        raise ValueError("kmeans_train: empty corpus")
+    # seed belts: a zero vector unit-normalizes to NaNs (dropped — NaN
+    # centroids would poison every argmax) and a mixed-dim corpus seeds
+    # with the modal dimension (deterministic smallest-on-ties)
+    units = [
+        list(r["u"])
+        for r in seeds
+        if r["u"] is not None and all(v == v for v in r["u"])
+    ]
+    if not units:
+        raise ValueError("kmeans_train: no scoreable vectors in the corpus")
+    lens = sorted(len(u) for u in units)
+    modal = max(set(lens), key=lambda d: (lens.count(d), -d))
+    centroids = [u for u in units if len(u) == modal]
     dim = len(centroids[0])
+    # re-gate to the now-known dim: the fold path's u[i] walk raises
+    # INVALID_ARRAY_INDEX under ANSI on any shorter vector
+    emb = scoreable_vectors(emb, vec_col, dim=dim)
+    unit = emb.select(
+        F.col(id_col).alias("_kid"), _unit_expr(vec_col).alias("u")
+    )
     scale = F.lit(QUANT_SCALE)
     for _ in range(n_iters):
         if method == "gemm":
@@ -284,6 +312,14 @@ def kmeans_assign(
     from the fold path in the last ulp (pairwise vs sequential
     summation), which is why the oracle pins the fold path and
     tests/test_clustering.py pins fold==gemm cluster agreement."""
+    from weather_monitoring_spark.operators.similarity import (
+        scoreable_vectors,
+    )
+
+    # the centroid model fixes the operating dim: NULL/mismatched
+    # vectors cannot be assigned (GEMM path crashed, fold path emitted
+    # NULL-cluster rows) — gated out plan-side
+    emb = scoreable_vectors(emb, vec_col, dim=len(centroids[0]))
     if method == "fold":
         unit = emb.select(F.col(id_col), _unit_expr(vec_col).alias("u"))
         cluster, cos = _assign_cols("u", centroids)

@@ -134,8 +134,15 @@ def reduce_embeddings(
     Both paths are shuffle-free per-row projections."""
     import math
 
+    from weather_monitoring_spark.operators.similarity import (
+        scoreable_vectors,
+    )
+
     scale_lit = repr(1.0 / math.sqrt(out_dim))
     planes = jl_matrix(out_dim, dim)
+    # the plane matrix fixes the operating dim: NULL/mismatched vectors
+    # cannot be projected (GEMM path crashed on them) — gated plan-side
+    emb = scoreable_vectors(emb, vec_col, dim=dim)
     if method == "expr":
         coords = ", ".join(
             _jl_chain(planes[j], vec_col, scale_lit, one_based=False)

@@ -82,6 +82,48 @@ def norm_expr(a: str, dim: int | None = None) -> Column:
     return F.sqrt(dot_expr(a, a, dim))
 
 
+def scoreable_vectors(
+    df: DataFrame, vec_col: str, dim: int | None = None
+) -> DataFrame:
+    """Rows whose vector can participate in similarity scoring: non-NULL,
+    non-empty, and — when the operating dimensionality is known (an LSH
+    plane matrix, an IVF centroid matrix) — exactly that size.
+
+    A NULL / empty / wrong-dimension embedding is UNKNOWN content (the
+    r12 null-identity class, vector form): it must be excluded from
+    candidates, never scored against them. Before this gate, ONE such
+    row crashed every Arrow matrix build in the family
+    (``np.array(list(...))`` of a ragged column is an object array;
+    ``linalg.norm``/matmul then throw AxisError/ValueError and kill the
+    task, and Spark kills the 100 TB job) and, on the SQL paths, its
+    NULL/NaN cosine polluted top-k rank slots (Spark orders NaN ABOVE
+    every real score). The gate is a plan-side projection filter — free
+    on a clean corpus — and definitionally a no-op on any corpus of
+    valid uniform vectors, so the DuckDB oracles (which define scoring
+    over scoreable vectors) are unaffected."""
+    pred = F.col(vec_col).isNotNull() & (
+        (F.size(F.col(vec_col)) == dim)
+        if dim is not None
+        else (F.size(F.col(vec_col)) > 0)
+    )
+    return df.filter(pred)
+
+
+def _safe_cosine(dot: Column, prod: Column) -> Column:
+    """Cosine that is NULL — never NaN, never an ANSI error — for every
+    unscoreable combination: ``try_divide`` nulls the zero-norm divisor
+    (ANSI raises DIVIDE_BY_ZERO on raw ``/``), ``nanvl`` nulls NaN
+    (Spark sorts NaN ABOVE every real score, so a NaN would outrank
+    every true neighbor; a dim-mismatched ``zip_with`` dot is already
+    NULL). ONE expression tree, so rank/threshold consumers evaluate
+    the expensive fold exactly once — a separate ``isnan`` filter gets
+    pushed through the projection and re-evaluates the fold per
+    predicate (measured 1.3x on q35). NULL scores fail ``>=`` threshold
+    predicates and sort NULLS LAST under ``desc()``, so damaged rows
+    drop out without a second evaluation."""
+    return F.nanvl(F.try_divide(dot, prod), F.lit(None).cast("double"))
+
+
 def cosine_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -94,6 +136,7 @@ def cosine_topk(
     (qid, vec_id, cosine, rank), rank 1..k per qid, self-matches excluded.
     The query side is tiny -> broadcast; the corpus scans once.
     """
+    emb = scoreable_vectors(emb, vec_col)
     queries = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
     )
@@ -102,12 +145,16 @@ def cosine_topk(
     )
     joined = cand.crossJoin(F.broadcast(queries)).filter(F.col("qid") != F.col(id_col))
     scored = joined.withColumn(
-        "cosine", dot_expr(vec_col, "qvec") / (F.col("_n") * norm_expr("qvec"))
+        "cosine",
+        _safe_cosine(dot_expr(vec_col, "qvec"), F.col("_n") * norm_expr("qvec")),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        # NULL sweep ABOVE the window (k rows/query, reads the attribute
+        # — not pushable): damaged rows sort NULLS LAST under desc()
+        .filter(F.col("cosine").isNotNull())
         .select("qid", id_col, "cosine", "rank")
     )
 
@@ -144,8 +191,11 @@ def _exact_rescore(cand: DataFrame, emb: DataFrame, threshold: float,
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("cosine", dot_expr("va", "vb") / (F.col("na") * F.col("nb")))
-        .filter(F.col("cosine") >= threshold)
+        .withColumn(
+            "cosine",
+            _safe_cosine(dot_expr("va", "vb"), F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cosine") >= threshold)  # NULL fails the predicate
         .select("id_a", "id_b", "cosine")
     )
 
@@ -186,6 +236,7 @@ def cosine_neardup_pairs(
     cross-checks. For corpora where even distributed n^2 is infeasible,
     use cosine_neardup_lsh (approximate recall, bucket-bounded cost).
     """
+    emb = scoreable_vectors(emb, vec_col)
     if method == "naive":
         base = emb.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm_expr(vec_col).alias("n")
@@ -195,8 +246,11 @@ def cosine_neardup_pairs(
         return (
             a.crossJoin(b)
             .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("cosine", dot_expr("va", "vb") / (F.col("na") * F.col("nb")))
-            .filter(F.col("cosine") >= threshold)
+            .withColumn(
+                "cosine",
+                _safe_cosine(dot_expr("va", "vb"), F.col("na") * F.col("nb")),
+            )
+            .filter(F.col("cosine") >= threshold)  # NULL fails the predicate
             .select("id_a", "id_b", "cosine")
         )
     if method != "blocked":
@@ -227,12 +281,19 @@ def cosine_neardup_pairs(
         import numpy as np
         import pandas as pd
 
+        # ragged-dim belt (the plan-side gate screens NULL/empty but not
+        # mixed dims): keep the block pair's modal length — vectors of a
+        # different dimensionality have no defined cosine against it
+        lens = pdf["v"].map(len)
+        pdf = pdf[lens == lens.mode().min()]
         left = pdf[pdf["role"] == 0]
         if len(left) == 0:
             return pd.DataFrame({"id_a": [], "id_b": []}, dtype="int64")
         ids_l = left["id"].to_numpy(dtype="int64")
         mat_l = np.array(list(left["v"]), dtype=np.float64)
-        mat_l /= np.linalg.norm(mat_l, axis=1, keepdims=True)
+        norms_l = np.linalg.norm(mat_l, axis=1, keepdims=True)
+        norms_l[norms_l == 0.0] = 1.0  # zero vector scores 0, never NaN
+        mat_l /= norms_l
         if pdf["bi"].iloc[0] == pdf["bj"].iloc[0]:
             ids_r, mat_r = ids_l, mat_l
         else:
@@ -241,7 +302,9 @@ def cosine_neardup_pairs(
                 return pd.DataFrame({"id_a": [], "id_b": []}, dtype="int64")
             ids_r = right["id"].to_numpy(dtype="int64")
             mat_r = np.array(list(right["v"]), dtype=np.float64)
-            mat_r /= np.linalg.norm(mat_r, axis=1, keepdims=True)
+            norms_r = np.linalg.norm(mat_r, axis=1, keepdims=True)
+            norms_r[norms_r == 0.0] = 1.0
+            mat_r /= norms_r
         # Chunked score matmul: the transient score matrix is at most
         # GEMM_SCORE_CHUNK x |block| doubles, independent of block size.
         parts = []
@@ -440,6 +503,9 @@ def _bucket_signatures(
 
     from pyspark.sql.types import LongType, StructField, StructType
 
+    # the plane matrix fixes the operating dim: NULL/mismatched vectors
+    # cannot be bucketed (and crashed the matmul) — gate them out plan-side
+    emb = scoreable_vectors(emb, vec_col, dim=int(np.shape(planes)[1]))
     out_schema = StructType(
         list(emb.schema.fields)
         + [StructField(f"bucket_{t}", LongType()) for t in range(n_tables)]
@@ -544,12 +610,16 @@ def _score_and_rank(
     tie-breaking and score arithmetic cannot diverge between the
     in-memory and persisted-index paths."""
     scored = cands.withColumn(
-        "cosine", dot_expr(vec_col, "qvec") / (norm_expr(vec_col) * norm_expr("qvec"))
+        "cosine",
+        _safe_cosine(
+            dot_expr(vec_col, "qvec"), norm_expr(vec_col) * norm_expr("qvec")
+        ),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .filter(F.col("cosine").isNotNull())  # post-window NULL sweep
         .select("qid", id_col, "cosine", "rank")
     )
 
@@ -595,6 +665,8 @@ def _probe_cells(
 
     probe: list[tuple[int, int]] = []
     for qid, vec in queries:
+        if vec is None or len(vec) != np.shape(cent)[1]:
+            continue  # unscoreable query: no cells, no results — not a crash
         q = np.asarray(vec, dtype=np.float64)
         n = np.linalg.norm(q)
         scores = (q / (n if n > 0 else 1.0)) @ cent.T
@@ -620,6 +692,9 @@ def _ivf_assign(
     import numpy as np
 
     cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    # the centroid matrix fixes the operating dim: NULL/mismatched
+    # vectors cannot be assigned (and crashed the matmul) — gate plan-side
+    emb = scoreable_vectors(emb, vec_col, dim=int(cent.shape[1]))
     schema = (
         "cell int, v array<double>" if carry_vec else f"{id_col} long, cell int"
     )
@@ -677,13 +752,24 @@ def ivf_train(
         QUANT_SCALE,
     )
 
+    emb = scoreable_vectors(emb, vec_col)
     seeds = (
         emb.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_cells)
         .select(vec_col)
         .collect()
     )
-    cent = np.array([r[0] for r in seeds], dtype=np.float64)
+    # ragged belt: a mixed-dim corpus seeds with the modal dimension
+    # (deterministic: smallest modal length on ties); _ivf_assign then
+    # gates the corpus to that dim — one bad row shrinks the seed set
+    # by one instead of crashing the driver's matrix build
+    if not seeds:
+        raise ValueError("ivf_train: no scoreable vectors in the corpus")
+    seed_lens = sorted(len(r[0]) for r in seeds)
+    modal = max(set(seed_lens), key=lambda d: (seed_lens.count(d), -d))
+    cent = np.array(
+        [r[0] for r in seeds if len(r[0]) == modal], dtype=np.float64
+    )
     norms = np.linalg.norm(cent, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
     cent /= norms
@@ -1029,8 +1115,10 @@ def ivf_pq_topk(
         .join(F.broadcast(queries), "qid")
         .withColumn(
             "acos",
-            dot_expr("qvec", "qvec_full")
-            / (norm_expr("qvec") * norm_expr("qvec_full")),
+            _safe_cosine(
+                dot_expr("qvec", "qvec_full"),
+                norm_expr("qvec") * norm_expr("qvec_full"),
+            ),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("acos").desc(), F.col(id_col))
