@@ -240,7 +240,9 @@ def kmeans_train(
         if r["u"] is not None and all(v == v for v in r["u"])
     ]
     if not units:
-        raise ValueError("kmeans_train: no scoreable vectors in the corpus")
+        raise ValueError(
+            "kmeans_train: empty corpus (no scoreable vectors)"
+        )
     lens = sorted(len(u) for u in units)
     modal = max(set(lens), key=lambda d: (lens.count(d), -d))
     centroids = [u for u in units if len(u) == modal]

@@ -764,7 +764,7 @@ def ivf_train(
     # gates the corpus to that dim — one bad row shrinks the seed set
     # by one instead of crashing the driver's matrix build
     if not seeds:
-        raise ValueError("ivf_train: no scoreable vectors in the corpus")
+        raise ValueError("ivf_train: empty corpus (no scoreable vectors)")
     seed_lens = sorted(len(r[0]) for r in seeds)
     modal = max(set(seed_lens), key=lambda d: (seed_lens.count(d), -d))
     cent = np.array(
