@@ -115,3 +115,66 @@ def test_kmeans_and_reduce_exclude_damaged_rows(damaged_emb):
     # JL projection is linear: the zero vector reduces to the zero
     # vector (present, harmless); null/empty/wrong-dim are gated out
     assert got == exp and got.isdisjoint({100, 101, 102}) and 103 in got
+
+
+def test_semdedup_tolerates_damaged_rows_both_methods(damaged_emb):
+    """The r12 advisor's unfixed family member: semdedup_pairs scored
+    with a raw cosine division (one zero-norm vector -> ANSI
+    DIVIDE_BY_ZERO kills the job) and had no scoreable_vectors gate
+    (one NULL/ragged vector -> Arrow AxisError on the gemm leg)."""
+    from weather_monitoring_spark.operators.clustering import (
+        semdedup_pairs,
+        semdedup_survivors,
+    )
+
+    for method in ("fold", "gemm"):
+        pairs = semdedup_pairs(
+            damaged_emb, n_clusters=4, threshold=0.99, method=method
+        ).collect()
+        ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+        # damaged rows never pair; the planted near-dup still does
+        assert ids.isdisjoint(BAD_IDS)
+        assert (0, 200) in {(r.id_a, r.id_b) for r in pairs}
+        assert all(r.cosine == r.cosine and r.cosine is not None
+                   for r in pairs)
+
+    surv = {r.vec_id: r for r in
+            semdedup_survivors(damaged_emb, n_clusters=4,
+                               threshold=0.99).collect()}
+    # damaged rows are UNKNOWN content: they survive as their own
+    # singleton components — excluded from scoring, never merge victims
+    assert len(surv) == 45
+    for bad in BAD_IDS:
+        assert surv[bad].survivor and surv[bad].cluster == bad
+    assert surv[200].cluster == 0 and not surv[200].survivor
+
+
+def test_mixed_dim_corpus_blocked_agrees_with_naive(spark):
+    """r12 advisor: the old per-block-pair modal-length filter dropped
+    minority-dim vectors sharing a majority-dim block, so a SAME-dim
+    minority near-dup pair was found by naive but lost by blocked. Dim
+    now rides as a scoring group key: each dim population scores
+    separately, cross-dim pairs are never formed (naive's NULL fold)."""
+    from weather_monitoring_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(30)]
+    # minority dim-16 population, including a planted near-dup pair —
+    # ids chosen so they land in DIFFERENT id-mod blocks alongside
+    # majority-dim vectors
+    base16 = [rng.uniform(-1, 1) for _ in range(16)]
+    rows += [(300, base16), (301, [v * 1.0001 for v in base16])]
+    rows += [(310 + i, [rng.uniform(-1, 1) for _ in range(16)])
+             for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    naive = {(r.id_a, r.id_b) for r in
+             cosine_neardup_pairs(emb, threshold=0.99,
+                                  method="naive").collect()}
+    blocked = {(r.id_a, r.id_b) for r in
+               cosine_neardup_pairs(emb, threshold=0.99,
+                                    method="blocked").collect()}
+    assert (300, 301) in naive
+    assert blocked == naive

@@ -313,3 +313,59 @@ def test_chunked_gzip_page_reaches_curation_as_text(tmp_path, spark):
     by = {r.url: r.html for r in docs.collect()}
     assert by["http://framed.example/"] == by["http://plain.example/"]
     assert "café" in by["http://framed.example/"]
+
+
+def test_dechunk_rejects_python_only_hex_forms():
+    """int(x, 16) accepts '0x' prefixes, '_' separators, and a leading
+    sign — none are valid RFC 9112 chunk-size tokens. A non-chunked
+    payload whose first line matches one must take the lying-header
+    keep-raw path (None), not be misread as framing and mangled."""
+    for tok in (b"0x10", b"+5", b"-0", b"1_0", b" 0X2 "):
+        assert _dechunk(tok + b"\r\npayload bytes here\r\n") is None
+    # strict-hex tokens still decode
+    assert _dechunk(b"5\r\nhello\r\n0\r\n\r\n") == b"hello"
+    assert _dechunk(b"A\r\n0123456789\r\n0\r\n\r\n") == b"0123456789"
+
+
+def _raw_header_record(uri: str, body: bytes, raw_headers: str) -> bytes:
+    """WARC response record whose HTTP header block is given verbatim —
+    for shapes a dict cannot express (repeated header fields)."""
+    http = f"HTTP/1.1 200 OK\r\n{raw_headers}\r\n".encode() + body
+    return (
+        (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{abs(hash(uri)):032x}>\r\n"
+            "WARC-Date: 2026-08-16T00:00:00Z\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        + http
+        + b"\r\n\r\n"
+    )
+
+
+def test_repeated_coding_header_fields_comma_join():
+    """RFC 9110 §5.3: repeated fields == one comma-joined list. Last-wins
+    dropped the first coding: 'Content-Encoding: gzip' twice decoded
+    only ONE layer, leaving gzip bytes in the document."""
+    double_gz = gzip.compress(gzip.compress(BODY))
+    rec_ce = _raw_header_record(
+        "http://double-gz.example/",
+        double_gz,
+        "Content-Type: text/html\r\n"
+        "Content-Encoding: gzip\r\n"
+        "Content-Encoding: gzip\r\n",
+    )
+    # transfer codings, applied gzip-then-chunked, on separate lines
+    rec_te = _raw_header_record(
+        "http://te-list.example/",
+        _chunked(gzip.compress(BODY), [7, 13]),
+        "Content-Type: text/html\r\n"
+        "Transfer-Encoding: gzip\r\n"
+        "Transfer-Encoding: chunked\r\n",
+    )
+    rows = _parse_payloads(rec_ce + rec_te)
+    assert rows["http://double-gz.example/"] == BODY
+    assert rows["http://te-list.example/"] == BODY

@@ -460,12 +460,27 @@ def semdedup_pairs(
     the same sequential-fold expression the oracle's list_sum replays."""
     from weather_monitoring_spark.operators.similarity import (
         COSINE_NEARDUP_THRESHOLD,
+        _safe_cosine,
         norm_expr,
+        scoreable_vectors,
     )
 
     if threshold is None:
         threshold = COSINE_NEARDUP_THRESHOLD
+    # Damage gate (the r12 null-identity class, vector form): a NULL /
+    # empty embedding must not reach the Arrow k-means matrix (ragged
+    # object-array -> AxisError kills the task) nor the pair join. The
+    # auto cluster cap below then counts the PARTICIPATING corpus, which
+    # is the population the Σ cluster_size² bound is about. Unscoreable
+    # rows re-enter in semdedup_survivors as singleton survivors (the
+    # oracle's LEFT JOIN from all embeddings), never as merge victims.
+    emb = scoreable_vectors(emb, vec_col)
     cent = kmeans_train(emb, n_clusters, n_iters, id_col, vec_col, method)
+    # Re-gate to the model's dim so BOTH legs share one membership
+    # policy: kmeans_assign("gemm") dim-gates internally, but the fold
+    # leg's inline _assign_cols would hand a wrong-dim vector a NULL-dot
+    # argmax cluster instead of excluding it.
+    emb = scoreable_vectors(emb, vec_col, dim=len(cent[0]))
     if method == "gemm":
         # large-k blocking: cluster labels ride the Arrow pass; the pair
         # scoring below stays the JVM-side exact fold either way
@@ -536,7 +551,15 @@ def semdedup_pairs(
     pairs = (
         a.join(b, "_kc")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", dot_expr("va", "vb") / (F.col("na") * F.col("nb")))
+        .withColumn(
+            # _safe_cosine, not raw division: one zero-norm (all-zeros)
+            # vector passes the shape gate above but raises ANSI
+            # DIVIDE_BY_ZERO under `/` — NULL cosine fails the
+            # threshold and the row drops out, matching the oracle's
+            # NaN >= threshold = false.
+            "cosine",
+            _safe_cosine(dot_expr("va", "vb"), F.col("na") * F.col("nb")),
+        )
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )

@@ -264,16 +264,26 @@ def cosine_neardup_pairs(
     grid = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
     )
+    # The vector dimensionality rides as a GROUP KEY: a mixed-dim corpus
+    # scores each dim population separately within each block pair, so
+    # same-dim minority pairs are scored exactly like the naive path
+    # scores them, and cross-dim pairs (undefined cosine; NULL under the
+    # naive zip_with fold) are never formed. The earlier per-block-pair
+    # modal filter dropped minority-dim vectors that happened to share a
+    # majority-dim block — breaking blocked==naive agreement.
     e = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("bid"),
+        F.size(F.col(vec_col)).alias("dim"),
     )
-    lhs = grid.join(e, e.bid == grid.bi).select("bi", "bj", "id", "v", F.lit(0).alias("role"))
+    lhs = grid.join(e, e.bid == grid.bi).select(
+        "bi", "bj", "dim", "id", "v", F.lit(0).alias("role")
+    )
     rhs = (
         grid.filter(F.col("bi") != F.col("bj"))
         .join(e, e.bid == grid.bj)
-        .select("bi", "bj", "id", "v", F.lit(1).alias("role"))
+        .select("bi", "bj", "dim", "id", "v", F.lit(1).alias("role"))
     )
     cutoff = threshold - PREFILTER_MARGIN
 
@@ -281,11 +291,8 @@ def cosine_neardup_pairs(
         import numpy as np
         import pandas as pd
 
-        # ragged-dim belt (the plan-side gate screens NULL/empty but not
-        # mixed dims): keep the block pair's modal length — vectors of a
-        # different dimensionality have no defined cosine against it
-        lens = pdf["v"].map(len)
-        pdf = pdf[lens == lens.mode().min()]
+        # dim is a group key, so every vector in this group shares one
+        # length — the matrix build below is never ragged
         left = pdf[pdf["role"] == 0]
         if len(left) == 0:
             return pd.DataFrame({"id_a": [], "id_b": []}, dtype="int64")
@@ -322,7 +329,7 @@ def cosine_neardup_pairs(
 
     cand = (
         lhs.unionByName(rhs)
-        .groupBy("bi", "bj")
+        .groupBy("bi", "bj", "dim")
         .applyInPandas(score_block_pair, "id_a long, id_b long")
     )
     return _exact_rescore(cand, emb, threshold, id_col, vec_col)

@@ -225,14 +225,18 @@ def _dechunk(payload: bytes) -> bytes | None:
         if eol < 0:
             break
         size_tok = payload[pos:eol].split(b";", 1)[0].strip()
-        if not size_tok or len(size_tok) > 16:
+        # strict RFC 9112 chunk-size token: 1*HEXDIG only. Python's
+        # int(x, 16) additionally accepts "0x" prefixes, "_" digit
+        # separators, and a leading sign — non-chunked payloads whose
+        # first line happens to match those forms must hit the
+        # lying-header keep-raw path, not be misread as framing.
+        if (
+            not size_tok
+            or len(size_tok) > 16
+            or size_tok.translate(None, b"0123456789abcdefABCDEF")
+        ):
             break
-        try:
-            size = int(size_tok, 16)
-        except ValueError:
-            break
-        if size < 0:
-            break
+        size = int(size_tok, 16)
         first = False
         if size == 0:
             break  # terminal chunk; trailers (if any) are dropped
@@ -460,9 +464,16 @@ def _parse_warc(
                     if key == b"content-type":
                         ctype = v.strip().decode("latin-1")
                     elif key == b"transfer-encoding":
-                        http_te = v.strip().decode("latin-1").lower()
+                        # RFC 9110 §5.3: repeated fields are equivalent
+                        # to one comma-joined list — append, don't
+                        # overwrite (last-wins lost the gzip in
+                        # "Content-Encoding: gzip" + ": br" on separate
+                        # lines, leaving the payload mis-decoded)
+                        t = v.strip().decode("latin-1").lower()
+                        http_te = f"{http_te},{t}" if http_te else t
                     elif key == b"content-encoding":
-                        http_ce = v.strip().decode("latin-1").lower()
+                        c = v.strip().decode("latin-1").lower()
+                        http_ce = f"{http_ce},{c}" if http_ce else c
                 payload = block[http_end + 4 :]
         if responses_only and not (
             headers.get("warc-type") == "response"
