@@ -268,7 +268,7 @@ def test_dechunk_round_trip_property(body: bytes, sizes, ext: bool):
 @given(
     payload=st.binary(max_size=1024),
     te=st.sampled_from(["", "chunked", "gzip, chunked", "zstd"]),
-    ce=st.sampled_from(["", "gzip", "deflate", "br", "identity", "gzip, gzip"]),
+    ce=st.sampled_from(["", "gzip", "deflate", "br", "zstd", "identity", "gzip, gzip"]),
 )
 def test_decode_http_payload_total(payload: bytes, te: str, ce: str):
     out = _decode_http_payload(payload, te, ce)
@@ -369,3 +369,72 @@ def test_repeated_coding_header_fields_comma_join():
     rows = _parse_payloads(rec_ce + rec_te)
     assert rows["http://double-gz.example/"] == BODY
     assert rows["http://te-list.example/"] == BODY
+
+
+# ------------------------------ zstd fence -------------------------------
+
+
+class _FakeZstdReader:
+    """Scripted stand-in for zstandard's stream_reader: 'ZSOK' frames
+    decode their tail, 'ZSBAD' frames yield their tail then raise
+    (mid-stream damage), anything else raises at open (lying header)."""
+
+    def __init__(self, raw: bytes) -> None:
+        if raw.startswith(b"ZSOK"):
+            self.data, self.fail_after = raw[4:], False
+        elif raw.startswith(b"ZSBAD"):
+            self.data, self.fail_after = raw[5:], True
+        else:
+            raise ValueError("zstd: unknown frame descriptor")
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        if self.pos >= len(self.data):
+            if self.fail_after:
+                raise ValueError("zstd: data corruption detected")
+            return b""
+        chunk = self.data[self.pos : self.pos + n]
+        self.pos += len(chunk)
+        return chunk
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+class _FakeZstdDctx:
+    def stream_reader(self, fobj):
+        return _FakeZstdReader(fobj.read())
+
+
+class _FakeZstdModule:
+    @staticmethod
+    def ZstdDecompressor():
+        return _FakeZstdDctx()
+
+
+def test_zstd_coding_fenced_on_optional_lib(monkeypatch):
+    """'zstd' (RFC 8878) mirrors the br fence: without the lib the walk
+    stops with bytes as-is; with it (scripted stand-in — the real lib is
+    absent in this container) the decode is incremental, bomb-capped,
+    keeps a damaged stream's decoded prefix, and keeps raw bytes for a
+    lying header."""
+    from weather_monitoring_spark.sources import warc as W
+
+    if W.zstandard is None:  # this environment: fence leg
+        assert _decode_http_payload(b"zs-bytes", "", "zstd") == b"zs-bytes"
+
+    monkeypatch.setattr(W, "zstandard", _FakeZstdModule)
+    assert _decode_http_payload(b"ZSOK" + BODY, "", "zstd") == BODY
+    # lying header: raw kept
+    assert _decode_http_payload(b"not zstd", "", "zstd") == b"not zstd"
+    # mid-stream damage: decoded prefix kept, nothing invented
+    assert _decode_http_payload(b"ZSBAD" + BODY, "", "zstd") == BODY
+    # bomb cap: output truncated at _HTTP_INFLATE_CAP
+    big = b"ZSOK" + b"x" * (_HTTP_INFLATE_CAP + 1024)
+    assert len(_decode_http_payload(big, "", "zstd")) == _HTTP_INFLATE_CAP
+    # composes with the other codings: zstd under chunked framing
+    enc = _chunked(b"ZSOK" + BODY, [9])
+    assert _decode_http_payload(enc, "chunked", "zstd") == BODY

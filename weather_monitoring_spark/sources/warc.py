@@ -34,6 +34,7 @@ extends the engine per the builder brief's crawl-pipeline scope
 from __future__ import annotations
 
 import hashlib
+import io
 import zlib
 from typing import Iterable, Iterator
 
@@ -41,6 +42,11 @@ try:  # optional: the 'br' HTTP content-coding (RFC 7932). Absent in
     import brotli  # this environment — the decode walk then stops at
 except ImportError:  # 'br' with bytes kept raw (the documented fence).
     brotli = None
+
+try:  # optional: the 'zstd' HTTP content-coding (RFC 8878) — the other
+    import zstandard  # coding real crawls carry. Same fence shape as br:
+except ImportError:  # absent lib stops the walk with bytes kept raw.
+    zstandard = None
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -288,9 +294,10 @@ def _decode_http_payload(payload: bytes, te: str, ce: str) -> bytes:
 
     Codings decode outermost-first: transfer codings (applied last, so
     undone first) in reverse list order, then content codings in
-    reverse. ``identity`` is a no-op. ``br`` decodes when the optional
-    brotli lib is importable (absent here — fence-tested both ways). An
-    UNDECODABLE coding (``br`` without the lib, ``zstd``, ``compress``)
+    reverse. ``identity`` is a no-op. ``br`` (RFC 7932) and ``zstd``
+    (RFC 8878) decode when their optional libs are importable (both
+    absent here — fence-tested both ways). An UNDECODABLE coding
+    (``br``/``zstd`` without their libs, ``compress``)
     stops the walk with the bytes as-is: an un-undoable outer layer
     makes inner layers unreachable, and keeping raw bytes keeps damage
     local."""
@@ -304,6 +311,25 @@ def _decode_http_payload(payload: bytes, te: str, ce: str) -> bytes:
             decoded = _dechunk(payload)
         elif coding in ("gzip", "x-gzip", "deflate"):
             decoded = _inflate(payload, coding)
+        elif coding == "zstd" and zstandard is not None:
+            # incremental stream read: bomb-capped at _HTTP_INFLATE_CAP
+            # without a burst allocation, and a stream damaged after
+            # some good output keeps the decoded prefix (the gzip
+            # multi-member contract); bytes that never decode at all
+            # are a lying header — raw kept
+            out = bytearray()
+            try:
+                with zstandard.ZstdDecompressor().stream_reader(
+                    io.BytesIO(payload)
+                ) as r:
+                    while len(out) < _HTTP_INFLATE_CAP:
+                        chunk = r.read(1 << 16)
+                        if not chunk:
+                            break
+                        out += chunk
+                decoded = bytes(out[:_HTTP_INFLATE_CAP])
+            except Exception:
+                decoded = bytes(out[:_HTTP_INFLATE_CAP]) if out else None
         elif coding == "br" and brotli is not None:
             # one-shot (the google brotli API has no incremental cap);
             # the bomb cap applies post-hoc — a burst allocation is
