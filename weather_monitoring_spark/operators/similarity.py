@@ -536,7 +536,12 @@ def _bucket_signatures(
 
 
 def with_lsh_buckets(
-    emb: DataFrame, dim: int = 64, vec_col: str = "embedding", method: str = "gemm"
+    emb: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    method: str = "gemm",
+    n_tables: int = LSH_TABLES,
+    planes_per_table: int = PLANES_PER_TABLE,
 ) -> DataFrame:
     """Adds bucket_0..bucket_{L-1}. At 100 TB you'd persist the table
     bucketBy(bucket_0) (or one copy per table for full recall) so an ANN
@@ -552,6 +557,13 @@ def with_lsh_buckets(
     corpus; disagreement would need a dot product within float64
     summation-order noise of exactly zero)."""
     if method == "expr":
+        # the expression path is the fixed-constant cross-check; the
+        # parameter sweep (recall probe) runs on the gemm path
+        if (n_tables, planes_per_table) != (LSH_TABLES, PLANES_PER_TABLE):
+            raise ValueError(
+                "with_lsh_buckets(method='expr') supports only the "
+                "module-default table geometry"
+            )
         df = emb
         for t in range(LSH_TABLES):
             df = df.withColumn(f"bucket_{t}", lsh_table_bucket_expr(t, vec_col, dim))
@@ -559,7 +571,11 @@ def with_lsh_buckets(
     if method != "gemm":
         raise ValueError(f"unknown method {method!r}")
     return _bucket_signatures(
-        emb, hyperplane_matrix(dim), PLANES_PER_TABLE, LSH_TABLES, vec_col
+        emb,
+        hyperplane_matrix(dim, n_tables * planes_per_table),
+        planes_per_table,
+        n_tables,
+        vec_col,
     )
 
 
@@ -570,6 +586,8 @@ def ann_lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = LSH_TABLES,
+    planes_per_table: int = PLANES_PER_TABLE,
 ) -> DataFrame:
     """Approximate top-k: candidates must share >=1 of L p-bit table
     buckets with the query (union via posexplode, like MinHash banding),
@@ -580,8 +598,10 @@ def ann_lsh_topk(
     expressions are expensive enough that evaluating them once matters
     (at 100 TB they'd be a persisted column anyway — see
     with_lsh_buckets)."""
-    with_b = with_lsh_buckets(emb, dim, vec_col).localCheckpoint(eager=False)
-    bucket_arr = F.array(*[F.col(f"bucket_{t}") for t in range(LSH_TABLES)])
+    with_b = with_lsh_buckets(
+        emb, dim, vec_col, n_tables=n_tables, planes_per_table=planes_per_table
+    ).localCheckpoint(eager=False)
+    bucket_arr = F.array(*[F.col(f"bucket_{t}") for t in range(n_tables)])
     exploded = with_b.select(
         F.col(id_col), F.col(vec_col), F.posexplode(bucket_arr).alias("tbl", "bucket")
     )
