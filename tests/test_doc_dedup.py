@@ -19,24 +19,27 @@ def _varied(prefix: str, n: int = 60) -> str:
 
 
 def test_store_format_version_refusal(spark, tmp_path):
-    """A store written under a different band-key format (pre-r7 hex
-    strings vs r7 60-bit BIGINTs) must be refused at construction with
-    a clear error — a type-coerced join against mixed stores would
-    silently match nothing and let near-dups back in."""
+    """A store written under a different format (pre-r7 hex band keys,
+    or the r7-r12 flat batch_id=N layout a format-3 reader would see
+    NONE of) must be refused at construction with a clear error —
+    silently reading past it would let every seen document back in."""
     import json
     import os
 
     import pytest
 
+    from weather_monitoring_spark.streaming.doc_dedup import STORE_FORMAT
+
     store = str(tmp_path / "store")
     os.makedirs(store)
-    with open(os.path.join(store, "meta.json"), "w") as f:
-        json.dump({"last_batch_id": 3, "format": 1}, f)
-    with pytest.raises(ValueError, match="format 1"):
-        StreamingDocDedup(spark, store)
+    for old_fmt in (1, 2):
+        with open(os.path.join(store, "meta.json"), "w") as f:
+            json.dump({"last_batch_id": 3, "format": old_fmt}, f)
+        with pytest.raises(ValueError, match=f"format {old_fmt}"):
+            StreamingDocDedup(spark, store)
     # current-format store constructs fine
     with open(os.path.join(store, "meta.json"), "w") as f:
-        json.dump({"last_batch_id": 3, "format": 2}, f)
+        json.dump({"last_batch_id": 3, "format": STORE_FORMAT}, f)
     StreamingDocDedup(spark, store)
 
 
@@ -93,17 +96,17 @@ def test_streaming_dedup_partial_batch_replay_reconciles(spark, tmp_path):
     b0 = _docs(spark, [(1, _varied("alpha")), (2, _varied("beta"))])
     dd.process_batch(b0, 0)
 
-    # Simulate a crash during batch 1: stores written, fp partition lost,
+    # Simulate a crash during batch 1: stores written, fp delta lost,
     # meta never committed.
     b1 = _docs(spark, [(3, _varied("gamma")), (4, _varied("delta"))])
     dd.process_batch(b1, 1)
     os.remove(dd._meta)
-    shutil.rmtree(os.path.join(dd.fp_dir, "batch_id=1"))
+    shutil.rmtree(dd._delta_dir(dd.fp_dir, 1))
 
-    # Replay overwrites batch 1's partitions -> consistent state.
+    # Replay overwrites batch 1's delta dirs -> consistent state.
     dd.process_batch(b1, 1)
     assert sorted(r.doc_id for r in dd.corpus().collect()) == [1, 2, 3, 4]
-    fp = spark.read.parquet(dd.fp_dir)
+    fp = dd._read_store(dd.fp_dir, 1 << 62)
     assert fp.count() == fp.select("fp").distinct().count() == 4
 
     # An exact dup of a batch-1 doc is still recognized afterwards.
@@ -133,3 +136,88 @@ def test_streaming_dedup_null_text_docs_are_not_collapsed(spark, tmp_path):
     b1 = _docs(spark, [(2, None), (5, None), (6, _varied("gamma"))])
     dd.process_batch(b1, 1)
     assert sorted(r.doc_id for r in dd.corpus().collect()) == [1, 2, 3, 4, 5, 6]
+
+
+def test_dedup_across_compaction_boundary(spark, tmp_path):
+    """Exact and fuzzy dedup must keep firing after deltas fold into a
+    base generation, and the folded deltas/old generations must be
+    swept: the r12 layout kept one directory per micro-batch forever
+    (8,640/day at a 10 s trigger)."""
+    import os
+
+    dd = StreamingDocDedup(spark, str(tmp_path / "store"), compact_every=2)
+    texts = {i: _varied(f"t{i}") for i in range(6)}
+    dd.process_batch(_docs(spark, [(0, texts[0]), (1, texts[1])]), 0)
+    dd.process_batch(_docs(spark, [(2, texts[2])]), 1)  # compacts at 1
+    assert dd._base_through() == 1
+    # exact dup of a COMPACTED doc + near-dup of a COMPACTED doc
+    near0 = texts[0].replace("t00", "sleepy", 1)
+    dd.process_batch(_docs(spark, [(3, texts[1]), (4, near0), (5, texts[3])]), 2)
+    assert sorted(r.doc_id for r in dd.corpus().collect()) == [0, 1, 2, 5]
+    dd.process_batch(_docs(spark, [(6, texts[4])]), 3)  # compacts at 3
+    assert dd._base_through() == 3
+    # old generation + folded deltas swept; exactly one generation left
+    for root in (dd.corpus_dir, dd.fp_dir, dd.bands_dir):
+        assert os.listdir(os.path.join(root, "base")) == ["gen=3"]
+        assert os.listdir(os.path.join(root, "delta")) == []
+    # dedup still fires against the new generation
+    dd.process_batch(_docs(spark, [(7, texts[4]), (8, texts[5])]), 4)
+    assert sorted(r.doc_id for r in dd.corpus().collect()) == [0, 1, 2, 5, 6, 8]
+
+
+def test_crash_replay_across_compaction_boundary(spark, tmp_path):
+    """Crash AFTER the compaction write but BEFORE the meta flip: the
+    old view stays authoritative (the half-adopted generation is
+    unreachable), and the replay overwrites it deterministically."""
+    import os
+    import shutil
+
+    store = tmp_path / "store"
+    dd = StreamingDocDedup(spark, str(store), compact_every=2)
+    dd.process_batch(_docs(spark, [(0, _varied("a")), (1, _varied("b"))]), 0)
+
+    b1 = _docs(spark, [(2, _varied("c")), (3, _varied("a"))])  # 3 = exact dup
+    # crash window between _compact and the meta flip: the generation is
+    # (half-)written, the meta still shows the pre-batch state, and the
+    # post-flip sweep never ran — deltas are all still on disk. Simulate
+    # by suppressing the sweep, rewinding the meta, damaging the gen.
+    real_sweep = dd._sweep
+    dd._sweep = lambda gen: None
+    dd.process_batch(b1, 1)  # compacted at 1, meta flipped, sweep skipped
+    dd._sweep = real_sweep
+    with open(dd._meta, "w") as f:
+        import json
+
+        json.dump({"last_batch_id": 0, "base_through": -1, "format": 3}, f)
+    shutil.rmtree(dd._gen_dir(dd.fp_dir, 1))
+
+    dd.process_batch(b1, 1)  # replay: re-compacts gen=1, re-flips + sweeps
+    assert dd._base_through() == 1
+    assert sorted(r.doc_id for r in dd.corpus().collect()) == [0, 1, 2]
+    # a dup of every survivor is still recognized post-replay
+    dd.process_batch(
+        _docs(spark, [(4, _varied("a")), (5, _varied("c")), (6, _varied("z"))]), 2
+    )
+    assert sorted(r.doc_id for r in dd.corpus().collect()) == [0, 1, 2, 6]
+
+
+def test_store_probe_joins_never_shuffle_the_store(spark, tmp_path):
+    """The scale contract the r13 layout exists for: membership checks
+    scan the store in place against broadcast batch keys — ZERO shuffle
+    Exchanges on the store leg, at any corpus size. (The old sort-merge
+    anti join re-exchanged the whole store every trigger.)"""
+    dd = StreamingDocDedup(spark, str(tmp_path / "store"))
+    dd.process_batch(_docs(spark, [(0, _varied("a")), (1, _varied("b"))]), 0)
+
+    batch = _docs(spark, [(2, _varied("c"))]).withColumn(
+        "fp", F.md5(F.col("text"))
+    )
+    store_fp = dd._read_store(dd.fp_dir, 1)
+    plan = (
+        dd._drop_seen(batch, store_fp, ["fp"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan

@@ -5,9 +5,9 @@ everything seen so far, exact + fuzzy.
 Design (foreachBatch, like every stateful sink in this engine):
 
 1. **exact**: drop batch rows whose content hash already exists in the
-   persisted fingerprint store (anti-join), and batch-internal duplicates
+   persisted fingerprint store (probe join), and batch-internal duplicates
    (keep min id per hash).
-2. **fuzzy**: MinHash band hashes of the remaining rows are anti-joined
+2. **fuzzy**: MinHash band hashes of the remaining rows are probed
    against the persisted band index — a candidate band collision marks
    the doc as a near-dup of the existing corpus and it is dropped — AND
    self-joined within the batch (keep the min doc_id of each colliding
@@ -15,24 +15,58 @@ Design (foreachBatch, like every stateful sink in this engine):
    micro-batch don't both survive. (The 1-in-2^128 band-hash
    false-positive rate is negligible; false negatives follow the LSH
    curve, tunable via K/bands in operators/dedup.py.)
-3. survivors + their fingerprints/band hashes are written to
-   ``batch_id=N`` partition directories with overwrite semantics — the
-   replay of a partially-written batch overwrites its own partitions
-   instead of appending next to them, so corpus/fp/band stay consistent
-   with NO ordering requirement between the three writes. Store reads
-   filter to ``batch_id < current``, so a crashed attempt's partial
-   partitions can't shadow the retry's own survivors.
+3. survivors + their fingerprints/band hashes land in per-batch DELTA
+   directories with overwrite semantics — the replay of a partially
+   written batch overwrites its own directories instead of appending
+   next to them, so corpus/fp/band stay consistent with NO ordering
+   requirement between the three writes.
 
-The stores are plain parquet tables keyed by digest — at 100 TB they'd
-be bucketed by hash prefix so the anti-joins stay co-located and the
-per-batch cost is O(batch), independent of corpus size. The meta file is
-only a fast-path skip; idempotency comes from partition overwrite.
+Store layout (r13 — the LSM shape the r12 verdict asked for; the
+previous layout grew one directory per micro-batch forever — 8,640/day
+at a 10 s trigger — and sort-merge anti-joins re-shuffled the whole
+unbucketed store every batch):
+
+    <store>/<name>/delta/batch_id=N/   per-batch survivor deltas
+    <store>/<name>/base/gen=G/         compacted base generation
+    <store>/meta.json                  {last_batch_id, base_through, format}
+
+- **Reads** are an explicit path list: the base generation plus the
+  delta directories in ``(base_through, current_batch)`` — never a
+  recursive root listing, so a crashed attempt's partial directories
+  for the CURRENT batch are invisible to its own retry by construction.
+- **Probe joins, not shuffle joins.** The store side is the unbounded
+  leg; it must never cross an Exchange. Both membership probes run as
+  ``store LEFT SEMI broadcast(batch keys)`` (a linear, in-place scan of
+  the store that ships only the micro-batch's keys to it), and the
+  small hit set broadcasts back for the batch-side anti join. Per-batch
+  shuffle volume is therefore O(batch), independent of corpus size; the
+  residual per-batch cost is one sequential store scan, which is the
+  honest price of exact-against-all-history dedup on immutable columnar
+  storage (a point-lookup KV store is the alternative trade, not a
+  free win). Micro-batches are assumed executor-memory-small (bound
+  them at the source: maxOffsetsPerTrigger / maxFilesPerTrigger).
+- **Compaction** every ``compact_every`` applied batches folds base +
+  deltas into a new generation, repartitioned BY THE PROBE KEY into
+  ``n_buckets`` hash-clustered, key-sorted files: bounded file count
+  (the probe scan opens ~n_buckets files, not 3 x batches), and
+  row-group min/max on the sorted key serves selective point lookups.
+  A generation is written to its own ``gen=<batch>`` directory, the
+  meta flips atomically afterwards (os.replace), and only then are the
+  superseded generation and folded deltas deleted — a crash at any
+  point leaves either the old consistent view (meta unflipped; the
+  half-written generation is overwritten deterministically on retry)
+  or the new one (leftover garbage is swept by the next compaction,
+  never read because reads are meta-directed).
+
+The meta file's ``last_batch_id`` is only a fast-path skip; idempotency
+comes from deterministic overwrite of per-batch delta directories.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,57 +74,140 @@ from pyspark.sql.streaming import StreamingQuery
 
 from weather_monitoring_spark.operators.dedup import LSH_BANDS, minhash_signatures
 
-#: Persisted-store format version. 2 = 60-bit BIGINT band keys (the r7
-#: key packing in operators/dedup.minhash_signatures); 1 (or absent) =
-#: the pre-r7 32-char md5 hex strings. A store written under one format
-#: must not be read under the other — mixed parquet partitions fail the
-#: scan, and a type-coerced join would silently match NOTHING, letting
-#: near-dups of the existing corpus back in — so construction refuses a
-#: format-mismatched store with a clear error instead of degrading.
-STORE_FORMAT = 2
+#: Persisted-store format version. 3 = r13 LSM layout (delta/ + base/
+#: generations, meta-directed reads); 2 = r7-r12 flat batch_id=N
+#: directories under each store root; 1 (or absent) = pre-r7 32-char
+#: md5 hex band keys. A store written under one format must not be read
+#: under another — a format-3 reader would see none of a format-2
+#: store's delta directories and silently let every seen document back
+#: in — so construction refuses a mismatched store with a clear error
+#: instead of degrading.
+STORE_FORMAT = 3
+
+#: Compact base + deltas into a new generation once this many batches
+#: have accumulated since the last compaction.
+COMPACT_EVERY = 16
+
+#: Hash-clustered files per compacted generation (per store).
+STORE_BUCKETS = 32
 
 
 class StreamingDocDedup:
-    def __init__(self, spark: SparkSession, store_dir: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        compact_every: int = COMPACT_EVERY,
+        n_buckets: int = STORE_BUCKETS,
+    ) -> None:
         self.spark = spark
         self.corpus_dir = os.path.join(store_dir, "corpus")
         self.fp_dir = os.path.join(store_dir, "fingerprints")
         self.bands_dir = os.path.join(store_dir, "bands")
         self._meta = os.path.join(store_dir, "meta.json")
+        self.compact_every = compact_every
+        self.n_buckets = n_buckets
+        #: probe/cluster key per store — compaction repartitions on it
+        self._cluster_key = {
+            self.fp_dir: "fp",
+            self.bands_dir: "bh",
+            self.corpus_dir: "doc_id",
+        }
         os.makedirs(store_dir, exist_ok=True)
         if os.path.exists(self._meta):
-            with open(self._meta) as f:
-                fmt = json.load(f).get("format", 1)
+            fmt = self._load_meta().get("format", 1)
             if fmt != STORE_FORMAT:
                 raise ValueError(
                     f"StreamingDocDedup store at {store_dir} was written "
-                    f"with band-store format {fmt}; this build reads/"
-                    f"writes format {STORE_FORMAT} (60-bit BIGINT band "
-                    "keys). Rebuild the store by replaying the corpus "
-                    "through a fresh store_dir, or run the matching "
+                    f"with store format {fmt}; this build reads/writes "
+                    f"format {STORE_FORMAT} (LSM delta/base layout, 60-bit "
+                    "BIGINT band keys). Rebuild the store by replaying the "
+                    "corpus through a fresh store_dir, or run the matching "
                     "engine version against it."
                 )
 
-    def corpus(self) -> DataFrame:
-        return self.spark.read.parquet(self.corpus_dir).drop("batch_id")
+    # ------------------------------ meta ------------------------------
 
-    def _read_before(self, path: str, batch_id: int) -> DataFrame | None:
-        """Store contents committed by earlier batches only — a crashed
-        attempt of THIS batch may have left partial partitions that must
-        not be visible to the retry."""
-        if not os.path.exists(path):
-            return None
-        df = self.spark.read.parquet(path)
-        return df.filter(F.col("batch_id") < batch_id).drop("batch_id")
+    def _load_meta(self) -> dict:
+        if not os.path.exists(self._meta):
+            return {}
+        with open(self._meta) as f:
+            return json.load(f)
 
     def _last_applied(self) -> int:
-        if not os.path.exists(self._meta):
-            return -1
-        with open(self._meta) as f:
-            return json.load(f).get("last_batch_id", -1)
+        return self._load_meta().get("last_batch_id", -1)
 
-    def _batch_partition(self, root: str, batch_id: int) -> str:
-        return os.path.join(root, f"batch_id={batch_id}")
+    def _base_through(self) -> int:
+        return self._load_meta().get("base_through", -1)
+
+    # ----------------------------- layout -----------------------------
+
+    def _delta_dir(self, root: str, batch_id: int) -> str:
+        return os.path.join(root, "delta", f"batch_id={batch_id}")
+
+    def _gen_dir(self, root: str, gen: int) -> str:
+        return os.path.join(root, "base", f"gen={gen}")
+
+    def _delta_ids(self, root: str, lo: int, hi: int) -> list[int]:
+        """Delta batch ids in (lo, hi) — committed after the base
+        generation, before the batch being processed."""
+        d = os.path.join(root, "delta")
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in os.listdir(d):
+            if name.startswith("batch_id="):
+                n = int(name.split("=", 1)[1])
+                if lo < n < hi:
+                    out.append(n)
+        return sorted(out)
+
+    def _read_store(self, root: str, batch_id: int) -> DataFrame | None:
+        """Store contents committed by earlier batches only: the meta's
+        base generation plus delta dirs in (base_through, batch_id) —
+        an explicit path list, so a crashed attempt of THIS batch (or a
+        half-written generation the meta never adopted) is invisible."""
+        bt = self._base_through()
+        paths = []
+        base = self._gen_dir(root, bt)
+        if bt >= 0 and os.path.isdir(base):
+            paths.append(base)
+        paths += [
+            self._delta_dir(root, n)
+            for n in self._delta_ids(root, bt, batch_id)
+        ]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def corpus(self) -> DataFrame:
+        df = self._read_store(self.corpus_dir, 1 << 62)
+        if df is None:
+            raise FileNotFoundError(
+                f"StreamingDocDedup corpus store is empty: {self.corpus_dir}"
+            )
+        return df
+
+    # --------------------------- processing ---------------------------
+
+    @staticmethod
+    def _drop_seen(batch: DataFrame, store: DataFrame | None, keys: list[str]) -> DataFrame:
+        """Batch rows whose key tuple is absent from the store, computed
+        in probe direction: the unbounded store scans IN PLACE against a
+        broadcast of the micro-batch's keys, and only the (small) hit
+        set broadcasts back for the batch-side anti join. Neither join
+        shuffles the store — the previous sort-merge anti join
+        re-exchanged the whole store every 10 s trigger. No distinct on
+        either leg: the key is UNIQUE in the store by construction
+        (only survivors write fingerprints), so the semi-join output is
+        already duplicate-free, and the probe broadcast tolerates batch
+        dups (the join hash table dedups them) — each distinct would
+        cost the plan's only shuffle Exchange (pinned by test)."""
+        if store is None:
+            return batch
+        probe = batch.select(*keys)
+        hits = store.join(F.broadcast(probe), keys, "left_semi").select(*keys)
+        return batch.join(F.broadcast(hits), keys, "left_anti")
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= self._last_applied():
@@ -111,9 +228,9 @@ class StreamingDocDedup:
         )
         w_min = hashed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
         fresh = hashed.join(w_min, ["fp", "doc_id"], "left_semi")
-        store_fp = self._read_before(self.fp_dir, batch_id)
-        if store_fp is not None:
-            fresh = fresh.join(store_fp, "fp", "left_anti")
+        fresh = self._drop_seen(
+            fresh, self._read_store(self.fp_dir, batch_id), ["fp"]
+        )
 
         # 2. fuzzy: band hashes of the exact-surviving rows. Null-text
         # rows BYPASS the fuzzy stage entirely (here and in the store
@@ -146,25 +263,35 @@ class StreamingDocDedup:
             .distinct()
         )
         fresh = fresh.join(batch_drops, "doc_id", "left_anti")
-        # 2b. vs the persisted index: any band collision -> near-dup of the
-        # existing corpus -> drop.
-        store_bands = self._read_before(self.bands_dir, batch_id)
+        # 2b. vs the persisted index: any band collision -> near-dup of
+        # the existing corpus -> drop. Probe direction again: collided
+        # band keys flow store->batch as a broadcast, then the matched
+        # doc_ids anti-join the batch.
+        store_bands = self._read_store(self.bands_dir, batch_id)
         if store_bands is not None:
-            neardup_ids = bands.join(store_bands, ["band_idx", "bh"], "left_semi").select(
-                "doc_id"
-            ).distinct()
-            fresh = fresh.join(neardup_ids, "doc_id", "left_anti")
+            bkeys = bands.select("band_idx", "bh").distinct()
+            hit_keys = (
+                store_bands.join(F.broadcast(bkeys), ["band_idx", "bh"], "left_semi")
+                .select("band_idx", "bh")
+                .distinct()
+            )
+            neardup_ids = (
+                bands.join(F.broadcast(hit_keys), ["band_idx", "bh"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            fresh = fresh.join(F.broadcast(neardup_ids), "doc_id", "left_anti")
 
-        # 3. write survivors + index entries into this batch's partition
+        # 3. write survivors + index entries into this batch's delta
         # directories with OVERWRITE semantics: a replay of a partially
-        # written batch overwrites its own partitions, so the three stores
-        # stay mutually consistent with no ordering requirement between
-        # the writes. The survivor set MUST have its lineage truncated
-        # first: the plans above read the fp/band stores lazily, and
-        # writing those paths auto-invalidates dependent caches
-        # (refreshByPath), so a merely-cached plan re-evaluated after the
-        # fp write would see the batch's own fingerprints and filter out
-        # its own survivors. localCheckpoint pins the rows themselves.
+        # written batch overwrites its own directories, so the three
+        # stores stay mutually consistent with no ordering requirement
+        # between the writes. The survivor set MUST have its lineage
+        # truncated first: the plans above read the fp/band stores
+        # lazily, and writing under those roots auto-invalidates
+        # dependent caches (refreshByPath), so a merely-cached plan
+        # re-evaluated later could see the batch's own fingerprints and
+        # filter out its own survivors. localCheckpoint pins the rows.
         fresh = fresh.localCheckpoint(eager=True)
         survivor_bands = minhash_signatures(
             fresh.filter(F.col("text").isNotNull())
@@ -175,17 +302,86 @@ class StreamingDocDedup:
             ).alias("band_idx", "bh"),
         )
         fresh.drop("fp").write.mode("overwrite").parquet(
-            self._batch_partition(self.corpus_dir, batch_id)
+            self._delta_dir(self.corpus_dir, batch_id)
         )
         fresh.select("fp").write.mode("overwrite").parquet(
-            self._batch_partition(self.fp_dir, batch_id)
+            self._delta_dir(self.fp_dir, batch_id)
         )
         survivor_bands.write.mode("overwrite").parquet(
-            self._batch_partition(self.bands_dir, batch_id)
+            self._delta_dir(self.bands_dir, batch_id)
         )
+
+        # 4. compact once enough deltas accumulated, then flip the meta.
+        base_through = self._base_through()
+        compacted = batch_id - base_through >= self.compact_every
+        if compacted:
+            self._compact(batch_id)
+            base_through = batch_id
         with open(self._meta + ".tmp", "w") as f:
-            json.dump({"last_batch_id": batch_id, "format": STORE_FORMAT}, f)
+            json.dump(
+                {
+                    "last_batch_id": batch_id,
+                    "base_through": base_through,
+                    "format": STORE_FORMAT,
+                },
+                f,
+            )
         os.replace(self._meta + ".tmp", self._meta)
+        if compacted:
+            self._sweep(batch_id)
+
+    # --------------------------- compaction ---------------------------
+
+    def _compact(self, batch_id: int) -> None:
+        """Fold base + every delta <= batch_id into generation
+        ``gen=batch_id`` per store: n_buckets hash-clustered files,
+        sorted by the probe key within each file (row-group min/max for
+        point lookups). Runs BEFORE the meta flip — a crash leaves the
+        old generation authoritative and the retry overwrites this
+        one's deterministic directory."""
+        bt = self._base_through()
+        for root, key in self._cluster_key.items():
+            paths = []
+            base = self._gen_dir(root, bt)
+            if bt >= 0 and os.path.isdir(base):
+                paths.append(base)
+            paths += [
+                self._delta_dir(root, n)
+                for n in self._delta_ids(root, bt, batch_id + 1)
+            ]
+            if not paths:
+                continue
+            (
+                self.spark.read.parquet(*paths)
+                .repartition(self.n_buckets, F.col(key))
+                .sortWithinPartitions(key)
+                .write.mode("overwrite")
+                .parquet(self._gen_dir(root, batch_id))
+            )
+
+    def _sweep(self, gen: int) -> None:
+        """Post-flip cleanup: superseded generations and folded deltas.
+        Pure garbage collection — reads are meta-directed, so anything
+        swept here is already unreachable; a crash mid-sweep just
+        leaves work for the next compaction's sweep."""
+        for root in self._cluster_key:
+            base_root = os.path.join(root, "base")
+            if os.path.isdir(base_root):
+                for name in os.listdir(base_root):
+                    if name != f"gen={gen}":
+                        shutil.rmtree(
+                            os.path.join(base_root, name), ignore_errors=True
+                        )
+            delta_root = os.path.join(root, "delta")
+            if os.path.isdir(delta_root):
+                for name in os.listdir(delta_root):
+                    if (
+                        name.startswith("batch_id=")
+                        and int(name.split("=", 1)[1]) <= gen
+                    ):
+                        shutil.rmtree(
+                            os.path.join(delta_root, name), ignore_errors=True
+                        )
 
     def attach(
         self, doc_stream: DataFrame, checkpoint_dir: str, trigger: dict | None = None
