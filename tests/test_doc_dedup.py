@@ -156,9 +156,10 @@ def test_dedup_across_compaction_boundary(spark, tmp_path):
     assert sorted(r.doc_id for r in dd.corpus().collect()) == [0, 1, 2, 5]
     dd.process_batch(_docs(spark, [(6, texts[4])]), 3)  # compacts at 3
     assert dd._base_through() == 3
-    # old generation + folded deltas swept; exactly one generation left
+    # folded deltas swept; on-disk runs == exactly the meta's live list
+    live = {f"gen={r['gen']}" for r in dd._runs()}
     for root in (dd.corpus_dir, dd.fp_dir, dd.bands_dir):
-        assert os.listdir(os.path.join(root, "base")) == ["gen=3"]
+        assert set(os.listdir(os.path.join(root, "base"))) == live
         assert os.listdir(os.path.join(root, "delta")) == []
     # dedup still fires against the new generation
     dd.process_batch(_docs(spark, [(7, texts[4]), (8, texts[5])]), 4)
@@ -182,7 +183,7 @@ def test_crash_replay_across_compaction_boundary(spark, tmp_path):
     # post-flip sweep never ran — deltas are all still on disk. Simulate
     # by suppressing the sweep, rewinding the meta, damaging the gen.
     real_sweep = dd._sweep
-    dd._sweep = lambda gen: None
+    dd._sweep = lambda *a: None
     dd.process_batch(b1, 1)  # compacted at 1, meta flipped, sweep skipped
     dd._sweep = real_sweep
     with open(dd._meta, "w") as f:
@@ -221,3 +222,28 @@ def test_store_probe_joins_never_shuffle_the_store(spark, tmp_path):
     )
     assert "Exchange hashpartitioning" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_size_tiered_merge_bounds_run_count(spark, tmp_path):
+    """Size-tiering: with max_runs=2 and compact_every=1 every batch
+    seals a run and the two smallest merge — run count stays <= 2, the
+    swept directories match the meta's live list exactly, no document
+    is lost across merges, and dedup still fires against merged runs."""
+    import os
+
+    dd = StreamingDocDedup(
+        spark, str(tmp_path / "store"), compact_every=1, max_runs=2
+    )
+    texts = {i: _varied(f"m{i}") for i in range(8)}
+    for b in range(6):
+        dd.process_batch(_docs(spark, [(b, texts[b])]), b)
+        assert len(dd._runs()) <= 2
+        live = {f"gen={r['gen']}" for r in dd._runs()}
+        for root in (dd.corpus_dir, dd.fp_dir, dd.bands_dir):
+            assert set(os.listdir(os.path.join(root, "base"))) == live
+    # run row counts account for every survivor
+    assert sum(r["rows"] for r in dd._runs()) == 6
+    # exact + fuzzy dedup against content now living in merged runs
+    near2 = texts[2].replace("m20", "sleepy", 1)
+    dd.process_batch(_docs(spark, [(10, texts[0]), (11, near2), (12, texts[6])]), 6)
+    assert sorted(r.doc_id for r in dd.corpus().collect()) == [0, 1, 2, 3, 4, 5, 12]

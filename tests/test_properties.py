@@ -667,3 +667,79 @@ def test_two_phase_sniff_routing_agrees_on_arbitrary_bytes(cases):
         ref = sniff_decode_bytes(payload, ct)
         assert r["one"] == ref, (ct, (payload or b"")[:60])
         assert r["two"] == ref, (ct, (payload or b"")[:60])
+
+
+def test_skewed_corpus_dedup_guards_keep_survivors_exact():
+    """Adversarial-skew stress for the dedup guards (VERDICT r12 #5,
+    CI-sized; scripts/probe_dedup_skew_stress.py runs the 1M-doc
+    version): a corpus that is 30% byte-identical boilerplate + 10%
+    sub-shingle stubs must neither blow up the candidate stage (the
+    sqrt(n) hot-bucket guard routes the boilerplate buckets to linear
+    star pairs — never an m^2 self-join) nor corrupt survivor
+    semantics:
+
+    - contentless stubs pair with NOTHING (the r12 NULL-band fix: they
+      all minhash identically, so un-gated they'd fake-pair);
+    - the boilerplate mega-cluster is NOT fuzzily deleted — its
+      shingles sit above the document-frequency cutoff, so the exact
+      Jaccard verify (which the oracle mirrors) confirms none of its
+      star pairs; byte-identical mass is exact_dedup's job, and the
+      composition keeps exactly its min-id keeper;
+    - planted genuine near-dups OUTSIDE the hot buckets are still
+      caught (the guard costs no recall where it doesn't fire)."""
+    from weather_monitoring_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_verify,
+    )
+
+    spark = _get_spark()
+    n = 3000
+    rng = random.Random(13)
+    boiler = " ".join(f"boiler{w}" for w in range(40))
+    rows = []
+    near_pairs = []
+    for i in range(n):
+        m = i % 10
+        if m < 3:
+            rows.append((i, boiler))                    # 30% identical
+        elif m == 3:
+            rows.append((i, "stub"))                    # 10% sub-shingle
+        elif m == 4:
+            base = " ".join(f"w{i}x{w}" for w in range(40))
+            rows.append((i, base))
+            rows.append((i + 10000, base.replace(f"w{i}x39", "changed")))
+            near_pairs.append((i, i + 10000))           # planted near-dups
+        else:
+            rows.append((i, " ".join(f"w{i}x{w}" for w in range(40))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cand = minhash_lsh_pairs(docs).localCheckpoint(eager=True)
+    n_cand = cand.count()
+    stub_ids = {r[0] for r in rows if r[1] == "stub"}
+    boiler_ids = sorted(r[0] for r in rows if r[1] == boiler)
+    # stage boundedness: boilerplate contributes exactly linear star
+    # pairs (min-id keeper x member), stubs contribute nothing, planted
+    # near-dups contribute ~1 pair each -> well under 2n total
+    assert n_cand < 2 * len(rows)
+    cand_ids = {r.id_a for r in cand.collect()} | {r.id_b for r in cand.collect()}
+    assert cand_ids.isdisjoint(stub_ids)
+
+    verified = ngram_jaccard_verify(docs, cand)
+    dropped = {r.id_b for r in verified.collect()}
+    # no mega-cluster deletion via the fuzzy path: over-df boilerplate
+    # shingles are filtered, so no boilerplate doc verifies
+    assert dropped.isdisjoint(set(boiler_ids))
+    assert dropped.isdisjoint(stub_ids)
+    # planted near-dups are all caught, larger id dropped
+    assert {b for _, b in near_pairs} <= dropped
+    # nothing else was dropped
+    assert dropped == {b for _, b in near_pairs}
+
+    # byte-identical mass is exact_dedup's job: composed, the cluster
+    # keeps exactly its min-id keeper
+    keepers = {r.keeper_doc_id for r in exact_dedup(docs).collect()}
+    assert keepers & set(boiler_ids) == {boiler_ids[0]}
+    # identical "stub" strings are byte-equal content -> exactly one
+    # keeper, by min id
+    assert keepers & stub_ids == {min(stub_ids)}

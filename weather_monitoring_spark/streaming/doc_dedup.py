@@ -45,18 +45,25 @@ unbucketed store every batch):
   storage (a point-lookup KV store is the alternative trade, not a
   free win). Micro-batches are assumed executor-memory-small (bound
   them at the source: maxOffsetsPerTrigger / maxFilesPerTrigger).
-- **Compaction** every ``compact_every`` applied batches folds base +
-  deltas into a new generation, repartitioned BY THE PROBE KEY into
-  ``n_buckets`` hash-clustered, key-sorted files: bounded file count
-  (the probe scan opens ~n_buckets files, not 3 x batches), and
-  row-group min/max on the sorted key serves selective point lookups.
-  A generation is written to its own ``gen=<batch>`` directory, the
-  meta flips atomically afterwards (os.replace), and only then are the
-  superseded generation and folded deltas deleted — a crash at any
-  point leaves either the old consistent view (meta unflipped; the
-  half-written generation is overwritten deterministically on retry)
-  or the new one (leftover garbage is swept by the next compaction,
-  never read because reads are meta-directed).
+- **Compaction** every ``compact_every`` applied batches folds the
+  accumulated deltas into a new SEALED RUN, repartitioned BY THE PROBE
+  KEY into ``n_buckets`` hash-clustered, key-sorted files: bounded file
+  count (the probe scan opens ~n_buckets files per run, not 3 x
+  batches), and row-group min/max on the sorted key serves selective
+  point lookups. Runs are **size-tiered** (the LSM answer to the
+  rewrite-the-world trap): whenever more than ``max_runs`` runs exist,
+  the two smallest merge into one — so read fan-in is bounded at
+  ``max_runs`` runs + ``compact_every`` deltas, while total rewrite
+  work amortizes to O(n log n) instead of the O(n^2 / compact_every)
+  a single always-rewritten base generation costs (measured: the
+  single-generation form's compaction spike grew linearly to 70 s by
+  1M accumulated docs). Each run/merge writes to its own deterministic
+  ``gen=...`` directory, the meta (which lists the live runs) flips
+  atomically afterwards (os.replace), and only then are superseded
+  runs and folded deltas swept — a crash at any point leaves either
+  the old consistent view (meta unflipped; half-written runs are
+  overwritten deterministically on retry) or the new one (leftover
+  garbage is swept later, never read because reads are meta-directed).
 
 The meta file's ``last_batch_id`` is only a fast-path skip; idempotency
 comes from deterministic overwrite of per-batch delta directories.
@@ -84,12 +91,16 @@ from weather_monitoring_spark.operators.dedup import LSH_BANDS, minhash_signatur
 #: instead of degrading.
 STORE_FORMAT = 3
 
-#: Compact base + deltas into a new generation once this many batches
+#: Fold accumulated deltas into a new sealed run once this many batches
 #: have accumulated since the last compaction.
 COMPACT_EVERY = 16
 
-#: Hash-clustered files per compacted generation (per store).
+#: Hash-clustered files per sealed run (per store).
 STORE_BUCKETS = 32
+
+#: Size-tier bound: merge the two smallest runs whenever more than this
+#: many exist. Read fan-in stays <= MAX_RUNS runs + compact_every deltas.
+MAX_RUNS = 8
 
 
 class StreamingDocDedup:
@@ -99,6 +110,7 @@ class StreamingDocDedup:
         store_dir: str,
         compact_every: int = COMPACT_EVERY,
         n_buckets: int = STORE_BUCKETS,
+        max_runs: int = MAX_RUNS,
     ) -> None:
         self.spark = spark
         self.corpus_dir = os.path.join(store_dir, "corpus")
@@ -107,6 +119,7 @@ class StreamingDocDedup:
         self._meta = os.path.join(store_dir, "meta.json")
         self.compact_every = compact_every
         self.n_buckets = n_buckets
+        self.max_runs = max_runs
         #: probe/cluster key per store — compaction repartitions on it
         self._cluster_key = {
             self.fp_dir: "fp",
@@ -140,12 +153,17 @@ class StreamingDocDedup:
     def _base_through(self) -> int:
         return self._load_meta().get("base_through", -1)
 
+    def _runs(self) -> list[dict]:
+        """Live sealed runs, each ``{"gen": <str>, "rows": <int>}`` —
+        the meta's run list IS the authoritative read set."""
+        return self._load_meta().get("runs", [])
+
     # ----------------------------- layout -----------------------------
 
     def _delta_dir(self, root: str, batch_id: int) -> str:
         return os.path.join(root, "delta", f"batch_id={batch_id}")
 
-    def _gen_dir(self, root: str, gen: int) -> str:
+    def _gen_dir(self, root: str, gen) -> str:
         return os.path.join(root, "base", f"gen={gen}")
 
     def _delta_ids(self, root: str, lo: int, hi: int) -> list[int]:
@@ -164,14 +182,11 @@ class StreamingDocDedup:
 
     def _read_store(self, root: str, batch_id: int) -> DataFrame | None:
         """Store contents committed by earlier batches only: the meta's
-        base generation plus delta dirs in (base_through, batch_id) —
-        an explicit path list, so a crashed attempt of THIS batch (or a
-        half-written generation the meta never adopted) is invisible."""
+        sealed runs plus delta dirs in (base_through, batch_id) — an
+        explicit path list, so a crashed attempt of THIS batch (or a
+        half-written run the meta never adopted) is invisible."""
         bt = self._base_through()
-        paths = []
-        base = self._gen_dir(root, bt)
-        if bt >= 0 and os.path.isdir(base):
-            paths.append(base)
+        paths = [self._gen_dir(root, r["gen"]) for r in self._runs()]
         paths += [
             self._delta_dir(root, n)
             for n in self._delta_ids(root, bt, batch_id)
@@ -314,61 +329,94 @@ class StreamingDocDedup:
         # 4. compact once enough deltas accumulated, then flip the meta.
         base_through = self._base_through()
         compacted = batch_id - base_through >= self.compact_every
+        runs = self._runs()
         if compacted:
-            self._compact(batch_id)
+            runs = self._compact(batch_id)
             base_through = batch_id
         with open(self._meta + ".tmp", "w") as f:
             json.dump(
                 {
                     "last_batch_id": batch_id,
                     "base_through": base_through,
+                    "runs": runs,
                     "format": STORE_FORMAT,
                 },
                 f,
             )
         os.replace(self._meta + ".tmp", self._meta)
         if compacted:
-            self._sweep(batch_id)
+            self._sweep({r["gen"] for r in runs}, batch_id)
 
     # --------------------------- compaction ---------------------------
 
-    def _compact(self, batch_id: int) -> None:
-        """Fold base + every delta <= batch_id into generation
-        ``gen=batch_id`` per store: n_buckets hash-clustered files,
-        sorted by the probe key within each file (row-group min/max for
-        point lookups). Runs BEFORE the meta flip — a crash leaves the
-        old generation authoritative and the retry overwrites this
-        one's deterministic directory."""
-        bt = self._base_through()
+    def _write_run(self, gen: str, src_paths: dict[str, list[str]]) -> dict:
+        """Seal ``src_paths[root]`` into run ``gen`` for every store:
+        n_buckets hash-clustered files, sorted by the probe key within
+        each file (row-group min/max for point lookups). Deterministic
+        overwrite — a crashed attempt's retry rewrites the same dirs.
+        Returns the run descriptor (rows = fingerprint rows, the
+        document count — corpus matches it, bands are LSH_BANDS x)."""
         for root, key in self._cluster_key.items():
-            paths = []
-            base = self._gen_dir(root, bt)
-            if bt >= 0 and os.path.isdir(base):
-                paths.append(base)
-            paths += [
-                self._delta_dir(root, n)
-                for n in self._delta_ids(root, bt, batch_id + 1)
-            ]
-            if not paths:
-                continue
+            paths = src_paths[root]
             (
                 self.spark.read.parquet(*paths)
                 .repartition(self.n_buckets, F.col(key))
                 .sortWithinPartitions(key)
                 .write.mode("overwrite")
-                .parquet(self._gen_dir(root, batch_id))
+                .parquet(self._gen_dir(root, gen))
             )
+        rows = self.spark.read.parquet(
+            self._gen_dir(self.fp_dir, gen)
+        ).count()  # parquet footer count — no data scan
+        return {"gen": gen, "rows": rows}
 
-    def _sweep(self, gen: int) -> None:
-        """Post-flip cleanup: superseded generations and folded deltas.
-        Pure garbage collection — reads are meta-directed, so anything
-        swept here is already unreachable; a crash mid-sweep just
-        leaves work for the next compaction's sweep."""
+    def _compact(self, batch_id: int) -> list[dict]:
+        """Fold every uncompacted delta into a new sealed run, then
+        size-tier: merge the two smallest runs while more than
+        ``max_runs`` exist. Runs BEFORE the meta flip; every run/merge
+        directory name is a pure function of (batch_id, merge ordinal)
+        so a crashed attempt's retry replays the identical plan over
+        the identical (still unswept) inputs. Returns the new live-run
+        list for the meta."""
+        bt = self._base_through()
+        runs = list(self._runs())
+        fold = self._write_run(
+            str(batch_id),
+            {
+                root: [
+                    self._delta_dir(root, n)
+                    for n in self._delta_ids(root, bt, batch_id + 1)
+                ]
+                for root in self._cluster_key
+            },
+        )
+        runs.append(fold)
+        merge_ord = 0
+        while len(runs) > self.max_runs:
+            runs.sort(key=lambda r: r["rows"])
+            a, b = runs[0], runs[1]
+            merged = self._write_run(
+                f"{batch_id}m{merge_ord}",
+                {
+                    root: [self._gen_dir(root, a["gen"]), self._gen_dir(root, b["gen"])]
+                    for root in self._cluster_key
+                },
+            )
+            runs = runs[2:] + [merged]
+            merge_ord += 1
+        return runs
+
+    def _sweep(self, live_gens: set, through_batch: int) -> None:
+        """Post-flip cleanup: run directories the meta no longer lists
+        and folded deltas. Pure garbage collection — reads are
+        meta-directed, so anything swept here is already unreachable; a
+        crash mid-sweep just leaves work for the next sweep."""
+        live = {f"gen={g}" for g in live_gens}
         for root in self._cluster_key:
             base_root = os.path.join(root, "base")
             if os.path.isdir(base_root):
                 for name in os.listdir(base_root):
-                    if name != f"gen={gen}":
+                    if name not in live:
                         shutil.rmtree(
                             os.path.join(base_root, name), ignore_errors=True
                         )
@@ -377,7 +425,7 @@ class StreamingDocDedup:
                 for name in os.listdir(delta_root):
                     if (
                         name.startswith("batch_id=")
-                        and int(name.split("=", 1)[1]) <= gen
+                        and int(name.split("=", 1)[1]) <= through_batch
                     ):
                         shutil.rmtree(
                             os.path.join(delta_root, name), ignore_errors=True
