@@ -12,8 +12,11 @@ on-disk WARC corpus at the two standing mixes (60% / 95% valid-UTF-8
 pages, remainder split declared-latin-1 / undeclared-1252), toggling
 ONLY the two_phase flag, interleaved best-of-3 per variant (the host
 band drifts on a seconds scale; back-to-back blocks attribute the band
-to whichever ran last). checkpoint=False keeps the whole chain lazy so
-one action times the true composed job. Fidelity is asserted: both
+to whichever ran last). The curation runs at the
+engine's checkpoint=True default: each stage materializes once, so the
+decode stage runs exactly once per variant — under checkpoint=False the
+lazy DAG re-evaluates the decode for every downstream shuffle branch
+and the measurement smears both variants by the re-evaluation count. Fidelity is asserted: both
 variants must produce identical survivor sets.
 
 Prints one JSON line; writes scripts/probe_composed_charset_routing.json.
@@ -121,7 +124,7 @@ def composed_clean(spark, warc_dir: str, two_phase: bool):
         F.col("target_uri").alias("url"),
         F.col("html"),
     )
-    return curate_crawl(docs, checkpoint=False).clean
+    return curate_crawl(docs).clean
 
 
 def main():
@@ -129,7 +132,15 @@ def main():
 
     from weather_monitoring_spark.session import get_spark
 
-    spark = get_spark(master="local[8]", shuffle_partitions=16)
+    spark = get_spark(
+        master="local[8]",
+        shuffle_partitions=16,
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_PROBE_MEM", "48g"
+            )
+        },
+    )
     a = subprocess.run(
         [sys.executable,
          os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -110,7 +110,15 @@ def run_pipeline(spark, docs, label, out):
 
 
 def main():
-    spark = get_spark(master="local[8]", shuffle_partitions=32)
+    spark = get_spark(
+        master="local[8]",
+        shuffle_partitions=32,
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_PROBE_MEM", "48g"
+            )
+        },
+    )
     out = {"n_docs": N_DOCS}
     run_pipeline(spark, uniform_corpus(spark, N_DOCS), "uniform", out)
     skew = skewed_corpus(spark, N_DOCS).localCheckpoint(eager=True)

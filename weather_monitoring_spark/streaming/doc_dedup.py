@@ -308,13 +308,12 @@ class StreamingDocDedup:
         # re-evaluated later could see the batch's own fingerprints and
         # filter out its own survivors. localCheckpoint pins the rows.
         fresh = fresh.localCheckpoint(eager=True)
-        survivor_bands = minhash_signatures(
-            fresh.filter(F.col("text").isNotNull())
-        ).select(
-            "doc_id",
-            F.posexplode(
-                F.array(*[F.col(f"band_{b}") for b in range(LSH_BANDS)])
-            ).alias("band_idx", "bh"),
+        # Survivor band rows come from the ALREADY-materialized batch
+        # band table by a semi join (survivors are a subset of the
+        # exact-surviving docs it covers) — re-running the Arrow MinHash
+        # pass here doubled the most expensive per-batch stage.
+        survivor_bands = bands.join(
+            fresh.select("doc_id"), "doc_id", "left_semi"
         )
         fresh.drop("fp").write.mode("overwrite").parquet(
             self._delta_dir(self.corpus_dir, batch_id)
