@@ -100,30 +100,31 @@ def main() -> None:
         .option("maxFilesPerTrigger", 1)
         .json(src)
     )
-    qa, qb = dd.attach(
+    queries = dd.attach(
         stream,
         os.path.join(work, "ckpt"),
         trigger={"processingTime": "0 seconds"},
         output_files_per_batch=1,
         fuzzy_max_files_per_trigger=1,
     )
+    local_t: dict = {}
     exact_t: dict = {}
     fuzzy_t: dict = {}
+    timings = (local_t, exact_t, fuzzy_t)
     t0 = time.time()
     try:
         while time.time() - t0 < 3600:
             time.sleep(3)
-            collect_progress(qa, exact_t)
-            collect_progress(qb, fuzzy_t)
-            if len(exact_t) >= N_BATCHES and len(fuzzy_t) >= N_BATCHES:
-                # drain: stop once both queries idle past the last file
+            for q, d in zip(queries, timings):
+                collect_progress(q, d)
+            if all(len(d) >= N_BATCHES for d in timings):
                 break
         corpus_n = dd.corpus().count()
     finally:
-        qa.stop()
-        qb.stop()
-        qa.awaitTermination(30)
-        qb.awaitTermination(30)
+        for q in queries:
+            q.stop()
+        for q in queries:
+            q.awaitTermination(30)
 
     def stats(d: dict) -> dict:
         w = [d[k] for k in sorted(d)]
@@ -144,6 +145,7 @@ def main() -> None:
         "batch_docs": BATCH_DOCS,
         "docs_offered": N_BATCHES * BATCH_DOCS,
         "corpus_survivors": corpus_n,
+        "local_stage": stats(local_t),
         "exact_stage": stats(exact_t),
         "fuzzy_stage": stats(fuzzy_t),
     }

@@ -37,7 +37,13 @@ def _run_until_drained(spark, dd, src, ckpt, expect_ids, timeout=120):
         .option("maxFilesPerTrigger", 1)
         .json(src)
     )
-    qa, qb = dd.attach(stream, ckpt, trigger={"processingTime": "1 second"})
+    queries = dd.attach(
+        stream,
+        ckpt,
+        trigger={"processingTime": "1 second"},
+        output_files_per_batch=1,
+        fuzzy_max_files_per_trigger=1,
+    )
     got = None
     t0 = time.time()
     try:
@@ -50,10 +56,10 @@ def _run_until_drained(spark, dd, src, ckpt, expect_ids, timeout=120):
             if got == sorted(expect_ids):
                 break
     finally:
-        qa.stop()
-        qb.stop()
-        qa.awaitTermination(30)
-        qb.awaitTermination(30)
+        for q in queries:
+            q.stop()
+        for q in queries:
+            q.awaitTermination(30)
     return got
 
 
