@@ -85,7 +85,18 @@ def main() -> None:
         extra_conf={
             "spark.driver.memory": os.environ.get(
                 "SPARK_GRAFT_PROBE_MEM", "48g"
-            )
+            ),
+            # the engine's documented at-scale provider: the default
+            # HDFS-backed store serializes FULL per-partition snapshots
+            # as state grows (measured here: 15 s/batch at 200k docs ->
+            # 43 s/batch at 500k docs before switching); RocksDB keeps
+            # snapshots incremental via changelog checkpointing
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            ),
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled": "true",
         },
     )
     work = tempfile.mkdtemp(prefix="dedup_state_growth_")
