@@ -107,6 +107,24 @@ def synth_warc_dir(utf8_frac: float, n_pages: int) -> str:
     return d
 
 
+def ingest_only(spark, warc_dir: str, two_phase: bool):
+    """The extraction-only composition (read_warc -> decode -> force):
+    the common 'text out of a crawl' pass, where parse+decode ARE the
+    pipeline and the decode share is material. sum(length(html))
+    forces full decode without letting Catalyst prune the column."""
+    from weather_monitoring_spark.operators.charset import with_sniffed_text
+    from weather_monitoring_spark.sources.warc import read_warc
+
+    records = read_warc(spark, warc_dir)
+    pages = records.filter(
+        (F.col("warc_type") == "response")
+        & F.col("http_status").between(200, 299)
+    )
+    return with_sniffed_text(pages, "html", two_phase=two_phase).select(
+        F.sum(F.length("html"))
+    )
+
+
 def composed_clean(spark, warc_dir: str, two_phase: bool):
     from weather_monitoring_spark.operators.charset import with_sniffed_text
     from weather_monitoring_spark.pipelines import curate_crawl
@@ -159,8 +177,14 @@ def main():
             two = {r.doc_id for r in composed_clean(spark, d, True).select("doc_id").collect()}
             one = {r.doc_id for r in composed_clean(spark, d, False).select("doc_id").collect()}
             fidelity = two == one
-            t_two, t_one = [], []
+            t_two, t_one, i_two, i_one = [], [], [], []
             for _ in range(RUNS):  # interleaved
+                t0 = time.perf_counter()
+                ingest_only(spark, d, True).collect()
+                i_two.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                ingest_only(spark, d, False).collect()
+                i_one.append(time.perf_counter() - t0)
                 t0 = time.perf_counter()
                 composed_clean(spark, d, True).select(
                     F.count(F.lit(1))
@@ -174,9 +198,15 @@ def main():
             out[label] = {
                 "raw_mb": round(raw_mb, 1),
                 "clean_docs": len(two),
-                "two_phase_s": round(min(t_two), 3),
-                "one_phase_s": round(min(t_one), 3),
-                "composed_speedup": round(min(t_one) / min(t_two), 3),
+                "ingest_two_phase_s": round(min(i_two), 3),
+                "ingest_one_phase_s": round(min(i_one), 3),
+                "ingest_speedup": round(min(i_one) / min(i_two), 3),
+                "curation_two_phase_s": round(min(t_two), 3),
+                "curation_one_phase_s": round(min(t_one), 3),
+                "curation_speedup": round(min(t_one) / min(t_two), 3),
+                "decode_share_of_curation": round(
+                    min(i_two) / min(t_two), 4
+                ),
                 "fidelity_identical": fidelity,
             }
             print(label, out[label], flush=True)

@@ -632,7 +632,7 @@ def read_warc_stream(
 
 
 def warc_responses_to_documents(
-    records: DataFrame, charset: str = "utf-8"
+    records: DataFrame, charset: str = "utf-8", two_phase: bool = False
 ) -> DataFrame:
     """Project 2xx HTML response records onto the crawl-page contract
     ``pipelines.curate_crawl`` ingests: (doc_id, url, html).
@@ -672,15 +672,24 @@ def warc_responses_to_documents(
         )
     )
     if charset == "sniff":
-        # Two-phase routing (r12): the valid-UTF-8 majority's BYTES
-        # never cross into Python — only declaration-bearing /
-        # non-UTF-8 pages walk the ladder. Byte-identical to the pure
-        # ladder; single scan, row order preserved.
+        # ONE-phase ladder here, deliberately (r13, measured): the
+        # two-phase routing's win is real on narrow JVM-stored page
+        # tables (probe_charset_routing.py: 1.38x/1.24x), but THIS
+        # projection sits directly behind read_warc's mapInPandas
+        # parse, where the composed measurement inverts — one-phase
+        # runs ~1.25-1.6x FASTER (probe_composed_charset_routing.json:
+        # ingest_speedup 0.62/0.71 for two-phase at 60%/95% mixes; the
+        # fast path's extra JVM validity+cast scans cost more than
+        # they save when the rows are wide and freshly Python-built).
+        # Both forms are byte-identical (fidelity pinned by the probe
+        # and the two-phase differential tests); callers decoding
+        # STORED page tables should use with_sniffed_text(two_phase=
+        # True) directly. two_phase stays a knob for parity tests.
         from weather_monitoring_spark.operators.charset import (
             with_sniffed_text,
         )
 
-        pages = with_sniffed_text(pages, "html")
+        pages = with_sniffed_text(pages, "html", two_phase=two_phase)
     else:
         pages = pages.withColumn(
             "html", F.make_valid_utf8(F.col("payload").cast("string"))
