@@ -12,8 +12,9 @@ Design (foreachBatch, like every stateful sink in this engine):
    the doc as a near-dup of the existing corpus and it is dropped — AND
    self-joined within the batch (keep the min doc_id of each colliding
    band group), so two near-dup documents arriving in the same
-   micro-batch don't both survive. (The 1-in-2^128 band-hash
-   false-positive rate is negligible; false negatives follow the LSH
+   micro-batch don't both survive. (Band keys are 60-bit BIGINTs since
+   store format 2, so the per-pair band-hash false-positive rate is
+   ~1-in-2^60 — still negligible; false negatives follow the LSH
    curve, tunable via K/bands in operators/dedup.py.)
 3. survivors + their fingerprints/band hashes land in per-batch DELTA
    directories with overwrite semantics — the replay of a partially

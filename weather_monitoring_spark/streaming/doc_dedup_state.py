@@ -36,15 +36,28 @@ the composition stays end-to-end exactly-once):
   Q2 (exact vs all history): Q1's sink -> ``dropDuplicates(["fp"])``
      (native streaming state; first arrival across all batches wins,
      and Q1 made within-batch arrival unique, so "first" is the min-id
-     keeper deterministically) -> ``<out>/exact/`` file sink.
+     keeper — deterministically WHEN each Q2 micro-batch contains
+     exactly one Q1 batch; see :meth:`attach_exact`) ->
+     ``<out>/exact/`` file sink.
 
   Q3 (fuzzy vs all history): Q2's sink -> MinHash band rows (band 0
      carries the text so the 27x explode ships each text once) ->
-     ``dropDuplicates(["bkey"])`` over the packed 64-bit band key =
+     ``dropDuplicates(["band_idx", "bh"])`` over the exact two-column
+     band key (the parquet engine's keying, no lossy bit-packing) =
      BUCKET CLAIMS: a row survives iff its bucket was never claimed in
      any earlier batch. foreachBatch assembles: a doc survives iff ALL
      its band rows survived (any lost claim = near-dup of the existing
      corpus), writing ``<out>/corpus/batch_id=N``.
+
+Q1 -> Q2 handoff safety: Q1's foreachBatch is NOT a transactional file
+sink (no ``_spark_metadata``), so each batch directory is written to a
+``_staging`` area and atomically renamed into the listened directory —
+Q2's listing can never observe a half-written batch (no splitting one
+Q1 batch across Q2 triggers). A crash-replay of a Q1 batch deletes and
+re-publishes its directory with fresh part-file names; Q2's reader sets
+``ignoreMissingFiles`` so a source-log reference to a deleted file
+degrades to a skip instead of a FileNotFoundException restart loop, and
+the fp state absorbs the re-delivered rows (exactly-once output holds).
 
 NULL-text docs and shingle-less docs (NULL band keys) bypass Q3's claim
 state: ``dropDuplicates`` treats NULL as a value, so letting them
@@ -96,8 +109,29 @@ def _with_fp(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "text", "fp")
 
 
+def _atomic_promote(spark: SparkSession, staging: str, final: str) -> None:
+    """Atomically publish a finished Q1 batch directory into the
+    directory Q2 listens on. Spark's file-stream source lists FILES; a
+    directory rename makes every part file appear in one listing
+    snapshot, so a batch can never be split across two Q2 triggers. On
+    crash-replay the previous attempt's directory is deleted first —
+    Q2's ``ignoreMissingFiles`` reader option (set in
+    :meth:`StateStoreDocDedup.attach_exact`) turns any dangling
+    source-log reference into a skip, and the fp state absorbs the
+    re-delivered rows. Uses the Hadoop FileSystem API so the same code
+    holds on HDFS/object-store-with-rename, not just local paths."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path
+    dst = jpath(final)
+    fs = dst.getFileSystem(hconf)
+    if fs.exists(dst):
+        fs.delete(dst, True)
+    fs.rename(jpath(staging), dst)
+
+
 def _band_rows(texted: DataFrame) -> DataFrame:
-    """(doc_id, text, fp, band_idx, bkey) — the MinHash band derivation
+    """(doc_id, text, fp, band_idx, bh) — the MinHash band derivation
     of ``operators.dedup.minhash_signatures`` (arrow remix, 60-bit band
     keys, NULL keys for shingle-less docs) inlined WITH passenger
     columns: the canonical function projects them away, and rejoining
@@ -137,10 +171,11 @@ def _band_rows(texted: DataFrame) -> DataFrame:
                 f"ELSE {h60} END"
             ).alias(f"band_{b}")
         )
-    # 60-bit band hash + 4-bit band index pack into ONE long key
-    # (wraparound past 2^63 is bijective on the < 2^64 range, so
-    # distinct (band_idx, bh) stay distinct); text rides band 0 only —
-    # the explode must not ship each text LSH_BANDS times
+    # Keys stay the exact two-column (band_idx, bh) form the parquet
+    # engine uses — NOT bit-packed into one long (60-bit hash + 27
+    # bands needs 5 index bits = 65 > 64; a 4-bit pack aliased bands
+    # 16-26 onto 0-10). Text rides band 0 only — the explode must not
+    # ship each text LSH_BANDS times.
     return (
         sigs.select(*keep, *band_cols)
         .select(
@@ -156,10 +191,7 @@ def _band_rows(texted: DataFrame) -> DataFrame:
             F.when(F.col("band_idx") == 0, F.col("text")).alias("text"),
             "fp",
             "band_idx",
-            (
-                F.shiftleft(F.col("band_idx").cast("long"), 60)
-                + F.col("bh").cast("long")
-            ).alias("bkey"),
+            "bh",
         )
     )
 
@@ -194,12 +226,12 @@ class StateStoreDocDedup:
             fresh = hashed.join(w_min, ["fp", "doc_id"], "left_semi")
             bands = _band_rows(
                 fresh.filter(F.col("text").isNotNull())
-            ).filter(F.col("bkey").isNotNull())
-            keepers = bands.groupBy("bkey").agg(
+            ).filter(F.col("bh").isNotNull())
+            keepers = bands.groupBy("band_idx", "bh").agg(
                 F.min("doc_id").alias("_keeper")
             )
             drops = (
-                bands.join(keepers, "bkey")
+                bands.join(keepers, ["band_idx", "bh"])
                 .filter(F.col("doc_id") > F.col("_keeper"))
                 .select("doc_id")
                 .distinct()
@@ -207,8 +239,17 @@ class StateStoreDocDedup:
             fresh = fresh.join(drops, "doc_id", "left_anti")
             if n_files:
                 fresh = fresh.coalesce(n_files)
-            fresh.write.mode("overwrite").parquet(
-                os.path.join(local_dir, f"batch_id={batch_id}")
+            # Stage, then atomically rename into the listened directory
+            # (see _atomic_promote): Q2 must never list a half-written
+            # batch, and a replay must not strand dangling file refs.
+            staging = os.path.join(
+                local_dir, "_staging", f"batch_id={batch_id}"
+            )
+            fresh.write.mode("overwrite").parquet(staging)
+            _atomic_promote(
+                batch_df.sparkSession,
+                staging,
+                os.path.join(local_dir, f"batch_id={batch_id}"),
             )
 
         return (
@@ -231,13 +272,29 @@ class StateStoreDocDedup:
         """``output_files_per_batch`` coalesces the survivor sink (one
         file per batch keeps Q3's batch granularity 1:1 — useful for
         audit/probing; leave None to parallelize at scale);
-        ``max_files_per_trigger`` is the standard source-bounding knob."""
+        ``max_files_per_trigger`` is the standard source-bounding knob.
+
+        Determinism note: ``dropDuplicates(["fp"])`` keeps the FIRST
+        arrival, and Q1 made within-batch arrival unique — so "first"
+        is the min-id keeper exactly when each Q2 micro-batch contains
+        exactly one Q1 batch (``max_files_per_trigger`` = Q1's
+        ``output_files_per_batch``, both 1 in the probes/tests). On
+        catch-up after downtime or with a wider trigger, several Q1
+        batches merge into one micro-batch and ``dropDuplicates`` keeps
+        an ARBITRARY same-fp row: the dedup SET stays correct, only the
+        keeper's identity becomes nondeterministic. Enforce the 1:1
+        pairing when deterministic keeper identity matters."""
         trig = trigger or {"processingTime": "10 seconds"}
         # the batch_id=N delta dirs read as a partition column — declare
-        # it so the source schema assertion holds, then drop it
-        reader = self.spark.readStream.schema(
-            _DOC_SCHEMA + ", batch_id long"
-        ).option("basePath", self.local_dir)
+        # it so the source schema assertion holds, then drop it.
+        # ignoreMissingFiles: a Q1 crash-replay re-publishes its batch
+        # directory with fresh part-file names (_atomic_promote); any
+        # stale source-log reference must skip, not loop on FNFE.
+        reader = (
+            self.spark.readStream.schema(_DOC_SCHEMA + ", batch_id long")
+            .option("basePath", self.local_dir)
+            .option("ignoreMissingFiles", "true")
+        )
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         local = reader.parquet(
@@ -275,8 +332,8 @@ class StateStoreDocDedup:
         # key was never presented in any earlier batch. Q1 guarantees at
         # most one doc per key per batch, so claims are never split
         # between same-batch near-dups.
-        claims = bands.filter(F.col("bkey").isNotNull()).dropDuplicates(
-            ["bkey"]
+        claims = bands.filter(F.col("bh").isNotNull()).dropDuplicates(
+            ["band_idx", "bh"]
         )
         # UNKNOWN-content rows bypass the claim state: NULL text (no
         # content to be near) and shingle-less docs (NULL band keys —
@@ -287,14 +344,14 @@ class StateStoreDocDedup:
             "doc_id", "text", "fp"
         )
         shingleless = bands.filter(
-            F.col("bkey").isNull() & (F.col("band_idx") == 0)
+            F.col("bh").isNull() & (F.col("band_idx") == 0)
         ).select("doc_id", "text", "fp")
         bypass = nulltext.unionByName(shingleless).select(
             "doc_id",
             "text",
             "fp",
             F.lit(0).alias("band_idx"),
-            F.lit(None).cast("long").alias("bkey"),
+            F.lit(None).cast("long").alias("bh"),
             F.lit(True).alias("bypass"),
         )
         merged = claims.withColumn("bypass", F.lit(False)).unionByName(bypass)
