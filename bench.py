@@ -21,11 +21,16 @@ single-shot numbers move +-40-65% on unchanged code purely from host
 load; medians of 5 separate noise from drift.
 
 A host-speed anchor (scripts/host_anchor.py — fixed CPU work, no
-Spark) runs after the suite and lands in the result as "host_anchor"
-(and "par32_s" in the headline): r11 traced a 1.3x uniform suite swing
-to hypervisor parallel throttling visible ONLY in the 32-process leg,
-so cross-round comparisons should divide by the anchor before claiming
-drift.
+Spark) BRACKETS the suite (r14): the full anchor runs before the first
+timed pass and after the last, and the fast par32-only leg runs between
+every interleaved pass, so the anchor integrates over the same window
+the suite does. r11 traced a 1.3x uniform suite swing to hypervisor
+parallel throttling visible ONLY in the 32-process leg; r12 and r13
+then both hit windows where a SINGLE-instant anchor read "quiet" while
+the suite ran under load, producing phantom normalized drift that took
+a per-query uniformity analysis to dismiss. The result now carries
+"anchor_bracket" (all par32 samples + min/median/max); the normalized
+suite value divides by the bracket MEDIAN (BASELINE.md rule).
 """
 
 from __future__ import annotations
@@ -35,6 +40,32 @@ import os
 import statistics
 import sys
 import time
+
+
+def _anchor_sample(par32_only: bool) -> dict | None:
+    """One host-anchor subprocess run (scripts/host_anchor.py); the
+    par32-only form costs ~2-3 s and is the leg that sees hypervisor
+    parallel throttling. Failure is non-fatal (returns None)."""
+    import subprocess
+
+    args = [
+        sys.executable,
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "scripts",
+            "host_anchor.py",
+        ),
+    ]
+    if par32_only:
+        args.append("--par32-only")
+    try:
+        a_out = subprocess.run(
+            args, capture_output=True, text=True, timeout=180
+        )
+        return json.loads(a_out.stdout.strip().splitlines()[-1])
+    except Exception as e:  # pragma: no cover
+        print(f"bench: host anchor failed: {e}", file=sys.stderr)
+        return None
 
 
 def main() -> None:
@@ -66,11 +97,20 @@ def main() -> None:
             except Exception:
                 pass
 
+    # Anchor bracketing (r14): full anchor before the first timed pass,
+    # par32-only between passes, full anchor after — min/median/max of
+    # the par32 samples describes the host over the WHOLE suite window,
+    # not one instant (the r12/r13 failure mode).
+    anchor_pre = _anchor_sample(par32_only=False)
+
     # Interleaved passes: pass i runs every query once, so a transient
     # host-load spike lands on ONE sample of many queries rather than all
     # samples of one query — exactly what the median then rejects.
     samples: dict[str, list[float]] = {name: [] for name in specs}
-    for _ in range(n_runs):
+    mid_anchors: list[dict | None] = []
+    for run_i in range(n_runs):
+        if run_i > 0:
+            mid_anchors.append(_anchor_sample(par32_only=True))
         for name, spec in sorted(specs.items()):
             t0 = time.perf_counter()
             try:
@@ -95,32 +135,24 @@ def main() -> None:
             timings[name] = round(statistics.median(ok), 4)
             spread[name] = [round(min(ok), 4), round(max(ok), 4)]
 
-    # Host-speed anchor (r11): ~10 s of FIXED CPU work (no Spark/JVM/
-    # repo code) measured next to every suite so cross-round drift
-    # divides out instead of being re-argued — par32_s is the leg that
-    # sees hypervisor parallel throttling (r11 found the nominal 32
-    # vCPUs delivering ~12-14 effective units while single-thread legs
-    # were normal; see BASELINE.md). Failure is non-fatal.
-    anchor = None
-    try:
-        import subprocess
+    # Closing full anchor (the pre-r14 single sample, kept as
+    # "host_anchor" for cross-round row compatibility).
+    anchor = _anchor_sample(par32_only=False)
 
-        a_out = subprocess.run(
-            [
-                sys.executable,
-                os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    "scripts",
-                    "host_anchor.py",
-                ),
-            ],
-            capture_output=True,
-            text=True,
-            timeout=180,
-        )
-        anchor = json.loads(a_out.stdout.strip().splitlines()[-1])
-    except Exception as e:  # pragma: no cover
-        print(f"bench: host anchor failed: {e}", file=sys.stderr)
+    # Assemble the bracket: every par32 sample taken across the window.
+    par32_samples = [
+        s["anchor"]["par32_s"]
+        for s in [anchor_pre, *mid_anchors, anchor]
+        if s and s.get("anchor", {}).get("par32_s")
+    ]
+    bracket = None
+    if par32_samples:
+        bracket = {
+            "par32_samples": par32_samples,
+            "par32_min": round(min(par32_samples), 4),
+            "par32_median": round(statistics.median(par32_samples), 4),
+            "par32_max": round(max(par32_samples), 4),
+        }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -132,11 +164,16 @@ def main() -> None:
         "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "host_anchor": anchor,
+        "host_anchor_pre": anchor_pre,
+        "anchor_bracket": bracket,
     }
-    # Load-normalized suite value (r12, BASELINE.md anchor rule):
-    # norm = suite / par32 divides out hypervisor parallel throttling
-    # so cross-round rows compare without re-arguing the band.
-    par32 = (anchor or {}).get("anchor", {}).get("par32_s")
+    # Load-normalized suite value (r12 rule, r14 bracket revision —
+    # BASELINE.md): norm = suite / median(par32 over the bracket)
+    # divides out hypervisor parallel throttling as it actually was
+    # DURING the suite, not at one instant after it.
+    par32 = (bracket or {}).get("par32_median") or (anchor or {}).get(
+        "anchor", {}
+    ).get("par32_s")
     if par32:
         result["norm_suite_over_par32"] = round(result["value"] / par32, 1)
     line = json.dumps(result)
@@ -157,9 +194,9 @@ def main() -> None:
             "unit": "sec",
             "runs": n_runs,
             "sf": result["sf"],
-            # the parallel-throttle anchor leg, inline so a
-            # tail-truncated capture still carries the normalizer
-            "par32_s": (anchor or {}).get("anchor", {}).get("par32_s"),
+            # the parallel-throttle anchor leg (bracket median), inline
+            # so a tail-truncated capture still carries the normalizer
+            "par32_s": par32,
             "partial": True,
             "detail": "bench_result.json",
         }

@@ -27,7 +27,14 @@ Prints ONE JSON line:
   {"anchor": {"gemm_s":..., "sha_s":..., "pyloop_s":..., "par32_s":...},
    "loadavg": [...], "nproc": N}
 
-Usage: python scripts/host_anchor.py
+Usage: python scripts/host_anchor.py [--par32-only]
+
+--par32-only (r14): run just the par32 leg (~2-3 s) and print the same
+JSON shape with only par32_s in "anchor". bench.py interleaves these
+between its timed passes so the anchor BRACKETS the suite window
+instead of sampling one instant — r12/r13 both hit windows where a
+single-instant anchor read "quiet" while the suite ran under load and
+the normalized number produced phantom drift.
 """
 
 from __future__ import annotations
@@ -72,7 +79,31 @@ def _median_of(f, n=5):
     return round(statistics.median(times), 4)
 
 
+def _par32_leg() -> float:
+    from concurrent.futures import ProcessPoolExecutor
+
+    with ProcessPoolExecutor(32) as pool:
+        list(pool.map(_pyloop_arg, range(32)))  # warm the pool
+        return _median_of(
+            lambda: list(pool.map(_pyloop_arg, range(32))), n=3
+        )
+
+
 def main() -> None:
+    import sys
+
+    if "--par32-only" in sys.argv[1:]:
+        print(
+            json.dumps(
+                {
+                    "anchor": {"par32_s": _par32_leg()},
+                    "loadavg": [round(x, 2) for x in os.getloadavg()],
+                    "nproc": os.cpu_count(),
+                }
+            )
+        )
+        return
+
     rng = np.random.default_rng(7)
     a = rng.random((768, 768))
     b = rng.random((768, 768))
@@ -90,13 +121,7 @@ def main() -> None:
 
     pyloop_s = _median_of(_pyloop)
 
-    from concurrent.futures import ProcessPoolExecutor
-
-    with ProcessPoolExecutor(32) as pool:
-        list(pool.map(_pyloop_arg, range(32)))  # warm the pool
-        par32_s = _median_of(
-            lambda: list(pool.map(_pyloop_arg, range(32))), n=3
-        )
+    par32_s = _par32_leg()
 
     print(
         json.dumps(
