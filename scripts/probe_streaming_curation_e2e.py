@@ -1,0 +1,226 @@
+"""Composed streaming-curation probe (VERDICT r13 #5): WARC segments
+delivered INCREMENTALLY (live-crawl shape) through the full five-query
+chain — gates -> state-store dedup (Q1/Q2/Q3) -> streaming shards —
+with the batch path (one ``curate_crawl`` over the closed corpus) run
+on the same bytes as the ground truth.
+
+Corpus: N_SEGMENTS x PAGES_PER_SEG pages, unique URLs, with 10% exact
+re-crawls (same body, different URL) and 5% near-dup rewrites (one word
+REMOVED from an earlier original — strictly lower quality, so the batch
+path's quality-argmax keeper and the streaming path's first-arrival
+keeper agree on the representative and the survivor CONTENT sets must
+be equal; chains are never generated, the one documented divergence
+class, pinned separately by tests/test_dedup_engines_differential.py),
+plus 2% short pages the min-token gate removes.
+
+Run: python scripts/probe_streaming_curation_e2e.py [N_SEGMENTS] [PAGES_PER_SEG]
+Writes scripts/probe_streaming_curation_e2e.json.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+import warnings
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from weather_monitoring_spark.session import get_spark
+
+N_SEGMENTS = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+PAGES_PER_SEG = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+WORDS = 40
+
+
+def _h(*parts) -> int:
+    return int.from_bytes(
+        hashlib.md5(":".join(map(str, parts)).encode()).digest()[:8], "big"
+    )
+
+
+def _body_words(seg: int, i: int) -> list[str]:
+    return [format(_h(seg, i, w), "x") for w in range(WORDS)]
+
+
+def _record(url: str, body: bytes) -> bytes:
+    http = (
+        f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+    hdr = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:uuid:{abs(hash(url)):032x}>\r\n"
+        "WARC-Date: 2026-08-16T00:00:00Z\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    return hdr + http + b"\r\n\r\n"
+
+
+def write_segment(path: str, seg: int) -> None:
+    n_exact = int(PAGES_PER_SEG * 0.10)
+    n_near = int(PAGES_PER_SEG * 0.05)
+    n_short = int(PAGES_PER_SEG * 0.02)
+    recs = []
+    for i in range(PAGES_PER_SEG):
+        url = f"http://ex{seg}.example/p{i}"
+        if seg > 0 and i < n_exact:
+            words = _body_words(_h(seg, i) % seg, _h(seg, i, 9) % PAGES_PER_SEG)
+        elif seg > 0 and i < n_exact + n_near:
+            words = _body_words(_h(seg, i) % seg, _h(seg, i, 9) % PAGES_PER_SEG)
+            del words[_h(seg, i, 7) % len(words)]  # strictly shorter
+        elif i < n_exact + n_near + n_short:
+            words = ["too", "short"]
+        else:
+            words = _body_words(seg, i)
+        body = ("<html><body><p>" + " ".join(words) + "</p></body></html>").encode()
+        recs.append(_record(url, body))
+    with open(path, "wb") as f:
+        f.write(b"".join(recs))
+
+
+def main() -> None:
+    from weather_monitoring_spark.sources.warc import (
+        read_warc,
+        read_warc_stream,
+        warc_responses_to_documents,
+    )
+    from weather_monitoring_spark.streaming.curation_stream import (
+        StreamingCuration,
+    )
+
+    spark = get_spark(
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            ),
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled": "true",
+        },
+    )
+    work = tempfile.mkdtemp(prefix="curation_e2e_")
+    warc_dir = os.path.join(work, "crawl")
+    os.makedirs(warc_dir)
+
+    cur = StreamingCuration(
+        spark, os.path.join(work, "out"), min_tokens=5, shard_budget=5000
+    )
+    docs = warc_responses_to_documents(
+        read_warc_stream(spark, warc_dir, max_files_per_trigger=1)
+    )
+    t0 = time.time()
+    queries = cur.attach(
+        docs,
+        os.path.join(work, "ckpt"),
+        trigger={"processingTime": "1 second"},
+        output_files_per_batch=1,
+        max_files_per_trigger=1,
+    )
+    # incremental delivery: one segment at a time, like a live crawl
+    for seg in range(N_SEGMENTS):
+        write_segment(os.path.join(warc_dir, f"seg{seg:03d}.warc"), seg)
+        time.sleep(1.0)
+
+    # drain: shard batches appear last; wait until the shard row count
+    # stops moving and matches the corpus
+    def shard_count() -> int:
+        try:
+            return cur.shards().count()
+        except Exception:
+            return -1
+
+    stable, last = 0, -2
+    while time.time() - t0 < 1800:
+        time.sleep(5)
+        n = shard_count()
+        if n == last and n > 0:
+            stable += 1
+            if stable >= 4:
+                break
+        else:
+            stable = 0
+        last = n
+    stream_wall = time.time() - t0
+    per_q = {}
+    for name, q in zip(("gates", "local", "exact", "fuzzy", "shards"), queries):
+        durs = [
+            p["durationMs"].get("triggerExecution", 0) / 1000.0
+            for p in q.recentProgress
+            if p["numInputRows"] > 0
+        ]
+        per_q[name] = {
+            "batches": len(durs),
+            "median_s": round(statistics.median(durs), 3) if durs else None,
+            "max_s": round(max(durs), 3) if durs else None,
+        }
+        q.stop()
+    for q in queries:
+        q.awaitTermination(30)
+
+    stream_hashes = {
+        r.h for r in cur.corpus().select(F.md5("text").alias("h")).collect()
+    }
+    shard_rows = cur.shards().select("doc_id").collect()
+
+    # ---- batch path on the same bytes
+    tb = time.time()
+    with warnings.catch_warnings():
+        warnings.filterwarnings("ignore", message=".*decontamination.*")
+        from weather_monitoring_spark.pipelines import curate_crawl
+
+        stages = curate_crawl(
+            warc_responses_to_documents(read_warc(spark, warc_dir)),
+            min_tokens=5,
+            checkpoint=True,
+        )
+        batch_hashes = {
+            r.h
+            for r in stages.survivors.select(F.md5("text").alias("h")).collect()
+        }
+    batch_wall = time.time() - tb
+
+    result = {
+        "segments": N_SEGMENTS,
+        "pages_per_segment": PAGES_PER_SEG,
+        "pages_offered": N_SEGMENTS * PAGES_PER_SEG,
+        "stream": {
+            "wall_s": round(stream_wall, 1),
+            "corpus_survivors": len(stream_hashes),
+            "shard_rows": len(shard_rows),
+            "shard_rows_unique": len({r.doc_id for r in shard_rows}),
+            "per_query": per_q,
+        },
+        "batch": {
+            "wall_s": round(batch_wall, 1),
+            "survivors": len(batch_hashes),
+        },
+        "survivor_content_sets_equal": stream_hashes == batch_hashes,
+        "stream_minus_batch": len(stream_hashes - batch_hashes),
+        "batch_minus_stream": len(batch_hashes - stream_hashes),
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "probe_streaming_curation_e2e.json",
+    )
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""End-to-end composed STREAMING curation (VERDICT r13 #5): WARC
+segments arriving incrementally -> per-batch gates -> cross-batch
+state-store dedup -> streaming token-budgeted shards, asserted against
+the BATCH path (one ``curate_crawl`` over the closed corpus) on the
+same bytes.
+
+Survivor comparison is by CONTENT (normalized-text md5), not doc_id:
+the batch path's keeper law is min-id / quality-argmax while the
+streaming path's is first-arrival — identical survivor SETS on a
+chain-free corpus, possibly different representative ids."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.test_pipeline_paths import _warc_record
+from weather_monitoring_spark.streaming.curation_stream import StreamingCuration
+
+
+def _page(words, extra="") -> bytes:
+    body = " ".join(words) + extra
+    return f"<html><body><p>{body}</p></body></html>".encode()
+
+
+def _wave(spark, cur, warc_dir, ckpt):
+    from weather_monitoring_spark.sources.warc import (
+        read_warc_stream,
+        warc_responses_to_documents,
+    )
+
+    docs = warc_responses_to_documents(
+        read_warc_stream(spark, warc_dir, max_files_per_trigger=1)
+    )
+    queries = cur.attach(
+        docs,
+        ckpt,
+        trigger={"availableNow": True},
+        output_files_per_batch=1,
+        max_files_per_trigger=1,
+    )
+    for q in queries:
+        q.awaitTermination()
+
+
+def test_streaming_curation_matches_batch_path(spark, tmp_path):
+    warc_dir = str(tmp_path / "crawl")
+    os.makedirs(warc_dir)
+    base = [f"alpha{i} content word" for i in range(40)]
+    other = [f"beta{i} distinct body" for i in range(40)]
+    # the near-dup is strictly SHORTER so both keeper laws agree on the
+    # representative: batch quality-argmax (n_tokens) keeps the
+    # original, streaming first-arrival keeps the original — a tie here
+    # would let the two paths keep different (equally valid) members
+    near_other = list(other)
+    near_other[7] = "shortened"
+    fresh1 = [f"gamma{i} novel text" for i in range(40)]
+    fresh2 = [f"delta{i} further text" for i in range(40)]
+
+    segments = [
+        # seg 0: A + exact dup of A (different URL) + B + 404 + short
+        [
+            _warc_record("http://a.example/1", _page(base)),
+            _warc_record("http://a.example/2", _page(base)),
+            _warc_record("http://b.example/1", _page(other)),
+            _warc_record("http://e.example/404", b"<html>gone</html>",
+                         status=404),
+            _warc_record("http://s.example/short", _page(["too", "short"])),
+        ],
+        # seg 1: near-dup of B (cross-batch fuzzy) + fresh page
+        [
+            _warc_record("http://b.example/near", _page(near_other)),
+            _warc_record("http://c.example/1", _page(fresh1)),
+        ],
+        # seg 2: exact dup of A again (cross-batch exact) + fresh page
+        [
+            _warc_record("http://a.example/3", _page(base)),
+            _warc_record("http://d.example/1", _page(fresh2)),
+        ],
+    ]
+
+    cur = StreamingCuration(
+        spark, str(tmp_path / "out"), min_tokens=5, shard_budget=200
+    )
+    ckpt = str(tmp_path / "ckpt")
+    # incremental arrival, one segment per wave (ordered first-arrival
+    # is the dedup determinism precondition), then flush the 5-stage
+    # chain: each availableNow wave advances every stage by its pending
+    # input.
+    for i, recs in enumerate(segments):
+        with open(os.path.join(warc_dir, f"seg{i}.warc"), "wb") as f:
+            f.write(b"".join(recs))
+        _wave(spark, cur, warc_dir, ckpt)
+    for _ in range(4):
+        _wave(spark, cur, warc_dir, ckpt)
+
+    # ---- batch path over the SAME bytes
+    from weather_monitoring_spark.pipelines import curate_crawl
+    from weather_monitoring_spark.sources.warc import (
+        read_warc,
+        warc_responses_to_documents,
+    )
+
+    batch_docs = warc_responses_to_documents(read_warc(spark, warc_dir))
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.filterwarnings("ignore", message=".*decontamination.*")
+        stages = curate_crawl(batch_docs, min_tokens=5, checkpoint=False)
+    batch_texts = {
+        r.h for r in stages.survivors.select(F.md5("text").alias("h")).collect()
+    }
+
+    stream_texts = {
+        r.h for r in cur.corpus().select(F.md5("text").alias("h")).collect()
+    }
+    # chain-free corpus: survivor CONTENT sets identical
+    assert stream_texts == batch_texts
+    # and the corpus is exactly the 4 distinct contents (A, B, fresh1,
+    # fresh2): exact dups collapsed within AND across batches, near-dup
+    # of B dropped cross-batch, 404 + short page gated out
+    assert len(stream_texts) == 4
+
+    # ---- streaming shards: every surviving doc packed exactly once,
+    # per-batch manifests present
+    shard_rows = cur.shards().select("doc_id").collect()
+    assert len(shard_rows) == 4
+    assert len({r.doc_id for r in shard_rows}) == 4
+    batches = [
+        d for d in os.listdir(cur.shard_dir) if d.startswith("batch_id=")
+    ]
+    assert batches
+    for b in batches:
+        assert os.path.exists(os.path.join(cur.shard_dir, b, "_manifest"))

