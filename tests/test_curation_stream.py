@@ -133,3 +133,77 @@ def test_streaming_curation_matches_batch_path(spark, tmp_path):
     assert batches
     for b in batches:
         assert os.path.exists(os.path.join(cur.shard_dir, b, "_manifest"))
+
+
+def test_global_url_dedup_scope_collapses_cross_batch_recrawls(
+    spark, tmp_path
+):
+    """url_dedup_scope="global" (QU): a re-crawl of the same CANONICAL
+    url in a later segment is dropped even when its content changed
+    (URL identity, the batch path's url_dedup law) — under the default
+    per-batch scope it survives. NULL-url docs are never collapsed
+    (per-doc sentinel)."""
+    import json
+
+    def html(tag):
+        return (
+            "<html><body><p>"
+            + " ".join(f"{tag}{i} body word" for i in range(30))
+            + "</p></body></html>"
+        )
+
+    segs = [
+        [
+            {"doc_id": 1, "url": "http://x.example/a?utm_source=t",
+             "html": html("alpha")},
+            {"doc_id": 2, "url": None, "html": html("beta")},
+            {"doc_id": 3, "url": None, "html": html("gamma")},
+        ],
+        [
+            # same canonical url as doc 1 (case + tracking param), NEW
+            # content — a re-crawl whose page changed
+            {"doc_id": 4, "url": "http://X.EXAMPLE/a", "html": html("delta")},
+            {"doc_id": 5, "url": "http://y.example/b", "html": html("eps")},
+        ],
+    ]
+
+    def run(scope, sub):
+        src = str(tmp_path / sub / "src")
+        os.makedirs(src)
+        cur = StreamingCuration(
+            spark,
+            str(tmp_path / sub / "out"),
+            min_tokens=5,
+            url_dedup_scope=scope,
+        )
+        ckpt = str(tmp_path / sub / "ckpt")
+
+        def wave():
+            stream = (
+                spark.readStream.schema(
+                    "doc_id long, url string, html string"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .json(src)
+            )
+            queries = cur.attach(
+                stream,
+                ckpt,
+                trigger={"availableNow": True},
+                output_files_per_batch=1,
+                max_files_per_trigger=1,
+            )
+            for q in queries:
+                q.awaitTermination()
+
+        for i, rows in enumerate(segs):
+            with open(os.path.join(src, f"s{i}.json"), "w") as f:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+            wave()
+        for _ in range(5):
+            wave()
+        return {r.doc_id for r in cur.corpus().select("doc_id").collect()}
+
+    assert run("global", "g") == {1, 2, 3, 5}   # 4 dropped by URL identity
+    assert run("batch", "b") == {1, 2, 3, 4, 5}  # 4 survives (new content)

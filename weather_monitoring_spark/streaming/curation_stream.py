@@ -30,11 +30,19 @@ Topology:
 
 Division of labor vs the batch path (``curate_crawl`` over the closed
 corpus in one call): gates are per-doc projections, identical in both.
-URL dedup is per-BATCH here (cross-batch URL-identity state is a
-different, URL-keyed store — compose ``url_dedup`` upstream if the
-feed re-crawls URLs across segments). Content dedup semantics are the
-state engine's: identical to the batch path except the documented
-first-presenter chain-dropping divergence
+URL dedup defaults to per-BATCH (inside the gate stage's
+``curate_crawl`` call); ``url_dedup_scope="global"`` prepends QU, a
+stateful ``dropDuplicates`` on the CANONICAL url
+(``operators.urlops.canonical_url_expr`` — so tracking params /
+www / fragment variants of one resource collapse, exactly the batch
+path's url key) held in streaming state, writing url-unique raw pages
+through a transactional file sink the gate stage then consumes.
+NULL-url docs get a per-doc sentinel (the r12 null-identity law: one
+shared NULL key would collapse every url-less doc onto one survivor).
+QU re-writes the raw pages once — the honest cost of cross-batch URL
+state; skip it when the feed's segments never re-crawl a URL. Content
+dedup semantics are the state engine's: identical to the batch path
+except the documented first-presenter chain-dropping divergence
 (tests/test_dedup_engines_differential.py pins the class); on corpora
 without near-dup chains the survivor SETS are equal — asserted by the
 e2e test and the committed probe.
@@ -77,16 +85,63 @@ class StreamingCuration:
         min_tokens: int = 20,
         shard_budget: int = 100_000,
         curate_kwargs: dict | None = None,
+        url_dedup_scope: str = "batch",
     ) -> None:
+        if url_dedup_scope not in ("batch", "global"):
+            raise ValueError(
+                f"url_dedup_scope must be 'batch' or 'global', got "
+                f"{url_dedup_scope!r}"
+            )
         self.spark = spark
+        self.url_unique_dir = os.path.join(out_dir, "url_unique")
         self.gated_dir = os.path.join(out_dir, "gated")
         self.dedup_dir = os.path.join(out_dir, "dedup")
         self.shard_dir = os.path.join(out_dir, "shards")
         self.min_tokens = min_tokens
         self.shard_budget = shard_budget
         self.curate_kwargs = curate_kwargs or {}
+        self.url_dedup_scope = url_dedup_scope
         self.dedup = StateStoreDocDedup(spark, self.dedup_dir)
         os.makedirs(self.gated_dir, exist_ok=True)
+
+    # ------------------ QU: global URL dedup (optional) ------------------
+
+    def attach_url_dedup(
+        self,
+        doc_stream: DataFrame,
+        checkpoint_dir: str,
+        trigger: dict | None = None,
+        output_files_per_batch: int | None = None,
+    ) -> StreamingQuery:
+        """Cross-batch URL-identity dedup: first arrival of each
+        CANONICAL url wins, held in native streaming state; url-unique
+        raw pages land in a transactional parquet file sink (exactly
+        the Q2 handoff recipe, so the gate stage consumes it safely)."""
+        from weather_monitoring_spark.operators.urlops import (
+            canonical_url_expr,
+        )
+
+        trig = trigger or {"processingTime": "10 seconds"}
+        keyed = doc_stream.withColumn(
+            "_curl",
+            F.coalesce(
+                canonical_url_expr("url"),
+                F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
+            ),
+        )
+        unique = keyed.dropDuplicates(["_curl"]).select(
+            "doc_id", "url", "html"
+        )
+        if output_files_per_batch:
+            unique = unique.coalesce(output_files_per_batch)
+        return (
+            unique.writeStream.format("parquet")
+            .option("path", self.url_unique_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(**trig)
+            .start()
+        )
 
     # ------------------------- QA: gate stage -------------------------
 
@@ -183,10 +238,28 @@ class StreamingCuration:
         output_files_per_batch: int | None = None,
         max_files_per_trigger: int | None = None,
     ) -> tuple[StreamingQuery, ...]:
-        """Start the full five-query chain; returns (QA, Q1, Q2, Q3,
-        QS). One-file-per-batch + maxFilesPerTrigger=1 preserves batch
-        granularity across every handoff (the dedup determinism
-        contract, ``StateStoreDocDedup.attach_exact``)."""
+        """Start the full query chain; returns (QA, Q1, Q2, Q3, QS) —
+        prefixed with QU when ``url_dedup_scope="global"``. One-file-
+        per-batch + maxFilesPerTrigger=1 preserves batch granularity
+        across every handoff (the dedup determinism contract,
+        ``StateStoreDocDedup.attach_exact``)."""
+        head: tuple[StreamingQuery, ...] = ()
+        if self.url_dedup_scope == "global":
+            qu = self.attach_url_dedup(
+                doc_stream,
+                os.path.join(checkpoint_root, "url"),
+                trigger,
+                output_files_per_batch,
+            )
+            head = (qu,)
+            reader = self.spark.readStream.schema(
+                "doc_id long, url string, html string"
+            )
+            if max_files_per_trigger:
+                reader = reader.option(
+                    "maxFilesPerTrigger", max_files_per_trigger
+                )
+            doc_stream = reader.parquet(self.url_unique_dir)
         qa = self.attach_gates(
             doc_stream,
             os.path.join(checkpoint_root, "gates"),
@@ -215,7 +288,7 @@ class StreamingCuration:
             trigger,
             max_files_per_trigger=max_files_per_trigger,
         )
-        return qa, q1, q2, q3, qs
+        return (*head, qa, q1, q2, q3, qs)
 
     def corpus(self) -> DataFrame:
         """Deduplicated curated corpus (doc_id, text, fp)."""
