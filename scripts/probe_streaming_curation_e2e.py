@@ -5,13 +5,21 @@ with the batch path (one ``curate_crawl`` over the closed corpus) run
 on the same bytes as the ground truth.
 
 Corpus: N_SEGMENTS x PAGES_PER_SEG pages, unique URLs, with 10% exact
-re-crawls (same body, different URL) and 5% near-dup rewrites (one word
-REMOVED from an earlier original — strictly lower quality, so the batch
-path's quality-argmax keeper and the streaming path's first-arrival
-keeper agree on the representative and the survivor CONTENT sets must
-be equal; chains are never generated, the one documented divergence
-class, pinned separately by tests/test_dedup_engines_differential.py),
-plus 2% short pages the min-token gate removes.
+re-crawls (same body as a REAL earlier original, different URL) and 5%
+near-dup rewrites (one word REMOVED from a real earlier original —
+strictly lower quality, so the batch path's quality-argmax keeper and
+the streaming path's first-arrival keeper agree on the representative
+and the survivor CONTENT sets must be equal), plus 2% short pages the
+min-token gate removes. Generator discipline (the first cut violated
+it and measured 17/17 divergences at 24k pages — all tie/phantom
+classes, not engine defects): exact and near targets draw from
+DISJOINT halves of each segment's ORIGINAL slots only (a target
+pointing at a dup/near slot fabricates a phantom body no page ever
+carried), and each near target is used at most once globally (two
+same-length mutants of one original are a quality TIE, where the two
+keeper laws legitimately pick different members). Chains are never
+generated — that one documented divergence class is pinned separately
+by tests/test_dedup_engines_differential.py.
 
 Run: python scripts/probe_streaming_curation_e2e.py [N_SEGMENTS] [PAGES_PER_SEG]
 Writes scripts/probe_streaming_curation_e2e.json.
@@ -71,13 +79,27 @@ def write_segment(path: str, seg: int) -> None:
     n_exact = int(PAGES_PER_SEG * 0.10)
     n_near = int(PAGES_PER_SEG * 0.05)
     n_short = int(PAGES_PER_SEG * 0.02)
+    orig_lo = n_exact + n_near + n_short  # original slots: [orig_lo, N)
+    orig_count = PAGES_PER_SEG - orig_lo
+    half = orig_count // 2
     recs = []
     for i in range(PAGES_PER_SEG):
         url = f"http://ex{seg}.example/p{i}"
         if seg > 0 and i < n_exact:
-            words = _body_words(_h(seg, i) % seg, _h(seg, i, 9) % PAGES_PER_SEG)
+            # exact re-crawl of a REAL original (first half of an
+            # earlier segment's original slots; repeats are harmless —
+            # identical content dedups identically in both paths)
+            sb = _h(seg, i) % seg
+            words = _body_words(sb, orig_lo + _h(seg, i, 9) % half)
         elif seg > 0 and i < n_exact + n_near:
-            words = _body_words(_h(seg, i) % seg, _h(seg, i, 9) % PAGES_PER_SEG)
+            # near-dup of a REAL original (second half), target (sb,si)
+            # INJECTIVE in the global near index -> no tie pairs (two
+            # same-length mutants of one original are a quality tie the
+            # two keeper laws may break differently)
+            near_idx = (seg - 1) * n_near + (i - n_exact)
+            pool = orig_count - half
+            sb = (near_idx // pool) % seg
+            words = _body_words(sb, orig_lo + half + near_idx % pool)
             del words[_h(seg, i, 7) % len(words)]  # strictly shorter
         elif i < n_exact + n_near + n_short:
             words = ["too", "short"]
