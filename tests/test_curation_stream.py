@@ -134,6 +134,15 @@ def test_streaming_curation_matches_batch_path(spark, tmp_path):
     for b in batches:
         assert os.path.exists(os.path.join(cur.shard_dir, b, "_manifest"))
 
+    # ---- gate-stage audit sidecars: offered = the 8 2xx responses
+    # (404 excluded at projection), gated = 7 (short page dropped);
+    # every batch published implies its sidecar exists
+    audit = cur.audit_report()
+    assert audit, "audit sidecars missing"
+    assert sum(r["offered"] for r in audit) == 8
+    assert sum(r["gated"] for r in audit) == 7
+    assert all(r["gated"] <= r["offered"] for r in audit)
+
 
 def test_global_url_dedup_scope_collapses_cross_batch_recrawls(
     spark, tmp_path

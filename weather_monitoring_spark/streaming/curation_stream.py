@@ -59,7 +59,9 @@ LLM-pipeline extension surface composed end-to-end.
 
 from __future__ import annotations
 
+import json
 import os
+import time
 import warnings
 
 from pyspark.sql import DataFrame, SparkSession
@@ -86,7 +88,13 @@ class StreamingCuration:
         shard_budget: int = 100_000,
         curate_kwargs: dict | None = None,
         url_dedup_scope: str = "batch",
+        audit: bool = True,
     ) -> None:
+        """``audit=True`` (default) writes a per-batch JSON sidecar
+        (offered/gated counts + write time) under ``<out>/audit/`` from
+        the gate stage — the streaming twin of
+        ``pipelines.curation_report``; read it back with
+        :meth:`audit_report`."""
         if url_dedup_scope not in ("batch", "global"):
             raise ValueError(
                 f"url_dedup_scope must be 'batch' or 'global', got "
@@ -101,8 +109,25 @@ class StreamingCuration:
         self.shard_budget = shard_budget
         self.curate_kwargs = curate_kwargs or {}
         self.url_dedup_scope = url_dedup_scope
+        self.audit_dir = os.path.join(out_dir, "audit") if audit else None
         self.dedup = StateStoreDocDedup(spark, self.dedup_dir)
         os.makedirs(self.gated_dir, exist_ok=True)
+        if self.audit_dir:
+            os.makedirs(self.audit_dir, exist_ok=True)
+
+    def audit_report(self) -> list[dict]:
+        """Per-batch gate-stage audit records in batch order (plain
+        data, driver-side — deliberately, like the batch path's
+        curation_report: an audit you cannot read without a cluster is
+        not an audit)."""
+        if not self.audit_dir:
+            return []
+        out = []
+        for name in sorted(os.listdir(self.audit_dir)):
+            if name.startswith("batch_id=") and name.endswith(".json"):
+                with open(os.path.join(self.audit_dir, name)) as f:
+                    out.append(json.load(f))
+        return sorted(out, key=lambda r: r["batch_id"])
 
     # ------------------ QU: global URL dedup (optional) ------------------
 
@@ -162,6 +187,8 @@ class StreamingCuration:
         ck = dict(self.curate_kwargs)
         n_files = output_files_per_batch
 
+        audit_dir = self.audit_dir
+
         def run_gates(batch_df: DataFrame, batch_id: int) -> None:
             # checkpoint=False keeps the chain lazy: only the `curated`
             # stage is evaluated, so the batch pipeline's dedup stages
@@ -185,12 +212,39 @@ class StreamingCuration:
             staging = os.path.join(
                 gated_dir, "_staging", f"batch_id={batch_id}"
             )
+            t0 = time.time()
             out.write.mode("overwrite").parquet(staging)
             _atomic_promote(
                 batch_df.sparkSession,
                 staging,
                 os.path.join(gated_dir, f"batch_id={batch_id}"),
             )
+            if audit_dir:
+                # Per-batch audit sidecar — the streaming twin of
+                # pipelines.curation_report: an unbounded pipeline that
+                # cannot explain its drops is not auditable. `offered`
+                # re-counts the batch input (one extra bounded scan —
+                # micro-batches are trigger-sized); `gated` reads the
+                # just-written footer counts, costing nothing. The
+                # sidecar is written AFTER the promote, so its presence
+                # implies the batch is fully published (monitors can
+                # tail it), and idempotently overwritten on replay.
+                spark = batch_df.sparkSession
+                gated_n = spark.read.parquet(
+                    os.path.join(gated_dir, f"batch_id={batch_id}")
+                ).count()
+                rec = {
+                    "batch_id": batch_id,
+                    "offered": batch_df.count(),
+                    "gated": gated_n,
+                    "gate_write_s": round(time.time() - t0, 3),
+                }
+                tmp = os.path.join(audit_dir, f".batch_id={batch_id}.tmp")
+                with open(tmp, "w") as f:
+                    json.dump(rec, f)
+                os.replace(
+                    tmp, os.path.join(audit_dir, f"batch_id={batch_id}.json")
+                )
 
         return (
             doc_stream.writeStream.foreachBatch(run_gates)
