@@ -216,3 +216,72 @@ def test_global_url_dedup_scope_collapses_cross_batch_recrawls(
 
     assert run("global", "g") == {1, 2, 3, 5}   # 4 dropped by URL identity
     assert run("batch", "b") == {1, 2, 3, 4, 5}  # 4 survives (new content)
+
+
+def test_composed_pipeline_threads_the_dedup_horizon(spark, tmp_path):
+    """dedup_horizon on StreamingCuration: the event time rides from
+    the source through the gate stage into the TTL'd dedup state — a
+    re-crawl of identical content WITHIN the horizon is dropped, one
+    past it is re-admitted, and the re-admitted copy is packed again."""
+    import json
+
+    def html(tag):
+        return (
+            "<html><body><p>"
+            + " ".join(f"{tag}{i} body word" for i in range(30))
+            + "</p></body></html>"
+        )
+
+    batches = [
+        [{"doc_id": 1, "url": "http://a.example/1", "html": html("alpha"),
+          "ts": "2026-01-01 10:00:00"}],
+        # identical content within the horizon -> dropped
+        [{"doc_id": 2, "url": "http://a.example/2", "html": html("alpha"),
+          "ts": "2026-01-01 10:30:00"}],
+        # fresh content far ahead -> advances the watermark past expiry
+        [{"doc_id": 3, "url": "http://b.example/1", "html": html("beta"),
+          "ts": "2026-01-01 13:00:00"}],
+        # identical content past the horizon -> re-admitted
+        [{"doc_id": 4, "url": "http://a.example/3", "html": html("alpha"),
+          "ts": "2026-01-01 13:05:00"}],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    cur = StreamingCuration(
+        spark,
+        str(tmp_path / "out"),
+        min_tokens=5,
+        dedup_horizon="1 hour",
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def wave():
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, url string, html string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        queries = cur.attach(
+            stream,
+            ckpt,
+            trigger={"availableNow": True},
+            output_files_per_batch=1,
+            max_files_per_trigger=1,
+        )
+        for q in queries:
+            q.awaitTermination()
+
+    for i, rows in enumerate(batches):
+        with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        wave()
+    for _ in range(4):
+        wave()
+    got = sorted(r.doc_id for r in cur.corpus().collect())
+    assert got == [1, 3, 4], got
+    assert "ts" in cur.corpus().columns
+    shard_ids = sorted(r.doc_id for r in cur.shards().select("doc_id").collect())
+    assert shard_ids == [1, 3, 4]

@@ -89,12 +89,21 @@ class StreamingCuration:
         curate_kwargs: dict | None = None,
         url_dedup_scope: str = "batch",
         audit: bool = True,
+        dedup_horizon: str | None = None,
+        event_time_col: str = "ts",
     ) -> None:
         """``audit=True`` (default) writes a per-batch JSON sidecar
         (offered/gated counts + write time) under ``<out>/audit/`` from
         the gate stage — the streaming twin of
         ``pipelines.curation_report``; read it back with
-        :meth:`audit_report`."""
+        :meth:`audit_report`.
+
+        ``dedup_horizon`` threads the state engine's bounded-horizon
+        (TTL'd) mode through the whole chain: the input stream must
+        carry an event-time timestamp column named ``event_time_col``
+        (e.g. the crawl capture time); the gate stage re-attaches it to
+        the gated docs and content seen longer ago than the horizon is
+        re-admitted (``StateStoreDocDedup`` docstring for the trade)."""
         if url_dedup_scope not in ("batch", "global"):
             raise ValueError(
                 f"url_dedup_scope must be 'batch' or 'global', got "
@@ -110,7 +119,14 @@ class StreamingCuration:
         self.curate_kwargs = curate_kwargs or {}
         self.url_dedup_scope = url_dedup_scope
         self.audit_dir = os.path.join(out_dir, "audit") if audit else None
-        self.dedup = StateStoreDocDedup(spark, self.dedup_dir)
+        self.horizon = dedup_horizon
+        self.ts_col = event_time_col if dedup_horizon else None
+        self.dedup = StateStoreDocDedup(
+            spark,
+            self.dedup_dir,
+            dedup_horizon=dedup_horizon,
+            event_time_col=event_time_col,
+        )
         os.makedirs(self.gated_dir, exist_ok=True)
         if self.audit_dir:
             os.makedirs(self.audit_dir, exist_ok=True)
@@ -155,7 +171,8 @@ class StreamingCuration:
             ),
         )
         unique = keyed.dropDuplicates(["_curl"]).select(
-            "doc_id", "url", "html"
+            "doc_id", "url", "html",
+            *((self.ts_col,) if self.ts_col else ()),
         )
         if output_files_per_batch:
             unique = unique.coalesce(output_files_per_batch)
@@ -188,6 +205,7 @@ class StreamingCuration:
         n_files = output_files_per_batch
 
         audit_dir = self.audit_dir
+        ts_col = self.ts_col
 
         def run_gates(batch_df: DataFrame, batch_id: int) -> None:
             # checkpoint=False keeps the chain lazy: only the `curated`
@@ -207,6 +225,12 @@ class StreamingCuration:
                     **ck,
                 )
             out = stages.curated.select("doc_id", "text")
+            if ts_col:
+                # re-attach the event time the gate chain projects away
+                # (bounded-horizon mode needs it downstream)
+                out = out.join(
+                    batch_df.select("doc_id", ts_col), "doc_id", "left"
+                )
             if n_files:
                 out = out.coalesce(n_files)
             staging = os.path.join(
@@ -262,9 +286,10 @@ class StreamingCuration:
         trigger: dict | None = None,
         max_files_per_trigger: int | None = None,
     ) -> StreamingQuery:
+        ts_part = f", {self.ts_col} timestamp" if self.ts_col else ""
         reader = (
             self.spark.readStream.schema(
-                "doc_id long, text string, fp string, batch_id long"
+                f"doc_id long, text string, fp string{ts_part}, batch_id long"
             )
             .option("basePath", self.dedup.corpus_dir)
             .option("ignoreMissingFiles", "true")
@@ -297,6 +322,8 @@ class StreamingCuration:
         per-batch + maxFilesPerTrigger=1 preserves batch granularity
         across every handoff (the dedup determinism contract,
         ``StateStoreDocDedup.attach_exact``)."""
+        ts_part = f", {self.ts_col} timestamp" if self.ts_col else ""
+        ts_sel = (self.ts_col,) if self.ts_col else ()
         head: tuple[StreamingQuery, ...] = ()
         if self.url_dedup_scope == "global":
             qu = self.attach_url_dedup(
@@ -307,7 +334,7 @@ class StreamingCuration:
             )
             head = (qu,)
             reader = self.spark.readStream.schema(
-                "doc_id long, url string, html string"
+                f"doc_id long, url string, html string{ts_part}"
             )
             if max_files_per_trigger:
                 reader = reader.option(
@@ -321,7 +348,9 @@ class StreamingCuration:
             output_files_per_batch,
         )
         gated = (
-            self.spark.readStream.schema(_GATED_SCHEMA + ", batch_id long")
+            self.spark.readStream.schema(
+                _GATED_SCHEMA + ts_part + ", batch_id long"
+            )
             .option("basePath", self.gated_dir)
             .option("ignoreMissingFiles", "true")
         )
@@ -329,7 +358,7 @@ class StreamingCuration:
             gated = gated.option("maxFilesPerTrigger", max_files_per_trigger)
         gated_stream = gated.parquet(
             os.path.join(self.gated_dir, "batch_id=*")
-        ).select("doc_id", "text")
+        ).select("doc_id", "text", *ts_sel)
         q1, q2, q3 = self.dedup.attach(
             gated_stream,
             os.path.join(checkpoint_root, "dedup"),
