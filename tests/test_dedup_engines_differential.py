@@ -205,6 +205,18 @@ def test_engine_divergence_is_exactly_the_chain_class(spark, tmp_path):
         for i, rows in enumerate(batches)
         for doc_id, _ in rows
     }
+    unclassified = _classify(disagreements, texts, bands, order, st)
+    assert not unclassified, (
+        "disagreements outside the documented chain class: "
+        f"{unclassified}"
+    )
+
+
+def _classify(disagreements, texts, bands, order, st):
+    """Chain-class classifier: a disagreement doc must share a band
+    bucket with some EARLIER-presented doc the state engine dropped,
+    and with NO earlier state survivor (a survivor bucket-mate is in
+    both indexes and both engines would have dropped it)."""
     unclassified = []
     for x in disagreements:
         earlier = [d for d in texts if order[d] < order[x]]
@@ -216,7 +228,67 @@ def test_engine_divergence_is_exactly_the_chain_class(spark, tmp_path):
         ]
         if not dropped_mates or survivor_mates:
             unclassified.append((x, dropped_mates, survivor_mates))
-    assert not unclassified, (
-        "disagreements outside the documented chain class: "
-        f"{unclassified}"
+    return unclassified
+
+
+def test_engine_divergence_law_holds_on_random_mutation_forests(
+    spark, tmp_path
+):
+    """The subset law and the chain classifier are corpus-INDEPENDENT
+    claims — check them on seeded random mutation forests (depth-3
+    chains at random mutation rates, exact dups, nulls, shorts, no tie
+    avoidance: both engines use first-arrival/min-id keepers, so ties
+    cannot cause divergence here), without asserting which specific
+    docs diverge."""
+    rng = random.Random(2718)
+    texts_by_id: dict[int, str | None] = {}
+    batches: list[list[tuple[int, str | None]]] = [[] for _ in range(4)]
+    nid = 0
+
+    def add(batch, text):
+        nonlocal nid
+        nid += 1
+        batches[batch].append((nid, text))
+        texts_by_id[nid] = text
+        return nid
+
+    for fam in range(14):
+        base = [f"r{fam}w{k}" for k in range(50)]
+        frac = 0.05 + 0.05 * (fam % 6)
+        b0 = rng.randrange(4)
+        add(b0, " ".join(base))
+        cur = base
+        for depth in range(1, 3):
+            cur = _mutate(cur, frac, rng, f"{fam}d{depth}")
+            add(min(3, b0 + depth), " ".join(cur))
+    # exact dups + bypass classes sprinkled across batches
+    dup_src = " ".join(f"dup{k} token" for k in range(40))
+    add(0, dup_src)
+    add(2, dup_src)
+    add(1, None)
+    add(3, None)
+    add(1, "one two")
+    add(2, "one two")
+
+    pq = _run_parquet_engine(spark, str(tmp_path / "pq"), batches)
+    st = _run_state_engine(
+        spark,
+        str(tmp_path / "st"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "src"),
+        batches,
     )
+    assert st <= pq, f"subset law violated: {st - pq}"
+    texts = {i: t for i, t in texts_by_id.items() if t is not None}
+    bands = _band_sets(spark, texts)
+    order = {
+        doc_id: (i, doc_id)
+        for i, rows in enumerate(batches)
+        for doc_id, _ in rows
+    }
+    unclassified = _classify(pq - st, texts, bands, order, st)
+    assert not unclassified, unclassified
+    # bypass classes never disagree
+    null_short = {i for i, t in texts_by_id.items()
+                  if t is None or len(t.split()) < 3}
+    assert (pq ^ st) & null_short == set()
