@@ -285,3 +285,70 @@ def test_composed_pipeline_threads_the_dedup_horizon(spark, tmp_path):
     assert "ts" in cur.corpus().columns
     shard_ids = sorted(r.doc_id for r in cur.shards().select("doc_id").collect())
     assert shard_ids == [1, 3, 4]
+
+
+def test_horizon_ttls_the_global_url_state_too(spark, tmp_path):
+    """dedup_horizon + url_dedup_scope="global": the URL claim state
+    must expire on the same horizon as the content state — otherwise a
+    past-horizon re-crawl of the SAME url is silently dropped one stage
+    upstream of the re-admission the horizon promises."""
+    import json
+
+    def html(tag):
+        return (
+            "<html><body><p>"
+            + " ".join(f"{tag}{i} body word" for i in range(30))
+            + "</p></body></html>"
+        )
+
+    batches = [
+        [{"doc_id": 1, "url": "http://a.example/page", "html": html("alpha"),
+          "ts": "2026-01-01 10:00:00"}],
+        # same URL within the horizon -> dropped at the URL stage
+        [{"doc_id": 2, "url": "http://a.example/page", "html": html("alpha"),
+          "ts": "2026-01-01 10:30:00"}],
+        [{"doc_id": 3, "url": "http://b.example/1", "html": html("beta"),
+          "ts": "2026-01-01 13:00:00"}],
+        # same URL + same content PAST the horizon -> re-admitted
+        # through BOTH the URL state and the content state
+        [{"doc_id": 4, "url": "http://a.example/page", "html": html("alpha"),
+          "ts": "2026-01-01 13:05:00"}],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    cur = StreamingCuration(
+        spark,
+        str(tmp_path / "out"),
+        min_tokens=5,
+        dedup_horizon="1 hour",
+        url_dedup_scope="global",
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def wave():
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, url string, html string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        queries = cur.attach(
+            stream,
+            ckpt,
+            trigger={"availableNow": True},
+            output_files_per_batch=1,
+            max_files_per_trigger=1,
+        )
+        for q in queries:
+            q.awaitTermination()
+
+    for i, rows in enumerate(batches):
+        with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        wave()
+    for _ in range(5):
+        wave()
+    got = sorted(r.doc_id for r in cur.corpus().collect())
+    assert got == [1, 3, 4], got

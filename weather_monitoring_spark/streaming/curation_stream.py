@@ -170,7 +170,17 @@ class StreamingCuration:
                 F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
             ),
         )
-        unique = keyed.dropDuplicates(["_curl"]).select(
+        # Bounded-horizon mode must TTL the URL state too: an unbounded
+        # URL claim would drop a past-horizon re-crawl of the SAME url
+        # forever, silently defeating the horizon's re-admission
+        # semantics one stage upstream of the content dedup.
+        if self.horizon:
+            unique = keyed.withWatermark(
+                self.ts_col, self.horizon
+            ).dropDuplicatesWithinWatermark(["_curl"])
+        else:
+            unique = keyed.dropDuplicates(["_curl"])
+        unique = unique.select(
             "doc_id", "url", "html",
             *((self.ts_col,) if self.ts_col else ()),
         )

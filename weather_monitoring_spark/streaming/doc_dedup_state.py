@@ -127,7 +127,16 @@ def _atomic_promote(spark: SparkSession, staging: str, final: str) -> None:
     fs = dst.getFileSystem(hconf)
     if fs.exists(dst):
         fs.delete(dst, True)
-    fs.rename(jpath(staging), dst)
+    # Hadoop rename reports failure as a FALSE return, not an exception
+    # (missing source, missing dest parent, cross-FS move): a silent
+    # False here would vanish the batch while the checkpoint commits it
+    # as done — fail the micro-batch instead so the trigger retries.
+    if not fs.rename(jpath(staging), dst):
+        raise IOError(
+            f"atomic promote failed: rename({staging!r} -> {final!r}) "
+            "returned false (missing staging dir, missing destination "
+            "parent, or cross-filesystem move)"
+        )
 
 
 def _band_rows(texted: DataFrame, extra: tuple = ()) -> DataFrame:
