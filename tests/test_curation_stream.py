@@ -144,6 +144,55 @@ def test_streaming_curation_matches_batch_path(spark, tmp_path):
     assert all(r["gated"] <= r["offered"] for r in audit)
 
 
+def test_shard_stage_absorbs_corpus_republish(spark, tmp_path):
+    """Q3 -> QS replay absorption (r14 advisor, medium): a Q3
+    crash-replay after _atomic_promote republishes corpus/batch_id=N
+    with FRESH part-file names, so QS's file source re-offers the same
+    rows; the stateful dropDuplicates(doc_id) ahead of the packer must
+    absorb them — without it every replayed doc is packed twice."""
+    from weather_monitoring_spark.streaming.doc_dedup_state import (
+        _atomic_promote,
+    )
+
+    cur = StreamingCuration(spark, str(tmp_path / "out"), min_tokens=1)
+    ckpt = str(tmp_path / "ckpt_shards")
+    rows = [
+        (1, "alpha body content", "fp1"),
+        (2, "beta body content", "fp2"),
+    ]
+
+    def publish(batch_id):
+        staging = os.path.join(
+            cur.dedup.corpus_dir, "_staging", f"batch_id={batch_id}"
+        )
+        (
+            spark.createDataFrame(rows, "doc_id long, text string, fp string")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        _atomic_promote(
+            spark,
+            staging,
+            os.path.join(cur.dedup.corpus_dir, f"batch_id={batch_id}"),
+        )
+
+    def wave():
+        q = cur.attach_shards(ckpt, trigger={"availableNow": True})
+        q.awaitTermination()
+
+    publish(0)
+    wave()
+    # simulate the crash-replay: same batch_id, same rows, fresh
+    # part-file names (overwrite generates new UUID part names)
+    publish(0)
+    wave()
+    wave()
+
+    shard_ids = [r.doc_id for r in cur.shards().select("doc_id").collect()]
+    assert sorted(shard_ids) == [1, 2], shard_ids  # once each, no double-pack
+
+
 def test_global_url_dedup_scope_collapses_cross_batch_recrawls(
     spark, tmp_path
 ):

@@ -24,9 +24,19 @@ Topology:
      ``<out>/dedup/corpus/batch_id=N`` (atomically published).
 
   QS (shards): Q3's corpus read as a file stream (the Q2 reader recipe:
-     declared batch_id partition + ignoreMissingFiles) into
+     declared batch_id partition + ignoreMissingFiles) through a
+     stateful ``dropDuplicates(["doc_id"])`` into
      ``streaming/shard_stream.attach_shard_stream`` — per-batch
-     token-budgeted shards with manifests under ``<out>/shards/``.
+     token-budgeted shards with manifests under ``<out>/shards/``. The
+     doc_id state is QS's replay absorber: Q3's handoff is the staged
+     atomic rename, so a Q3 crash-replay after the promote but before
+     its checkpoint commit republishes ``corpus/batch_id=N`` with fresh
+     part-file names and QS's reader re-offers those rows; unlike
+     Q2/Q3, the packer has no dedup state of its own, so without this
+     absorber re-delivered docs would be packed into shards twice
+     (at-least-once at the shard boundary — the r14 advisor finding).
+     One native state row per surviving doc_id, bounded by the corpus
+     like the fp state (and TTL'd by the horizon in bounded mode).
 
 Division of labor vs the batch path (``curate_crawl`` over the closed
 corpus in one call): gates are per-doc projections, identical in both.
@@ -128,6 +138,12 @@ class StreamingCuration:
             event_time_col=event_time_col,
         )
         os.makedirs(self.gated_dir, exist_ok=True)
+        # QA's reader resolves url_unique_dir the moment attach() starts
+        # it in global scope — QU's sink creates the directory
+        # asynchronously, so on a cold start the source would race a
+        # 'Path does not exist' (r14 advisor finding). Create it up
+        # front like gated_dir.
+        os.makedirs(self.url_unique_dir, exist_ok=True)
         if self.audit_dir:
             os.makedirs(self.audit_dir, exist_ok=True)
 
@@ -308,7 +324,23 @@ class StreamingCuration:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         survivors = reader.parquet(
             os.path.join(self.dedup.corpus_dir, "batch_id=*")
-        ).select("doc_id", "text")
+        ).select(
+            "doc_id", "text", *((self.ts_col,) if self.ts_col else ())
+        )
+        # Replay absorber (module docstring, QS): a Q3 crash-replay
+        # after _atomic_promote republishes its corpus batch with fresh
+        # part-file names and this reader re-offers the rows; the packer
+        # has no dedup state, so absorb re-deliveries in native state
+        # here. Crash-replay is prompt (the trigger retries), so in
+        # bounded-horizon mode the replayed rows are still within the
+        # horizon and the watermarked variant absorbs them identically.
+        if self.horizon:
+            survivors = survivors.withWatermark(
+                self.ts_col, self.horizon
+            ).dropDuplicatesWithinWatermark(["doc_id"])
+        else:
+            survivors = survivors.dropDuplicates(["doc_id"])
+        survivors = survivors.select("doc_id", "text")
         return attach_shard_stream(
             survivors,
             self.shard_dir,

@@ -57,7 +57,15 @@ Q1 batch across Q2 triggers). A crash-replay of a Q1 batch deletes and
 re-publishes its directory with fresh part-file names; Q2's reader sets
 ``ignoreMissingFiles`` so a source-log reference to a deleted file
 degrades to a skip instead of a FileNotFoundException restart loop, and
-the fp state absorbs the re-delivered rows (exactly-once output holds).
+the fp state absorbs the re-delivered rows — exactly-once output holds
+in unbounded mode. In bounded-horizon mode the absorption is only as
+wide as the horizon: ``dropDuplicatesWithinWatermark`` guarantees dedup
+within watermark + horizon, so a replay re-delivering rows whose event
+time has already fallen past that window is re-admitted and can
+duplicate corpus rows. Crash-replay is prompt (the failed trigger
+retries immediately), so this needs a horizon shorter than the
+restart-recovery gap to bite — but it is a qualification, not a
+guarantee (r14 advisor finding).
 
 NULL-text docs and shingle-less docs (NULL band keys) bypass Q3's claim
 state: ``dropDuplicates`` treats NULL as a value, so letting them
@@ -118,8 +126,10 @@ def _atomic_promote(spark: SparkSession, staging: str, final: str) -> None:
     Q2's ``ignoreMissingFiles`` reader option (set in
     :meth:`StateStoreDocDedup.attach_exact`) turns any dangling
     source-log reference into a skip, and the fp state absorbs the
-    re-delivered rows. Uses the Hadoop FileSystem API so the same code
-    holds on HDFS/object-store-with-rename, not just local paths."""
+    re-delivered rows (within the horizon in bounded mode — see the
+    module header's Q1 -> Q2 handoff-safety qualification). Uses the
+    Hadoop FileSystem API so the same code holds on
+    HDFS/object-store-with-rename, not just local paths."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path
