@@ -141,7 +141,11 @@ def main() -> None:
         spark, os.path.join(work, "out"), min_tokens=5, shard_budget=5000
     )
     docs = warc_responses_to_documents(
-        read_warc_stream(spark, warc_dir, max_files_per_trigger=1)
+        # intra-file parallel parse (r15): one file per trigger would
+        # otherwise parse a whole micro-batch on one core
+        read_warc_stream(
+            spark, warc_dir, max_files_per_trigger=1, chunk_bytes=1 << 20
+        )
     )
     t0 = time.time()
     queries = cur.attach(

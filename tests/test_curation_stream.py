@@ -267,6 +267,91 @@ def test_global_url_dedup_scope_collapses_cross_batch_recrawls(
     assert run("batch", "b") == {1, 2, 3, 4, 5}  # 4 survives (new content)
 
 
+def test_streaming_decontamination_matches_batch_clean_stage(
+    spark, tmp_path
+):
+    """bench= (r15, the one batch-vs-streaming semantic gap): the shard
+    stage flags each micro-batch of dedup survivors against the
+    once-persisted bench shingle table and drops contaminated docs, so
+    the packed shard CONTENT set equals the batch path's `clean` stage
+    on the same bytes — and the contaminated doc still sits in the
+    dedup corpus (decontamination is the stage AFTER dedup, both
+    paths)."""
+    import warnings as W
+
+    warc_dir = str(tmp_path / "crawl")
+    os.makedirs(warc_dir)
+    clean_words = [f"alpha{i} clean body" for i in range(40)]
+    leaked_words = [f"secret{i} eval question" for i in range(40)]
+    segments = [
+        [
+            _warc_record("http://a.example/1", _page(clean_words)),
+            # this page IS a benchmark item (planted leak)
+            _warc_record("http://l.example/1", _page(leaked_words)),
+        ],
+        [_warc_record("http://b.example/1",
+                      _page([f"beta{i} other body" for i in range(40)]))],
+    ]
+    bench = spark.createDataFrame(
+        [(999, " ".join(leaked_words))], "doc_id long, text string"
+    )
+
+    cur = StreamingCuration(
+        spark, str(tmp_path / "out"), min_tokens=5, bench=bench
+    )
+    assert os.path.isdir(os.path.join(str(tmp_path / "out"), "bench_shingles"))
+    ckpt = str(tmp_path / "ckpt")
+    for i, recs in enumerate(segments):
+        with open(os.path.join(warc_dir, f"seg{i}.warc"), "wb") as f:
+            f.write(b"".join(recs))
+        _wave(spark, cur, warc_dir, ckpt)
+    for _ in range(4):
+        _wave(spark, cur, warc_dir, ckpt)
+
+    # batch path with the SAME bench
+    from weather_monitoring_spark.pipelines import curate_crawl
+    from weather_monitoring_spark.sources.warc import (
+        read_warc,
+        warc_responses_to_documents,
+    )
+
+    stages = curate_crawl(
+        warc_responses_to_documents(read_warc(spark, warc_dir)),
+        bench=bench,
+        min_tokens=5,
+        checkpoint=False,
+    )
+    batch_clean = {
+        r.h for r in stages.clean.select(F.md5("text").alias("h")).collect()
+    }
+    shard_texts = {
+        r.h for r in cur.shards().select(F.md5("text").alias("h")).collect()
+    }
+    corpus_texts = {
+        r.h for r in cur.corpus().select(F.md5("text").alias("h")).collect()
+    }
+    assert shard_texts == batch_clean
+    # the leak survived dedup (it is unique content) but not the gate
+    assert len(corpus_texts) == 3
+    assert len(shard_texts) == 2
+    # bench=None attach warns, out loud
+    cur2 = StreamingCuration(spark, str(tmp_path / "out2"), min_tokens=5)
+    src = str(tmp_path / "empty_src")
+    os.makedirs(src)
+    stream = (
+        spark.readStream.schema("doc_id long, url string, html string")
+        .json(src)
+    )
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        qs = cur2.attach(
+            stream, str(tmp_path / "ckpt2"), trigger={"availableNow": True}
+        )
+    for q in qs:
+        q.awaitTermination()
+    assert any("decontamination" in str(w.message) for w in caught)
+
+
 def test_composed_pipeline_threads_the_dedup_horizon(spark, tmp_path):
     """dedup_horizon on StreamingCuration: the event time rides from
     the source through the gate stage into the TTL'd dedup state — a
@@ -334,6 +419,133 @@ def test_composed_pipeline_threads_the_dedup_horizon(spark, tmp_path):
     assert "ts" in cur.corpus().columns
     shard_ids = sorted(r.doc_id for r in cur.shards().select("doc_id").collect())
     assert shard_ids == [1, 3, 4]
+
+
+def test_url_ttl_matches_exact_simulation_on_random_recrawls(
+    spark, tmp_path
+):
+    """VERDICT r14 #5 (URL leg): the QU global-URL-dedup state under a
+    horizon, randomized. A seeded random re-crawl schedule — canonical
+    VARIANTS of each url (case, tracking params, fragments), NULL urls,
+    gaps on both sides of the horizon — must match the exact TTL
+    simulation doc-for-doc: first arrival per CANONICAL url wins, a
+    re-crawl within the horizon is dropped without extending the claim,
+    one past it is re-admitted, NULL urls are never collapsed."""
+    import datetime
+    import json
+    import random
+
+    from weather_monitoring_spark.operators.urlops import canonical_url_expr
+
+    rng = random.Random(27182)
+    t0 = datetime.datetime(2026, 1, 1, 8, 0, 0)
+    gaps = [0, 600, 600 + 5700, 600 + 5700 + 600, 600 + 5700 + 600 + 5700]
+    horizon_s = 3600.0
+
+    def variant(base, i):
+        return rng.choice([
+            base,
+            base.upper(),
+            base + "?utm_source=x",
+            base + "#frag",
+            base + f"?utm_campaign=c{i}",
+        ])
+
+    batches: list[list] = [[] for _ in gaps]
+    nid = 0
+    rows_all = []
+    for site in range(12):
+        base = f"http://s{site}.example/page"
+        # at most ONE variant per site per batch: QU has no Q1-style
+        # within-batch uniquifier, so two same-canonical docs in one
+        # micro-batch keep an ARBITRARY member (the attach_exact
+        # catch-up caveat) — the simulation pins cross-batch law only
+        for b in sorted(rng.sample(range(len(gaps)), rng.randrange(1, 4))):
+            nid += 1
+            ts = gaps[b] + rng.randrange(0, 60)
+            rows_all.append((nid, variant(base, nid), float(ts), b))
+            batches[b].append(rows_all[-1])
+    for _ in range(3):  # NULL urls: per-doc sentinel, never collapsed
+        b = rng.randrange(len(gaps))
+        nid += 1
+        rows_all.append((nid, None, float(gaps[b] + rng.randrange(0, 60)), b))
+        batches[b].append(rows_all[-1])
+
+    # canonical keys via the ENGINE'S own derivation
+    url_df = spark.createDataFrame(
+        [(i, u) for i, u, _, _ in rows_all], "doc_id long, url string"
+    )
+    curl = {
+        r.doc_id: r.c
+        for r in url_df.select(
+            "doc_id", canonical_url_expr("url").alias("c")
+        ).collect()
+    }
+
+    # exact simulation (the doc_dedup_state TTL law: no extension,
+    # watermark from previous batches over ALL input rows)
+    state: dict = {}
+    wm = float("-inf")
+    sim_kept = set()
+    for rows in batches:
+        for doc_id, url, ts, _ in sorted(rows):
+            key = curl.get(doc_id) or f"null:{doc_id}"
+            if key in state and state[key] > wm:
+                continue
+            state[key] = ts + horizon_s
+            sim_kept.add(doc_id)
+        if rows:
+            wm = max(wm, max(ts for _, _, ts, _ in rows) - horizon_s)
+
+    # engine: QU alone, incremental availableNow waves
+    cur = StreamingCuration(
+        spark,
+        str(tmp_path / "out"),
+        min_tokens=1,
+        url_dedup_scope="global",
+        dedup_horizon="1 hour",
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt_url")
+
+    def wave():
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, url string, html string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = cur.attach_url_dedup(
+            stream, ckpt, trigger={"availableNow": True}
+        )
+        q.awaitTermination()
+
+    for i, rows in enumerate(batches):
+        with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            for doc_id, url, ts, _ in rows:
+                f.write(json.dumps({
+                    "doc_id": doc_id,
+                    "url": url,
+                    "html": f"<html><body>{doc_id}</body></html>",
+                    "ts": (t0 + datetime.timedelta(seconds=ts)).strftime(
+                        "%Y-%m-%d %H:%M:%S"),
+                }) + "\n")
+        wave()
+    wave()
+    got = {
+        r.doc_id
+        for r in spark.read.schema(
+            "doc_id long, url string, html string, ts timestamp"
+        ).parquet(cur.url_unique_dir).collect()
+    }
+    assert got == sim_kept, (
+        f"engine-only: {sorted(got - sim_kept)}; "
+        f"sim-only: {sorted(sim_kept - got)}"
+    )
+    null_ids = {i for i, u, _, _ in rows_all if u is None}
+    assert null_ids <= got
 
 
 def test_horizon_ttls_the_global_url_state_too(spark, tmp_path):

@@ -113,13 +113,18 @@ def _run_parquet_engine(spark, store_dir: str, batches):
     return {r.doc_id for r in dd.corpus().select("doc_id").collect()}
 
 
-def _run_state_engine(spark, out_dir: str, ckpt: str, src: str, batches):
+def _run_state_engine(
+    spark, out_dir: str, ckpt: str, src: str, batches, horizon=None
+):
     os.makedirs(src)
-    dd = StateStoreDocDedup(spark, out_dir)
+    dd = StateStoreDocDedup(spark, out_dir, dedup_horizon=horizon)
+    schema = "doc_id long, text string" + (
+        ", ts timestamp" if horizon else ""
+    )
 
     def wave():
         stream = (
-            spark.readStream.schema("doc_id long, text string")
+            spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .json(src)
         )
@@ -143,8 +148,14 @@ def _run_state_engine(spark, out_dir: str, ckpt: str, src: str, batches):
     # batch keeps the 1:1 pairing.
     for i, rows in enumerate(batches):
         with open(os.path.join(src, f"b{i:03d}.json"), "w") as f:
-            for doc_id, text in rows:
-                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+            for row in rows:
+                if horizon:
+                    doc_id, text, ts = row
+                    rec = {"doc_id": doc_id, "text": text, "ts": ts}
+                else:
+                    doc_id, text = row
+                    rec = {"doc_id": doc_id, "text": text}
+                f.write(json.dumps(rec) + "\n")
         wave()
     for _ in range(2):
         wave()
@@ -292,3 +303,161 @@ def test_engine_divergence_law_holds_on_random_mutation_forests(
     null_short = {i for i, t in texts_by_id.items()
                   if t is None or len(t.split()) < 3}
     assert (pq ^ st) & null_short == set()
+
+
+def _simulate_state_engine(batches, bands, horizon_s):
+    """Exact pure-Python model of ``StateStoreDocDedup`` (bounded-
+    horizon mode when ``horizon_s`` is set, unbounded when None),
+    given each doc's REAL band set (``_band_sets``). The TTL law it
+    encodes was measured, not assumed: a state row's expiry is the
+    KEPT occurrence's event time + horizon, a dropped duplicate does
+    NOT extend it (pinned by the id-4 probe in this repo's r15 session:
+    A@10:00, dup A@10:30 dropped, wm -> 11:15, A@12:20 KEPT — expiry
+    stayed 11:00), each query's watermark advances at batch end to the
+    max event time of ITS OWN input minus the horizon (so Q3's
+    watermark lags Q2's when Q2 drops the newest rows), and eviction
+    compares expiry to the watermark set by PREVIOUS batches.
+    ``batches``: [[(doc_id, text|None, ts_seconds)]]."""
+    inf = float("inf")
+    h = inf if horizon_s is None else horizon_s
+    fp_state: dict = {}
+    claim_state: dict = {}
+    wm_q2 = wm_q3 = -inf
+    survivors: set = set()
+    for rows in batches:
+        # Q1 (stateless): min-id keeper per fp (text identity; NULL
+        # text = per-doc sentinel), then min-id keeper per band bucket
+        by_fp: dict = {}
+        for doc_id, text, ts in rows:
+            key = ("t", text) if text is not None else ("n", doc_id)
+            if key not in by_fp or doc_id < by_fp[key][0]:
+                by_fp[key] = (doc_id, text, ts)
+        fresh = sorted(by_fp.values())
+        bucket_min: dict = {}
+        for doc_id, _, _ in fresh:
+            for b in bands.get(doc_id, ()):
+                if b not in bucket_min or doc_id < bucket_min[b]:
+                    bucket_min[b] = doc_id
+        q1_out = [
+            (d, t, ts) for d, t, ts in fresh
+            if all(bucket_min[b] == d for b in bands.get(d, ()))
+        ]
+        if not q1_out:
+            continue
+        # Q2: exact-vs-history fp state
+        q2_out = []
+        for doc_id, text, ts in q1_out:
+            key = ("t", text) if text is not None else ("n", doc_id)
+            if key in fp_state and fp_state[key] > wm_q2:
+                continue  # duplicate within the horizon; no extension
+            fp_state[key] = ts + h
+            q2_out.append((doc_id, text, ts))
+        wm_q2 = max(wm_q2, max(ts for _, _, ts in q1_out) - h)
+        if not q2_out:
+            continue
+        # Q3: first-presenter band claims; null/shingle-less bypass
+        for doc_id, text, ts in q2_out:
+            bs = bands.get(doc_id, set())
+            if text is None or not bs:
+                survivors.add(doc_id)
+                continue
+            lost = False
+            for b in bs:
+                if b in claim_state and claim_state[b] > wm_q3:
+                    lost = True  # bucket held; claim NOT re-inserted
+                else:
+                    claim_state[b] = ts + h
+            if not lost:
+                survivors.add(doc_id)
+        wm_q3 = max(wm_q3, max(ts for _, _, ts in q2_out) - h)
+    return survivors
+
+
+def test_horizon_engine_matches_exact_simulation_on_random_forest(
+    spark, tmp_path
+):
+    """VERDICT r14 #5: the randomized differential law extended across
+    TTL boundaries. A seeded random mutation forest whose batches
+    straddle the horizon (gaps of 10 min vs 95 min against a 1-hour
+    horizon; exact re-arrivals and chain mutants planted on BOTH sides
+    of each expiry) must match the exact TTL simulation doc-for-doc —
+    and the unbounded simulation's survivors must be a SUBSET of the
+    horizon run's (expiry only ever re-admits; the monotonicity
+    argument is in the sim docstring)."""
+    import datetime
+
+    rng = random.Random(31415)
+    t0 = datetime.datetime(2026, 1, 1, 10, 0, 0)
+    # Batch base offsets (s) against a 1 h horizon. Watermarks advance
+    # from PREVIOUS batches only, so a re-admission needs an ADVANCER
+    # batch between the original and the re-arrival whose event time
+    # pushes wm past original+horizon: batches 2/3 sit ~2.5 h after
+    # 0/1 (batch 2 advances wm past everything in 0-1, batch 3 can
+    # re-admit it), batches 4/5 repeat the pattern ~2.6 h later. All
+    # offsets keep >= 10 min clear of exact expiry boundaries.
+    gaps = [0, 600, 9000, 9600, 19000, 19600]
+    horizon_s = 3600.0
+
+    texts_by_id: dict[int, str | None] = {}
+    ts_by_id: dict[int, float] = {}
+    batches: list[list] = [[] for _ in gaps]
+    nid = 0
+
+    def add(batch, text):
+        nonlocal nid
+        nid += 1
+        ts = gaps[batch] + rng.randrange(0, 60)
+        batches[batch].append((nid, text, float(ts)))
+        texts_by_id[nid] = text
+        ts_by_id[nid] = float(ts)
+        return nid
+
+    for fam in range(10):
+        base = [f"h{fam}w{k}" for k in range(50)]
+        frac = 0.05 + 0.05 * (fam % 6)
+        b0 = rng.randrange(3)
+        add(b0, " ".join(base))
+        cur = base
+        for depth in range(1, 3):
+            cur = _mutate(cur, frac, rng, f"{fam}hd{depth}")
+            add(min(len(gaps) - 1, b0 + depth + rng.randrange(2)),
+                " ".join(cur))
+        # exact re-arrival of the base on a random LATER batch — +1
+        # lands within the horizon (dropped), +3/+4 land past it with
+        # an advancer in between (re-admitted)
+        add(min(len(gaps) - 1, b0 + rng.choice([1, 3, 4])), " ".join(base))
+    add(0, None)
+    add(2, None)
+    add(1, "one two")
+    add(4, "one two")
+
+    texts = {i: t for i, t in texts_by_id.items() if t is not None}
+    bands = _band_sets(spark, texts)
+
+    sim_h = _simulate_state_engine(batches, bands, horizon_s)
+    sim_unbounded = _simulate_state_engine(batches, bands, None)
+    assert sim_unbounded <= sim_h, (
+        f"expiry deleted docs instead of re-admitting: {sim_unbounded - sim_h}"
+    )
+    # the corpus is built to exercise re-admission — require it fired
+    assert sim_h - sim_unbounded, "generator produced no TTL re-admissions"
+
+    engine_batches = [
+        [
+            (d, t, (t0 + datetime.timedelta(seconds=ts)).strftime(
+                "%Y-%m-%d %H:%M:%S"))
+            for d, t, ts in rows
+        ]
+        for rows in batches
+    ]
+    st = _run_state_engine(
+        spark,
+        str(tmp_path / "st"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "src"),
+        engine_batches,
+        horizon="1 hour",
+    )
+    assert st == sim_h, (
+        f"engine-only: {sorted(st - sim_h)}; sim-only: {sorted(sim_h - st)}"
+    )

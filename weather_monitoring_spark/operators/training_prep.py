@@ -254,26 +254,51 @@ def chunk_documents(
     )
 
 
+def benchmark_shingles(
+    benchmark: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The benchmark side of ``contamination_flags`` as a standalone
+    one-column (``s``) table: the distinct word 3-grams of the
+    evaluation set. A benchmark is CLOSED and static, so compute this
+    once and persist/reuse it — the streaming decontamination gate
+    (``streaming.curation_stream``) flags every micro-batch against the
+    same set, and re-deriving it per batch would be pure waste."""
+    return (
+        benchmark.withColumn("_tk", tokens_expr(text_col))
+        .select(F.explode(shingles_expr("_tk")).alias("s"))
+        .distinct()
+    )
+
+
 def contamination_flags(
     train: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None = None,
     min_shared: int = CONTAMINATION_MIN_SHARED,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per training document: how many of its distinct word 3-grams occur
     anywhere in the benchmark set, and whether that clears ``min_shared``.
     Returns (doc_id, n_shared, contaminated) for EVERY train doc
     (zero-filled — the common case must be an explicit clean verdict).
 
+    Pass either ``benchmark`` (raw eval documents) or ``shingles`` (a
+    precomputed ``benchmark_shingles`` table — the repeated-call path).
+
     The benchmark collapses to one distinct shingle set before the join,
     so cost scales with shingle-level overlap; at 100 TB the benchmark
     side is millions of shingles at most — broadcastable, making the hit
     count a map-side join against an in-memory set."""
+    if (benchmark is None) == (shingles is None):
+        raise ValueError(
+            "contamination_flags: pass exactly one of benchmark= or "
+            "shingles="
+        )
     bench_sh = (
-        benchmark.withColumn("_tk", tokens_expr(text_col))
-        .select(F.explode(shingles_expr("_tk")).alias("s"))
-        .distinct()
+        benchmark_shingles(benchmark, text_col)
+        if benchmark is not None
+        else shingles.select("s")
     )
     train_sh = (
         train.withColumn("_tk", tokens_expr(text_col))

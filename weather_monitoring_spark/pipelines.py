@@ -53,9 +53,9 @@ class CurationStages:
     extracted: DataFrame  # (doc_id, url, text)
     url_unique: DataFrame  # after URL-identity dedup
     curated: DataFrame  # after quality gates (doc_id, text, n_tokens)
-    exact_unique: DataFrame  # after exact content dedup
-    survivors: DataFrame  # after near-dup clustering, one per cluster
-    clean: DataFrame  # after benchmark decontamination
+    exact_unique: DataFrame | None  # after exact content dedup
+    survivors: DataFrame | None  # after near-dup clustering, one per cluster
+    clean: DataFrame | None  # after benchmark decontamination
     split: DataFrame | None  # leakage-safe split when split_pcts given
     manifest: DataFrame | None  # shard manifest when shard_dir given
 
@@ -68,7 +68,7 @@ def curate_crawl(
     score_threshold: float = 0.0,
     shard_dir: str | None = None,
     shard_budget: int = 100_000,
-    checkpoint: bool = True,
+    checkpoint: bool | str = True,
     token_counter=None,
     gopher_kwargs: dict | None = None,
     repetition_kwargs: dict | None = None,
@@ -78,6 +78,7 @@ def curate_crawl(
     split_pcts: tuple[int, int] | None = None,
     split_salt: str | None = None,
     pre_extracted: bool = False,
+    gates_only: bool = False,
 ) -> CurationStages:
     """Run the full crawl -> training-corpus curation chain.
 
@@ -99,7 +100,25 @@ def curate_crawl(
     stage boundary (eager localCheckpoint) so one stage's shuffles
     aren't re-run by the next stage's actions — the right default for
     the multi-action audit pattern; pass False to keep the whole chain
-    lazy for single-action use. ``token_counter`` (see
+    lazy for single-action use. Pass ``"gates"`` to pin ONLY the gate
+    stages (extracted, url_unique, curated) and leave everything after
+    ``curated`` lazy: the per-micro-batch caller (the streaming gate
+    stage) evaluates only ``curated`` but delegates content dedup
+    downstream, so the full-lazy plan both re-inlines the html->text
+    extraction chain into every gate signal column (the 25x projection-
+    collapse blowup measured below) and re-parses the source per plan
+    branch, while ``True`` would eagerly compute the dedup stages it
+    never uses. ``gates_only=True`` stops the chain at ``curated``
+    (post-gate fields come back None): a caller that delegates content
+    dedup elsewhere — the streaming gate stage hands it to the
+    state-store engine — must not even CONSTRUCT the dedup stages,
+    because construction is not free: ``quality_survivors``'s iterative
+    connected-components EXECUTES per-iteration localCheckpoints at
+    build time and the MinHash/LSH expression forest costs seconds of
+    py4j/parse round trips (profiled: ~6.5 s of the streaming gate
+    stage's 13.5 s/batch was building+running dedup machinery whose
+    output was discarded — r15, probe_streaming_gate_decomp.json).
+    ``token_counter`` (see
     operators/training_prep.TokenCounter) selects the shard-budget
     denomination — pass ``operators.tokenize.bpe_token_counter()`` for
     tokenizer-faithful budgets; None keeps the whitespace counter.
@@ -160,8 +179,20 @@ def curate_crawl(
             f"already do)"
         )
 
+    if checkpoint not in (True, False, "gates"):
+        raise ValueError(
+            f"checkpoint must be True, False or 'gates', got {checkpoint!r}"
+        )
+
     def pin(df: DataFrame) -> DataFrame:
+        # gate-stage pins: on for True AND "gates" (truthy)
         return df.localCheckpoint(eager=True) if checkpoint else df
+
+    def pin_post(df: DataFrame) -> DataFrame:
+        # post-gate pins (exact_unique onward): eager pinning here would
+        # COMPUTE the dedup stages, which the "gates" mode exists to
+        # avoid — on only for checkpoint=True.
+        return df.localCheckpoint(eager=True) if checkpoint is True else df
 
     if pre_extracted:
         extracted = crawl.select("doc_id", "url", "text")
@@ -276,16 +307,30 @@ def curate_crawl(
         )
     curated = pin(curated)
 
+    if gates_only:
+        return CurationStages(
+            extracted=extracted,
+            url_unique=url_unique,
+            curated=curated,
+            exact_unique=None,
+            survivors=None,
+            clean=None,
+            split=None,
+            manifest=None,
+        )
+
     exact_keep = exact_dedup(curated).select(
         F.col("keeper_doc_id").alias("doc_id")
     )
-    exact_unique = pin(curated.join(exact_keep, "doc_id", "left_semi"))
+    exact_unique = pin_post(
+        curated.join(exact_keep, "doc_id", "left_semi")
+    )
 
     pairs = minhash_lsh_pairs(exact_unique).select("id_a", "id_b")
     surv_ids = quality_survivors(
         exact_unique, pairs, quality=F.col("n_tokens").cast("double")
     ).filter(F.col("survivor"))
-    survivors = pin(
+    survivors = pin_post(
         exact_unique.join(surv_ids.select("doc_id"), "doc_id", "left_semi")
     )
 
@@ -303,7 +348,7 @@ def curate_crawl(
         clean = survivors
     else:
         flags = contamination_flags(survivors, bench)
-        clean = pin(
+        clean = pin_post(
             survivors.join(
                 flags.filter(~F.col("contaminated")).select("doc_id"),
                 "doc_id",
@@ -322,7 +367,7 @@ def curate_crawl(
         # restricted to the final corpus: the label (min id of the
         # near-dup component) is identical for every member, so the
         # surviving copy inherits the split its whole cluster shares.
-        split = pin(
+        split = pin_post(
             leakage_safe_split(exact_unique, pairs, **kwargs).join(
                 clean.select("doc_id"), "doc_id", "left_semi"
             )

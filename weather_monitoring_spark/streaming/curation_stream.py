@@ -37,6 +37,11 @@ Topology:
      (at-least-once at the shard boundary — the r14 advisor finding).
      One native state row per surviving doc_id, bounded by the corpus
      like the fp state (and TTL'd by the horizon in bounded mode).
+     When a ``bench`` evaluation set is supplied, QS also runs the
+     DECONTAMINATION gate per micro-batch (the batch path's ``clean``
+     stage): survivors sharing >= the threshold of word 3-grams with
+     the bench are dropped before packing, flagged against the
+     once-persisted bench shingle table.
 
 Division of labor vs the batch path (``curate_crawl`` over the closed
 corpus in one call): gates are per-doc projections, identical in both.
@@ -101,6 +106,7 @@ class StreamingCuration:
         audit: bool = True,
         dedup_horizon: str | None = None,
         event_time_col: str = "ts",
+        bench: DataFrame | None = None,
     ) -> None:
         """``audit=True`` (default) writes a per-batch JSON sidecar
         (offered/gated counts + write time) under ``<out>/audit/`` from
@@ -113,7 +119,20 @@ class StreamingCuration:
         carry an event-time timestamp column named ``event_time_col``
         (e.g. the crawl capture time); the gate stage re-attaches it to
         the gated docs and content seen longer ago than the horizon is
-        re-admitted (``StateStoreDocDedup`` docstring for the trade)."""
+        re-admitted (``StateStoreDocDedup`` docstring for the trade).
+
+        ``bench`` (r15, closing the one batch-vs-streaming semantic
+        gap): the evaluation set to DECONTAMINATE against. The bench is
+        closed and static, so its distinct-shingle table is derived
+        once here and persisted under ``<out>/bench_shingles/``; the
+        shard stage then flags every micro-batch of corpus survivors
+        against it (``operators.training_prep.contamination_flags``
+        with the precomputed set) and drops contaminated docs before
+        packing — the same per-doc predicate the batch path's ``clean``
+        stage applies to ``survivors``, so on a chain-free corpus the
+        packed shard CONTENT set equals the batch ``clean`` set. When
+        None, no decontamination runs on the unbounded feed — attach()
+        says so out loud (one warning, not silenced)."""
         if url_dedup_scope not in ("batch", "global"):
             raise ValueError(
                 f"url_dedup_scope must be 'batch' or 'global', got "
@@ -137,6 +156,16 @@ class StreamingCuration:
             dedup_horizon=dedup_horizon,
             event_time_col=event_time_col,
         )
+        self._bench_shingles = None
+        if bench is not None:
+            from weather_monitoring_spark.operators.training_prep import (
+                benchmark_shingles,
+            )
+
+            sh_dir = os.path.join(out_dir, "bench_shingles")
+            # idempotent on restart: same closed bench -> same table
+            benchmark_shingles(bench).write.mode("overwrite").parquet(sh_dir)
+            self._bench_shingles = spark.read.parquet(sh_dir)
         os.makedirs(self.gated_dir, exist_ok=True)
         # QA's reader resolves url_unique_dir the moment attach() starts
         # it in global scope — QU's sink creates the directory
@@ -234,35 +263,50 @@ class StreamingCuration:
         ts_col = self.ts_col
 
         def run_gates(batch_df: DataFrame, batch_id: int) -> None:
-            # checkpoint=False keeps the chain lazy: only the `curated`
-            # stage is evaluated, so the batch pipeline's dedup stages
-            # (delegated to Q1-Q3) are never computed. bench=None warns
-            # by design (decontamination is a closed-corpus pass);
-            # silence the known warning, not the class.
+            t0 = time.time()
+            # Pin the parsed batch ONCE before building the gate chain
+            # (r14 verdict #1, measured in
+            # scripts/probe_streaming_gate_decomp.json): the fully-lazy
+            # gate plan references its input from several branches (the
+            # url-dedup keeper derivation, the gated join side, the
+            # event-time re-attach, the audit count), and each branch
+            # re-ran the WARC parse; worse, projection collapse
+            # re-inlined the html->text extraction chain into every
+            # gate signal column. One eager localCheckpoint of the
+            # trigger-sized input + the "gates" pin mode (extracted /
+            # url_unique / curated only — the dedup stages delegated to
+            # Q1-Q3 stay unevaluated) makes every downstream reference
+            # read the pin.
+            pinned = batch_df.localCheckpoint(eager=True)
+            # bench=None warns by design (decontamination is a
+            # closed-corpus pass; the streaming twin is the bench=
+            # decontamination gate in attach_shards); silence the known
+            # warning, not the class.
             with warnings.catch_warnings():
                 warnings.filterwarnings(
                     "ignore", message=".*decontamination SKIPPED.*"
                 )
                 stages = curate_crawl(
-                    batch_df,
+                    pinned,
                     bench=None,
                     min_tokens=min_tokens,
-                    checkpoint=False,
+                    checkpoint="gates",
+                    gates_only=True,
                     **ck,
                 )
             out = stages.curated.select("doc_id", "text")
             if ts_col:
                 # re-attach the event time the gate chain projects away
-                # (bounded-horizon mode needs it downstream)
+                # (bounded-horizon mode needs it downstream) — from the
+                # pin, not the source plan
                 out = out.join(
-                    batch_df.select("doc_id", ts_col), "doc_id", "left"
+                    pinned.select("doc_id", ts_col), "doc_id", "left"
                 )
             if n_files:
                 out = out.coalesce(n_files)
             staging = os.path.join(
                 gated_dir, "_staging", f"batch_id={batch_id}"
             )
-            t0 = time.time()
             out.write.mode("overwrite").parquet(staging)
             _atomic_promote(
                 batch_df.sparkSession,
@@ -273,19 +317,20 @@ class StreamingCuration:
                 # Per-batch audit sidecar — the streaming twin of
                 # pipelines.curation_report: an unbounded pipeline that
                 # cannot explain its drops is not auditable. `offered`
-                # re-counts the batch input (one extra bounded scan —
-                # micro-batches are trigger-sized); `gated` reads the
-                # just-written footer counts, costing nothing. The
-                # sidecar is written AFTER the promote, so its presence
-                # implies the batch is fully published (monitors can
-                # tail it), and idempotently overwritten on replay.
+                # counts the PINNED input (no second source scan — the
+                # r14 sidecar re-ran the WARC parse for this number);
+                # `gated` reads the just-written footer counts, costing
+                # nothing. The sidecar is written AFTER the promote, so
+                # its presence implies the batch is fully published
+                # (monitors can tail it), and idempotently overwritten
+                # on replay.
                 spark = batch_df.sparkSession
                 gated_n = spark.read.parquet(
                     os.path.join(gated_dir, f"batch_id={batch_id}")
                 ).count()
                 rec = {
                     "batch_id": batch_id,
-                    "offered": batch_df.count(),
+                    "offered": pinned.count(),
                     "gated": gated_n,
                     "gate_write_s": round(time.time() - t0, 3),
                 }
@@ -341,12 +386,33 @@ class StreamingCuration:
         else:
             survivors = survivors.dropDuplicates(["doc_id"])
         survivors = survivors.select("doc_id", "text")
+        transform = None
+        if self._bench_shingles is not None:
+            from weather_monitoring_spark.operators.training_prep import (
+                contamination_flags,
+            )
+
+            sh = self._bench_shingles
+
+            def transform(batch_docs: DataFrame) -> DataFrame:
+                # the batch path's clean stage, per micro-batch: a
+                # per-doc predicate against the STATIC bench shingle
+                # set (broadcast-sized), so batch == streaming verdicts
+                # doc for doc; replay-safe (deterministic filter)
+                flags = contamination_flags(batch_docs, shingles=sh)
+                return batch_docs.join(
+                    flags.filter(~F.col("contaminated")).select("doc_id"),
+                    "doc_id",
+                    "left_semi",
+                )
+
         return attach_shard_stream(
             survivors,
             self.shard_dir,
             checkpoint_dir,
             budget=self.shard_budget,
             trigger=trigger,
+            transform=transform,
         )
 
     # --------------------------- composition --------------------------
@@ -364,6 +430,17 @@ class StreamingCuration:
         per-batch + maxFilesPerTrigger=1 preserves batch granularity
         across every handoff (the dedup determinism contract,
         ``StateStoreDocDedup.attach_exact``)."""
+        if self._bench_shingles is None:
+            # honest, not silenced (r14 verdict #2): without a bench
+            # the decontamination stage never runs on this unbounded
+            # feed — the one semantic gap vs the batch path's `clean`.
+            warnings.warn(
+                "StreamingCuration: bench is None — decontamination "
+                "never runs on this unbounded feed (shards == dedup "
+                "survivors). Pass bench= to enable the shard-stage "
+                "decontamination gate.",
+                stacklevel=2,
+            )
         ts_part = f", {self.ts_col} timestamp" if self.ts_col else ""
         ts_sel = (self.ts_col,) if self.ts_col else ()
         head: tuple[StreamingQuery, ...] = ()

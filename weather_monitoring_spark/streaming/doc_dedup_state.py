@@ -42,12 +42,14 @@ the composition stays end-to-end exactly-once):
 
   Q3 (fuzzy vs all history): Q2's sink -> MinHash band rows (band 0
      carries the text so the 27x explode ships each text once) ->
-     ``dropDuplicates(["band_idx", "bh"])`` over the exact two-column
-     band key (the parquet engine's keying, no lossy bit-packing) =
-     BUCKET CLAIMS: a row survives iff its bucket was never claimed in
-     any earlier batch. foreachBatch assembles: a doc survives iff ALL
-     its band rows survived (any lost claim = near-dup of the existing
-     corpus), writing ``<out>/corpus/batch_id=N``.
+     ``dropDuplicates`` on the (band_idx, bh) claim key packed
+     EXACTLY into one long (bh's top 59 bits << 5 | band_idx — see
+     :meth:`attach_fuzzy` for the injectivity argument; the lossy
+     4-bit pack of the first cut was rejected in r13) = BUCKET CLAIMS:
+     a row survives iff its bucket was never claimed in any earlier
+     batch. foreachBatch assembles: a doc survives iff ALL its band
+     rows survived (any lost claim = near-dup of the existing corpus),
+     writing ``<out>/corpus/batch_id=N``.
 
 Q1 -> Q2 handoff safety: Q1's foreachBatch is NOT a transactional file
 sink (no ``_spark_metadata``), so each batch directory is written to a
@@ -353,15 +355,27 @@ class StateStoreDocDedup:
         ).select("doc_id", "text", "fp", *self._extra)
         # native streaming state: first arrival of each fp wins; Q1 made
         # within-batch arrival unique, so "first" IS the min-id keeper.
+        # The state KEY is the 16-byte binary digest, not the 32-char
+        # hex string (r14 verdict #3: the fp state measured 39.1 B/row
+        # live SST, over a third of it hex-encoding overhead) — unhex
+        # is injective on the md5 hex alphabet and the NULL-text
+        # sentinel ("null:<doc_id>", non-hex) maps through a distinct
+        # md5 so sentinels keep their per-doc identity. Output schema
+        # is unchanged; the key column is internal.
+        keyed = local.withColumn(
+            "_fpk",
+            F.coalesce(F.unhex(F.col("fp")), F.unhex(F.md5(F.col("fp")))),
+        )
         # Bounded-horizon mode swaps in dropDuplicatesWithinWatermark:
         # same first-wins law, but the fp state row expires once the
         # watermark passes its event time + horizon.
         if self.horizon:
-            survivors = local.withWatermark(
+            survivors = keyed.withWatermark(
                 self.ts_col, self.horizon
-            ).dropDuplicatesWithinWatermark(["fp"])
+            ).dropDuplicatesWithinWatermark(["_fpk"])
         else:
-            survivors = local.dropDuplicates(["fp"])
+            survivors = keyed.dropDuplicates(["_fpk"])
+        survivors = survivors.drop("_fpk")
         if output_files_per_batch:
             survivors = survivors.coalesce(output_files_per_batch)
         return (
@@ -394,13 +408,32 @@ class StateStoreDocDedup:
         # between same-batch near-dups. Bounded-horizon mode: a claim
         # expires with the watermark, so a near-dup of content older
         # than the horizon is re-admitted (matching the fp stage).
-        unexpired = bands.filter(F.col("bh").isNotNull())
+        #
+        # State KEY (r14 verdict #3): the (band_idx, bh) pair packed
+        # into ONE long — the top 59 bits of the 60-bit band hash
+        # shifted left 5, OR'd with the band index (27 < 32 fits 5
+        # bits). Injective in (bh>>1, band_idx), so the only semantic
+        # change vs the two-column key is dropping the hash's lowest
+        # bit: within-band spurious-collision rate moves from ~2^-60 to
+        # ~2^-59 per pair — both astronomically below the MinHash
+        # band-collision rate that IS the operator's signal. A 4-bit
+        # pack was rejected in r13 (aliased bands 16-26 onto 0-10);
+        # 5 bits is exact. Bitwise ops, no ANSI overflow. Two UnsafeRow
+        # key fields -> one: measured live-SST B/row drop recorded in
+        # scripts/probe_dedup_state_size.json. (New-checkpoint change:
+        # an existing pre-r15 checkpoint's claim-state schema differs —
+        # restart streams from a fresh checkpoint or keep the old build
+        # for them.)
+        unexpired = bands.filter(F.col("bh").isNotNull()).withColumn(
+            "_claim", F.expr("shiftleft(shiftright(bh, 1), 5) | band_idx")
+        )
         if self.horizon:
             claims = unexpired.withWatermark(
                 self.ts_col, self.horizon
-            ).dropDuplicatesWithinWatermark(["band_idx", "bh"])
+            ).dropDuplicatesWithinWatermark(["_claim"])
         else:
-            claims = unexpired.dropDuplicates(["band_idx", "bh"])
+            claims = unexpired.dropDuplicates(["_claim"])
+        claims = claims.drop("_claim")
         # UNKNOWN-content rows bypass the claim state: NULL text (no
         # content to be near) and shingle-less docs (NULL band keys —
         # one shared NULL "claim" would collapse every short doc, the

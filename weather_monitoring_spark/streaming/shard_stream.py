@@ -38,6 +38,7 @@ this extends the engine per the builder brief's LLM-pipeline scope.
 from __future__ import annotations
 
 import os
+from typing import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
@@ -60,6 +61,7 @@ def attach_shard_stream(
     token_counter: TokenCounter | None = None,
     emit_token_ids: bool = False,
     trigger: dict | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
 ) -> StreamingQuery:
     """Attach the shard packer to a streaming documents DataFrame.
 
@@ -69,9 +71,19 @@ def attach_shard_stream(
     shard row (the batch writer's option, unchanged). ``trigger``
     defaults to ``{"processingTime": "10 seconds"}`` — pass
     ``{"availableNow": True}`` for drain-and-stop runs (tests, replay).
-    """
+    ``transform`` (optional) is applied to each micro-batch INSIDE
+    foreachBatch, with full batch-DataFrame semantics, before packing —
+    the hook a per-doc gate that is awkward as a streaming operator
+    plugs into (the streaming decontamination filter joins each batch
+    against a static shingle table and aggregates per doc; both are
+    trivial in batch API, restricted in an append-mode stream). It must
+    be a per-row-decidable filter/projection for the packer's
+    exactly-once replay story to hold unchanged (a replayed batch must
+    transform to the same rows)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
         if batch_df.isEmpty():
             return
         bdir = os.path.join(out_dir, f"batch_id={batch_id}")
