@@ -75,15 +75,16 @@ def _record(url: str, body: bytes) -> bytes:
     return hdr + http + b"\r\n\r\n"
 
 
-def write_segment(path: str, seg: int) -> None:
-    n_exact = int(PAGES_PER_SEG * 0.10)
-    n_near = int(PAGES_PER_SEG * 0.05)
-    n_short = int(PAGES_PER_SEG * 0.02)
+def write_segment(path: str, seg: int, pages: int | None = None) -> None:
+    pages = PAGES_PER_SEG if pages is None else pages
+    n_exact = int(pages * 0.10)
+    n_near = int(pages * 0.05)
+    n_short = int(pages * 0.02)
     orig_lo = n_exact + n_near + n_short  # original slots: [orig_lo, N)
-    orig_count = PAGES_PER_SEG - orig_lo
+    orig_count = pages - orig_lo
     half = orig_count // 2
     recs = []
-    for i in range(PAGES_PER_SEG):
+    for i in range(pages):
         url = f"http://ex{seg}.example/p{i}"
         if seg > 0 and i < n_exact:
             # exact re-crawl of a REAL original (first half of an
@@ -131,6 +132,10 @@ def main() -> None:
             ),
             "spark.sql.streaming.stateStore.rocksdb."
             "changelogCheckpointing.enabled": "true",
+            # keep EVERY trigger's progress: the default 100-entry ring
+            # would evict early data batches behind ~800 1 s idle
+            # triggers and silently truncate the wall decomposition
+            "spark.sql.streaming.numRecentProgressUpdates": "5000",
         },
     )
     work = tempfile.mkdtemp(prefix="curation_e2e_")
@@ -148,53 +153,100 @@ def main() -> None:
         )
     )
     t0 = time.time()
+    # fuse_local (r15): Q1's batch-local keepers run inside the gate
+    # trigger — 4 chained queries instead of 5, one fewer file-handoff
+    # round trip per batch; semantics pinned equal by the e2e test.
     queries = cur.attach(
         docs,
         os.path.join(work, "ckpt"),
         trigger={"processingTime": "1 second"},
         output_files_per_batch=1,
         max_files_per_trigger=1,
+        fuse_local=True,
     )
     # incremental delivery: one segment at a time, like a live crawl
     for seg in range(N_SEGMENTS):
         write_segment(os.path.join(warc_dir, f"seg{seg:03d}.warc"), seg)
         time.sleep(1.0)
 
-    # drain: shard batches appear last; wait until the shard row count
-    # stops moving and matches the corpus
-    def shard_count() -> int:
-        try:
-            return cur.shards().count()
-        except Exception:
-            return -1
+    # drain: pure FILESYSTEM polling — the previous form ran a Spark
+    # cur.shards().count() job every 5 s, competing with the chain for
+    # the 8 cores and inflating the wall it was measuring. Done = every
+    # query reports no data available + the shard part-file count is
+    # stable.
+    def shard_files() -> int:
+        n = 0
+        for root, _dirs, files in os.walk(cur.shard_dir):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
 
     stable, last = 0, -2
     while time.time() - t0 < 1800:
-        time.sleep(5)
-        n = shard_count()
-        if n == last and n > 0:
+        time.sleep(3)
+        idle = all(
+            not q.status["isDataAvailable"] and not q.status["isTriggerActive"]
+            for q in queries
+        )
+        n = shard_files()
+        if idle and n == last and n > 0:
             stable += 1
-            if stable >= 4:
+            if stable >= 2:
                 break
         else:
             stable = 0
         last = n
-    stream_wall = time.time() - t0
-    per_q = {}
-    for name, q in zip(("gates", "local", "exact", "fuzzy", "shards"), queries):
-        durs = [
-            p["durationMs"].get("triggerExecution", 0) / 1000.0
-            for p in q.recentProgress
-            if p["numInputRows"] > 0
-        ]
+    drain_detect = time.time() - t0
+
+    # wall decomposition (VERDICT r14 #1): per-query busy time from the
+    # complete progress log, wall measured to the LAST data-carrying
+    # trigger's end (drain *detection* latency excluded), and the union
+    # of data-trigger intervals across the chain -> concurrency + idle.
+    from datetime import datetime, timezone
+
+    def _ts(p) -> float:
+        return (
+            datetime.strptime(p["timestamp"], "%Y-%m-%dT%H:%M:%S.%fZ")
+            .replace(tzinfo=timezone.utc)
+            .timestamp()
+        )
+
+    per_q, intervals, last_end, total_busy = {}, [], t0, 0.0
+    for name, q in zip(("gates+local", "exact", "fuzzy", "shards"), queries):
+        durs, q_last = [], t0
+        for p in q.recentProgress:
+            if p["numInputRows"] > 0:
+                d = p["durationMs"].get("triggerExecution", 0) / 1000.0
+                start = _ts(p)
+                durs.append(d)
+                intervals.append((start, start + d))
+                q_last = max(q_last, start + d)
         per_q[name] = {
             "batches": len(durs),
+            "busy_s": round(sum(durs), 1),
             "median_s": round(statistics.median(durs), 3) if durs else None,
             "max_s": round(max(durs), 3) if durs else None,
         }
+        total_busy += sum(durs)
+        last_end = max(last_end, q_last)
         q.stop()
     for q in queries:
         q.awaitTermination(30)
+    stream_wall = last_end - t0
+    # merge-interval union
+    merged: list[list[float]] = []
+    for s, e in sorted(intervals):
+        if merged and s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    union = sum(e - s for s, e in merged)
+    decomp = {
+        "busy_total_s": round(total_busy, 1),
+        "busy_union_s": round(union, 1),
+        "idle_s": round(max(0.0, stream_wall - union), 1),
+        "concurrency": round(total_busy / union, 2) if union else None,
+        "drain_detect_s": round(drain_detect - stream_wall, 1),
+    }
 
     stream_hashes = {
         r.h for r in cur.corpus().select(F.md5("text").alias("h")).collect()
@@ -228,11 +280,13 @@ def main() -> None:
             "shard_rows": len(shard_rows),
             "shard_rows_unique": len({r.doc_id for r in shard_rows}),
             "per_query": per_q,
+            "decomposition": decomp,
         },
         "batch": {
             "wall_s": round(batch_wall, 1),
             "survivors": len(batch_hashes),
         },
+        "stream_over_batch": round(stream_wall / batch_wall, 2),
         "survivor_content_sets_equal": stream_hashes == batch_hashes,
         "stream_minus_batch": len(stream_hashes - batch_hashes),
         "batch_minus_stream": len(batch_hashes - stream_hashes),

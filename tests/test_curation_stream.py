@@ -24,7 +24,7 @@ def _page(words, extra="") -> bytes:
     return f"<html><body><p>{body}</p></body></html>".encode()
 
 
-def _wave(spark, cur, warc_dir, ckpt):
+def _wave(spark, cur, warc_dir, ckpt, fuse_local=False):
     from weather_monitoring_spark.sources.warc import (
         read_warc_stream,
         warc_responses_to_documents,
@@ -39,6 +39,7 @@ def _wave(spark, cur, warc_dir, ckpt):
         trigger={"availableNow": True},
         output_files_per_batch=1,
         max_files_per_trigger=1,
+        fuse_local=fuse_local,
     )
     for q in queries:
         q.awaitTermination()
@@ -142,6 +143,78 @@ def test_streaming_curation_matches_batch_path(spark, tmp_path):
     assert sum(r["offered"] for r in audit) == 8
     assert sum(r["gated"] for r in audit) == 7
     assert all(r["gated"] <= r["offered"] for r in audit)
+
+
+def test_fused_gate_stage_matches_unfused(spark, tmp_path):
+    """``fuse_local=True`` (the gate stage runs Q1's batch-local keepers
+    inside its own trigger and publishes straight into the dedup chain)
+    is a TOPOLOGY knob, not a semantics knob: the same incremental
+    corpus through the fused 4-query chain and the unfused 5-query
+    chain yields identical survivor content sets, identical shard row
+    sets, and reconciling audit sidecars."""
+    base = [f"alpha{i} fused word" for i in range(40)]
+    near = list(base)
+    del near[9]  # strictly shorter near-dup: keeper laws agree
+    fresh = [f"beta{i} fused text" for i in range(40)]
+    segments = [
+        [
+            _warc_record("http://a.example/1", _page(base)),
+            _warc_record("http://a.example/dup", _page(base)),
+            _warc_record("http://s.example/short", _page(["too", "short"])),
+        ],
+        [
+            _warc_record("http://a.example/near", _page(near)),
+            _warc_record("http://c.example/1", _page(fresh)),
+        ],
+    ]
+
+    results = {}
+    for mode, fuse in (("unfused", False), ("fused", True)):
+        warc_dir = str(tmp_path / mode / "crawl")
+        os.makedirs(warc_dir)
+        cur = StreamingCuration(
+            spark, str(tmp_path / mode / "out"), min_tokens=5,
+            shard_budget=200,
+        )
+        ckpt = str(tmp_path / mode / "ckpt")
+        for i, recs in enumerate(segments):
+            with open(os.path.join(warc_dir, f"seg{i}.warc"), "wb") as f:
+                f.write(b"".join(recs))
+            _wave(spark, cur, warc_dir, ckpt, fuse_local=fuse)
+        for _ in range(4):
+            _wave(spark, cur, warc_dir, ckpt, fuse_local=fuse)
+        results[mode] = {
+            "texts": {
+                r.h
+                for r in cur.corpus()
+                .select(F.md5("text").alias("h"))
+                .collect()
+            },
+            "shard_texts": {
+                r.h
+                for r in cur.shards()
+                .select(F.md5("text").alias("h"))
+                .collect()
+            },
+            "audit": cur.audit_report(),
+        }
+        if fuse:
+            # fused mode writes no gated artifact at all
+            assert not os.listdir(cur.gated_dir)
+
+    assert results["fused"]["texts"] == results["unfused"]["texts"]
+    assert len(results["fused"]["texts"]) == 2  # base + fresh survive
+    assert (
+        results["fused"]["shard_texts"] == results["unfused"]["shard_texts"]
+    )
+    # audit reconciles in both: offered = 5 2xx pages; fused `gated`
+    # counts post-local-keeper rows so it is <= the unfused gate count
+    for mode in ("unfused", "fused"):
+        audit = results[mode]["audit"]
+        assert audit and sum(r["offered"] for r in audit) == 5
+        assert all(r["gated"] <= r["offered"] for r in audit)
+    assert sum(r["gated"] for r in results["fused"]["audit"]) == 3
+    assert sum(r["gated"] for r in results["unfused"]["audit"]) == 4
 
 
 def test_shard_stage_absorbs_corpus_republish(spark, tmp_path):

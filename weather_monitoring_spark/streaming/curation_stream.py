@@ -180,7 +180,10 @@ class StreamingCuration:
         """Per-batch gate-stage audit records in batch order (plain
         data, driver-side — deliberately, like the batch path's
         curation_report: an audit you cannot read without a cluster is
-        not an audit)."""
+        not an audit). ``gated`` counts the rows the gate stage
+        PUBLISHED for that batch: the gated artifact normally, the
+        batch-local-keeper output when ``fuse_local`` folded Q1 into
+        the gate trigger."""
         if not self.audit_dir:
             return []
         out = []
@@ -248,9 +251,21 @@ class StreamingCuration:
         checkpoint_dir: str,
         trigger: dict | None = None,
         output_files_per_batch: int | None = None,
+        fuse_local: bool = False,
     ) -> StreamingQuery:
         """``doc_stream`` carries (doc_id, url, html) — the
-        ``warc_responses_to_documents`` contract."""
+        ``warc_responses_to_documents`` contract.
+
+        ``fuse_local=True`` runs the dedup chain's Q1 (batch-local
+        keepers — stateless per batch, see
+        ``StateStoreDocDedup.local_batch``) INSIDE this stage's
+        foreachBatch and publishes straight to the dedup chain's
+        ``local`` directory; the intermediate ``gated`` artifact and
+        Q1's whole trigger + file-handoff round trip disappear.
+        Output rows are identical batch for batch (Q1 is a pure
+        function of the batch), so this is a topology knob, not a
+        semantics knob — the e2e test pins fused == unfused survivor
+        sets."""
         from weather_monitoring_spark.pipelines import curate_crawl
 
         trig = trigger or {"processingTime": "10 seconds"}
@@ -302,17 +317,23 @@ class StreamingCuration:
                 out = out.join(
                     pinned.select("doc_id", ts_col), "doc_id", "left"
                 )
-            if n_files:
-                out = out.coalesce(n_files)
-            staging = os.path.join(
-                gated_dir, "_staging", f"batch_id={batch_id}"
-            )
-            out.write.mode("overwrite").parquet(staging)
-            _atomic_promote(
-                batch_df.sparkSession,
-                staging,
-                os.path.join(gated_dir, f"batch_id={batch_id}"),
-            )
+            if fuse_local:
+                # Q1 fused into this trigger (docstring): batch-local
+                # keepers + band derivation publish directly into the
+                # dedup chain's local directory; no gated artifact.
+                self.dedup.local_batch(out, batch_id, n_files)
+                published = os.path.join(
+                    self.dedup.local_dir, f"batch_id={batch_id}"
+                )
+            else:
+                if n_files:
+                    out = out.coalesce(n_files)
+                staging = os.path.join(
+                    gated_dir, "_staging", f"batch_id={batch_id}"
+                )
+                out.write.mode("overwrite").parquet(staging)
+                published = os.path.join(gated_dir, f"batch_id={batch_id}")
+                _atomic_promote(batch_df.sparkSession, staging, published)
             if audit_dir:
                 # Per-batch audit sidecar — the streaming twin of
                 # pipelines.curation_report: an unbounded pipeline that
@@ -325,9 +346,10 @@ class StreamingCuration:
                 # (monitors can tail it), and idempotently overwritten
                 # on replay.
                 spark = batch_df.sparkSession
-                gated_n = spark.read.parquet(
-                    os.path.join(gated_dir, f"batch_id={batch_id}")
-                ).count()
+                # in fused mode the published artifact is the local-
+                # keeper batch, so `gated` counts post-local-dedup rows
+                # (documented in audit_report)
+                gated_n = spark.read.parquet(published).count()
                 rec = {
                     "batch_id": batch_id,
                     "offered": pinned.count(),
@@ -417,6 +439,67 @@ class StreamingCuration:
 
     # --------------------------- composition --------------------------
 
+    def attach_downstream(
+        self,
+        checkpoint_root: str,
+        trigger: dict | None = None,
+        output_files_per_batch: int | None = None,
+        max_files_per_trigger: int | None = None,
+        include_local: bool = True,
+    ) -> tuple[StreamingQuery, ...]:
+        """Start everything DOWNSTREAM of the gate stage — (Q1, Q2, Q3,
+        QS), or (Q2, Q3, QS) with ``include_local=False`` when the gate
+        stage fused Q1 into itself. Split out of :meth:`attach` so a
+        catch-up / backpressure scenario can start these LATER than the
+        gate stage: on a lagged start many gate batches merge into one
+        micro-batch per stage — the dedup SET stays correct, only the
+        keeper identity follows the merged-batch arbitration
+        (``StateStoreDocDedup.attach_exact`` determinism note)."""
+        ts_part = f", {self.ts_col} timestamp" if self.ts_col else ""
+        ts_sel = (self.ts_col,) if self.ts_col else ()
+        dedup_ckpt = os.path.join(checkpoint_root, "dedup")
+        qs_head: tuple[StreamingQuery, ...] = ()
+        if include_local:
+            gated = (
+                self.spark.readStream.schema(
+                    _GATED_SCHEMA + ts_part + ", batch_id long"
+                )
+                .option("basePath", self.gated_dir)
+                .option("ignoreMissingFiles", "true")
+            )
+            if max_files_per_trigger:
+                gated = gated.option(
+                    "maxFilesPerTrigger", max_files_per_trigger
+                )
+            gated_stream = gated.parquet(
+                os.path.join(self.gated_dir, "batch_id=*")
+            ).select("doc_id", "text", *ts_sel)
+            q1 = self.dedup.attach_local(
+                gated_stream,
+                os.path.join(dedup_ckpt, "local"),
+                trigger,
+                output_files_per_batch,
+            )
+            qs_head = (q1,)
+        q2 = self.dedup.attach_exact(
+            os.path.join(dedup_ckpt, "exact"),
+            trigger,
+            max_files_per_trigger=max_files_per_trigger,
+            output_files_per_batch=output_files_per_batch,
+        )
+        q3 = self.dedup.attach_fuzzy(
+            os.path.join(dedup_ckpt, "fuzzy"),
+            trigger,
+            max_files_per_trigger=max_files_per_trigger,
+            output_files_per_batch=output_files_per_batch,
+        )
+        qs = self.attach_shards(
+            os.path.join(checkpoint_root, "shards"),
+            trigger,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        return (*qs_head, q2, q3, qs)
+
     def attach(
         self,
         doc_stream: DataFrame,
@@ -424,9 +507,12 @@ class StreamingCuration:
         trigger: dict | None = None,
         output_files_per_batch: int | None = None,
         max_files_per_trigger: int | None = None,
+        fuse_local: bool = False,
     ) -> tuple[StreamingQuery, ...]:
         """Start the full query chain; returns (QA, Q1, Q2, Q3, QS) —
-        prefixed with QU when ``url_dedup_scope="global"``. One-file-
+        prefixed with QU when ``url_dedup_scope="global"``, and without
+        Q1 when ``fuse_local=True`` (the gate stage runs the batch-local
+        keepers inside its own trigger; :meth:`attach_gates`). One-file-
         per-batch + maxFilesPerTrigger=1 preserves batch granularity
         across every handoff (the dedup determinism contract,
         ``StateStoreDocDedup.attach_exact``)."""
@@ -442,7 +528,6 @@ class StreamingCuration:
                 stacklevel=2,
             )
         ts_part = f", {self.ts_col} timestamp" if self.ts_col else ""
-        ts_sel = (self.ts_col,) if self.ts_col else ()
         head: tuple[StreamingQuery, ...] = ()
         if self.url_dedup_scope == "global":
             qu = self.attach_url_dedup(
@@ -465,32 +550,16 @@ class StreamingCuration:
             os.path.join(checkpoint_root, "gates"),
             trigger,
             output_files_per_batch,
+            fuse_local=fuse_local,
         )
-        gated = (
-            self.spark.readStream.schema(
-                _GATED_SCHEMA + ts_part + ", batch_id long"
-            )
-            .option("basePath", self.gated_dir)
-            .option("ignoreMissingFiles", "true")
-        )
-        if max_files_per_trigger:
-            gated = gated.option("maxFilesPerTrigger", max_files_per_trigger)
-        gated_stream = gated.parquet(
-            os.path.join(self.gated_dir, "batch_id=*")
-        ).select("doc_id", "text", *ts_sel)
-        q1, q2, q3 = self.dedup.attach(
-            gated_stream,
-            os.path.join(checkpoint_root, "dedup"),
+        tail = self.attach_downstream(
+            checkpoint_root,
             trigger,
             output_files_per_batch=output_files_per_batch,
-            fuzzy_max_files_per_trigger=max_files_per_trigger,
-        )
-        qs = self.attach_shards(
-            os.path.join(checkpoint_root, "shards"),
-            trigger,
             max_files_per_trigger=max_files_per_trigger,
+            include_local=not fuse_local,
         )
-        return (*head, qa, q1, q2, q3, qs)
+        return (*head, qa, *tail)
 
     def corpus(self) -> DataFrame:
         """Deduplicated curated corpus (doc_id, text, fp)."""

@@ -28,10 +28,14 @@ the composition stays end-to-end exactly-once):
   Q1 (batch-local keepers, stateless): docs -> fp (NULL-text sentinel,
      the r12 null-identity contract) -> WITHIN the micro-batch: min-id
      keeper per fp, then min-id keeper per MinHash band bucket (the
-     parquet engine's 2a law) -> ``<out>/local/batch_id=N``. After this
-     stage a batch never carries two docs sharing a fingerprint or a
-     band bucket — the precondition that makes Q3's native dedup
-     semantics exact.
+     parquet engine's 2a law) -> ``<out>/local/batch_id=N``, each row
+     carrying its 27 band keys as a ``bands`` array column (r15): the
+     signature build — the chain's most expensive projection — runs
+     ONCE here and rides Q2's pass-through sink to Q3 as ~220 B/doc of
+     parquet instead of being re-derived from text every Q3 trigger.
+     After this stage a batch never carries two docs sharing a
+     fingerprint or a band bucket — the precondition that makes Q3's
+     native dedup semantics exact.
 
   Q2 (exact vs all history): Q1's sink -> ``dropDuplicates(["fp"])``
      (native streaming state; first arrival across all batches wins,
@@ -40,8 +44,9 @@ the composition stays end-to-end exactly-once):
      exactly one Q1 batch; see :meth:`attach_exact`) ->
      ``<out>/exact/`` file sink.
 
-  Q3 (fuzzy vs all history): Q2's sink -> MinHash band rows (band 0
-     carries the text so the 27x explode ships each text once) ->
+  Q3 (fuzzy vs all history): Q2's sink -> explode the precomputed
+     ``bands`` array into band rows (band 0 carries the text so the 27x
+     explode ships each text once) ->
      ``dropDuplicates`` on the (band_idx, bh) claim key packed
      EXACTLY into one long (bh's top 59 bits << 5 | band_idx — see
      :meth:`attach_fuzzy` for the injectivity argument; the lossy
@@ -151,14 +156,23 @@ def _atomic_promote(spark: SparkSession, staging: str, final: str) -> None:
         )
 
 
-def _band_rows(texted: DataFrame, extra: tuple = ()) -> DataFrame:
-    """(doc_id, text, fp, *extra, band_idx, bh) — the MinHash band
-    derivation of ``operators.dedup.minhash_signatures`` (arrow remix,
-    60-bit band keys, NULL keys for shingle-less docs) inlined WITH
-    passenger columns: the canonical function projects them away, and
-    rejoining them in a streaming plan would be a stream-stream
-    self-join. ``extra`` names additional passenger columns (the
-    watermark timestamp in bounded-horizon mode)."""
+def _with_band_array(texted: DataFrame, extra: tuple = ()) -> DataFrame:
+    """(doc_id, text, fp, *extra, bands array<bigint>) — the MinHash
+    band derivation of ``operators.dedup.minhash_signatures`` (arrow
+    remix, 60-bit band keys) as ONE array column, inlined WITH passenger
+    columns: the canonical function projects them away, and rejoining
+    them in a streaming plan would be a stream-stream self-join.
+    Shingle-less docs carry an array of NULL entries; the derivation is
+    NULL-safe end-to-end, so NULL-text rows simply propagate NULL bands.
+    ``extra`` names additional passenger columns (the watermark
+    timestamp in bounded-horizon mode).
+
+    The array form exists so Q1 can compute the signatures ONCE and
+    ship them through Q2's sink to Q3 as 27 int64 cells per doc
+    (~220 B) — before r15, Q3 re-derived the full tokenize -> shingle ->
+    minhash -> band chain from text, paying the engine's most expensive
+    projection twice per doc and re-analyzing its expression forest
+    every trigger (the composed-probe decomposition)."""
     from weather_monitoring_spark.functions.text import (
         h60_from_md5_sql,
         shingle_hashes_sql,
@@ -196,31 +210,38 @@ def _band_rows(texted: DataFrame, extra: tuple = ()) -> DataFrame:
                 f"ELSE {h60} END"
             ).alias(f"band_{b}")
         )
-    # Keys stay the exact two-column (band_idx, bh) form the parquet
-    # engine uses — NOT bit-packed into one long (60-bit hash + 27
-    # bands needs 5 index bits = 65 > 64; a 4-bit pack aliased bands
-    # 16-26 onto 0-10). Text rides band 0 only — the explode must not
-    # ship each text LSH_BANDS times.
-    return (
-        sigs.select(*keep, *band_cols)
-        .select(
-            "doc_id",
-            "text",
-            "fp",
-            *extra,
-            F.posexplode(
-                F.array(*[F.col(f"band_{b}") for b in range(LSH_BANDS)])
-            ).alias("band_idx", "bh"),
-        )
-        .select(
-            "doc_id",
-            F.when(F.col("band_idx") == 0, F.col("text")).alias("text"),
-            "fp",
-            *extra,
-            "band_idx",
-            "bh",
-        )
+    return sigs.select(*keep, F.array(*band_cols).alias("bands"))
+
+
+def _explode_bands(banded: DataFrame, extra: tuple = ()) -> DataFrame:
+    """``_with_band_array`` rows -> (doc_id, text, fp, *extra, band_idx,
+    bh). Keys stay the exact two-column (band_idx, bh) form the parquet
+    engine uses — NOT bit-packed into one long (60-bit hash + 27 bands
+    needs 5 index bits = 65 > 64; a 4-bit pack aliased bands 16-26 onto
+    0-10). Text rides band 0 only — the explode must not ship each text
+    LSH_BANDS times."""
+    return banded.select(
+        "doc_id",
+        "text",
+        "fp",
+        *extra,
+        F.posexplode("bands").alias("band_idx", "bh"),
+    ).select(
+        "doc_id",
+        F.when(F.col("band_idx") == 0, F.col("text")).alias("text"),
+        "fp",
+        *extra,
+        "band_idx",
+        "bh",
     )
+
+
+def _band_rows(texted: DataFrame, extra: tuple = ()) -> DataFrame:
+    """(doc_id, text-on-band-0, fp, *extra, band_idx, bh) — the exploded
+    band view derived from text (``_with_band_array`` + ``_explode_bands``;
+    kept as the one-call form the differential tests and standalone
+    callers use)."""
+    return _explode_bands(_with_band_array(texted, extra), extra)
 
 
 class StateStoreDocDedup:
@@ -253,13 +274,73 @@ class StateStoreDocDedup:
         self.horizon = dedup_horizon
         self.ts_col = event_time_col if dedup_horizon else None
         self._extra = (self.ts_col,) if self.ts_col else ()
-        self._schema = _DOC_SCHEMA + (
-            f", {self.ts_col} timestamp" if self.ts_col else ""
+        # Q1's batches (and Q2's pass-through sink) carry the MinHash
+        # band keys as an array column so Q3 never re-derives them from
+        # text (_with_band_array docstring). ~220 B/doc of parquet for
+        # one fewer full signature build + a trivially smaller Q3 plan.
+        self._schema = (
+            _DOC_SCHEMA
+            + ", bands array<bigint>"
+            + (f", {self.ts_col} timestamp" if self.ts_col else "")
         )
         os.makedirs(self.corpus_dir, exist_ok=True)
         os.makedirs(self.local_dir, exist_ok=True)
 
     # ------------------ Q1: batch-local keepers (stateless) ------------------
+
+    def local_batch(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        output_files_per_batch: int | None = None,
+    ) -> None:
+        """The Q1 micro-batch body as a plain batch function: batch-local
+        keepers + band-array derivation, atomically published to
+        ``<out>/local/batch_id=N``. Called by :meth:`attach_local`'s
+        foreachBatch, and DIRECTLY from an upstream foreachBatch that
+        fuses Q1 into itself (``StreamingCuration`` ``fuse_local`` —
+        Q1 is stateless per batch, so running it inside the producer's
+        trigger is semantically identical and saves one whole query's
+        trigger + file-handoff round trip per batch). foreachBatch
+        callables run on the driver, so a bound method is safe here."""
+        extra = self._extra
+        hashed = _with_fp(batch_df, extra)
+        w_min = hashed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        fresh = hashed.join(w_min, ["fp", "doc_id"], "left_semi")
+        # Bands computed HERE, once, and shipped downstream as an
+        # array column (``_with_band_array`` docstring): the keeper
+        # arithmetic below and Q3's claim explode both consume this
+        # derivation. NULL-safe, so no text filter needed — NULL
+        # text yields NULL bands, and the explode's bh-NULL filter
+        # keeps those rows out of the keeper math.
+        banded = _with_band_array(fresh, extra)
+        ex = banded.select(
+            "doc_id", F.posexplode("bands").alias("band_idx", "bh")
+        ).filter(F.col("bh").isNotNull())
+        keepers = ex.groupBy("band_idx", "bh").agg(
+            F.min("doc_id").alias("_keeper")
+        )
+        drops = (
+            ex.join(keepers, ["band_idx", "bh"])
+            .filter(F.col("doc_id") > F.col("_keeper"))
+            .select("doc_id")
+            .distinct()
+        )
+        out = banded.join(drops, "doc_id", "left_anti")
+        if output_files_per_batch:
+            out = out.coalesce(output_files_per_batch)
+        # Stage, then atomically rename into the listened directory
+        # (see _atomic_promote): Q2 must never list a half-written
+        # batch, and a replay must not strand dangling file refs.
+        staging = os.path.join(
+            self.local_dir, "_staging", f"batch_id={batch_id}"
+        )
+        out.write.mode("overwrite").parquet(staging)
+        _atomic_promote(
+            batch_df.sparkSession,
+            staging,
+            os.path.join(self.local_dir, f"batch_id={batch_id}"),
+        )
 
     def attach_local(
         self,
@@ -269,41 +350,10 @@ class StateStoreDocDedup:
         output_files_per_batch: int | None = None,
     ) -> StreamingQuery:
         trig = trigger or {"processingTime": "10 seconds"}
-        local_dir = self.local_dir
         n_files = output_files_per_batch
-        extra = self._extra
 
         def local_keepers(batch_df: DataFrame, batch_id: int) -> None:
-            hashed = _with_fp(batch_df, extra)
-            w_min = hashed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-            fresh = hashed.join(w_min, ["fp", "doc_id"], "left_semi")
-            bands = _band_rows(
-                fresh.filter(F.col("text").isNotNull())
-            ).filter(F.col("bh").isNotNull())
-            keepers = bands.groupBy("band_idx", "bh").agg(
-                F.min("doc_id").alias("_keeper")
-            )
-            drops = (
-                bands.join(keepers, ["band_idx", "bh"])
-                .filter(F.col("doc_id") > F.col("_keeper"))
-                .select("doc_id")
-                .distinct()
-            )
-            fresh = fresh.join(drops, "doc_id", "left_anti")
-            if n_files:
-                fresh = fresh.coalesce(n_files)
-            # Stage, then atomically rename into the listened directory
-            # (see _atomic_promote): Q2 must never list a half-written
-            # batch, and a replay must not strand dangling file refs.
-            staging = os.path.join(
-                local_dir, "_staging", f"batch_id={batch_id}"
-            )
-            fresh.write.mode("overwrite").parquet(staging)
-            _atomic_promote(
-                batch_df.sparkSession,
-                staging,
-                os.path.join(local_dir, f"batch_id={batch_id}"),
-            )
+            self.local_batch(batch_df, batch_id, n_files)
 
         return (
             doc_stream.writeStream.foreachBatch(local_keepers)
@@ -352,7 +402,7 @@ class StateStoreDocDedup:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         local = reader.parquet(
             os.path.join(self.local_dir, "batch_id=*")
-        ).select("doc_id", "text", "fp", *self._extra)
+        ).select("doc_id", "text", "fp", "bands", *self._extra)
         # native streaming state: first arrival of each fp wins; Q1 made
         # within-batch arrival unique, so "first" IS the min-id keeper.
         # The state KEY is the 16-byte binary digest, not the 32-char
@@ -394,14 +444,27 @@ class StateStoreDocDedup:
         checkpoint_dir: str,
         trigger: dict | None = None,
         max_files_per_trigger: int | None = None,
+        output_files_per_batch: int | None = None,
     ) -> StreamingQuery:
+        """``output_files_per_batch`` coalesces each published corpus
+        batch directory — REQUIRED (as 1) whenever a downstream
+        file-stream consumer bounds its triggers with
+        ``maxFilesPerTrigger=1`` and expects one trigger per corpus
+        batch: without it the assembler's aggregate writes one file per
+        shuffle partition and the consumer splinters each batch into
+        that many triggers (the composed probe measured the shard stage
+        running 97 triggers for 25 corpus batches, ~4x its per-batch
+        fixed overhead, before r15 added this knob)."""
         trig = trigger or {"processingTime": "10 seconds"}
         extra = self._extra
         reader = self.spark.readStream.schema(self._schema)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         exact = reader.parquet(self.exact_dir)
-        bands = _band_rows(exact.filter(F.col("text").isNotNull()), extra)
+        # Bands arrive precomputed from Q1 through Q2's sink — explode
+        # the stored array instead of re-deriving signatures from text
+        # (the pre-r15 form; _with_band_array docstring).
+        bands = _explode_bands(exact.filter(F.col("text").isNotNull()), extra)
         # BUCKET CLAIMS, natively stateful: a band row survives iff its
         # key was never presented in any earlier batch. Q1 guarantees at
         # most one doc per key per batch, so claims are never split
@@ -457,6 +520,7 @@ class StateStoreDocDedup:
         merged = claims.withColumn("bypass", F.lit(False)).unionByName(bypass)
         corpus_dir = self.corpus_dir
         n_bands = LSH_BANDS
+        n_files = output_files_per_batch
 
         def assemble(batch_df: DataFrame, batch_id: int) -> None:
             surv = (
@@ -473,6 +537,8 @@ class StateStoreDocDedup:
                 )
                 .select("doc_id", "text", "fp", *extra)
             )
+            if n_files:
+                surv = surv.coalesce(n_files)
             # Same staged atomic publish as Q1's sink: a downstream
             # file-stream consumer (e.g. the streaming shard packer)
             # must never list a half-written batch directory.
@@ -518,6 +584,7 @@ class StateStoreDocDedup:
             os.path.join(checkpoint_root, "fuzzy"),
             trigger,
             max_files_per_trigger=fuzzy_max_files_per_trigger,
+            output_files_per_batch=output_files_per_batch,
         )
         return q1, q2, q3
 
