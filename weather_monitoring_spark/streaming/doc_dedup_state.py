@@ -312,8 +312,15 @@ class StateStoreDocDedup:
         # arithmetic below and Q3's claim explode both consume this
         # derivation. NULL-safe, so no text filter needed — NULL
         # text yields NULL bands, and the explode's bh-NULL filter
-        # keeps those rows out of the keeper math.
-        banded = _with_band_array(fresh, extra)
+        # keeps those rows out of the keeper math. Pinned EAGERLY: the
+        # keeper graph references banded from three branches (keeper
+        # aggregate, drop join, anti-join), and each would re-run the
+        # fp semi-join + the Arrow signature pass — measured ~6.6 s of
+        # the unpinned form's ~7.6 s/2k-doc batch, almost all fixed
+        # re-execution + stage overhead, vs ~one evaluation pinned. The
+        # pin is O(trigger batch), the same bound the unfused parquet
+        # handoff already materialized.
+        banded = _with_band_array(fresh, extra).localCheckpoint(eager=True)
         ex = banded.select(
             "doc_id", F.posexplode("bands").alias("band_idx", "bh")
         ).filter(F.col("bh").isNotNull())
@@ -324,7 +331,8 @@ class StateStoreDocDedup:
             ex.join(keepers, ["band_idx", "bh"])
             .filter(F.col("doc_id") > F.col("_keeper"))
             .select("doc_id")
-            .distinct()
+            # no distinct: left_anti ignores right-side multiplicity,
+            # and the dedup shuffle was a whole extra stage per trigger
         )
         out = banded.join(drops, "doc_id", "left_anti")
         if output_files_per_batch:

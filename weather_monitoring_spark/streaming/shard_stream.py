@@ -84,6 +84,14 @@ def attach_shard_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if transform is not None:
             batch_df = transform(batch_df)
+        # Pin ONCE: the packer evaluates its input from several actions
+        # (emptiness probe, the pack cumsum, the self-join of docs with
+        # their shard assignment, the shard write, the manifest
+        # aggregate) — without the pin each re-runs the micro-batch
+        # plan, including the upstream state-store lookups and the
+        # decontamination join (measured ~7 s/batch on 1.7k-doc batches
+        # in the composed probe; pinned form is one evaluation).
+        batch_df = batch_df.localCheckpoint(eager=True)
         if batch_df.isEmpty():
             return
         bdir = os.path.join(out_dir, f"batch_id={batch_id}")
