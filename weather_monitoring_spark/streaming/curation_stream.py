@@ -3,9 +3,12 @@ an UNBOUNDED crawl feed (VERDICT r13 #5): WARC/WET segments landing in
 a directory flow through per-micro-batch quality gates, cross-batch
 exact+fuzzy dedup on the scan-free state-store engine, and the
 token-budgeted streaming shard packer — five chained checkpointed
-queries, each handoff either a transactional streaming file sink or the
-staged atomic-rename publish (doc_dedup_state._atomic_promote), so the
-composition stays end-to-end exactly-once.
+queries (four with ``fuse_local=True``: Q1 is stateless per batch and
+can run inside the gate trigger), each handoff either a transactional
+streaming file sink or the staged atomic-rename publish
+(doc_dedup_state._atomic_promote), so the composition stays end-to-end
+exactly-once in unbounded mode (bounded-horizon qualification:
+doc_dedup_state module header).
 
 Topology:
 

@@ -46,11 +46,10 @@ the composition stays end-to-end exactly-once):
 
   Q3 (fuzzy vs all history): Q2's sink -> explode the precomputed
      ``bands`` array into band rows (band 0 carries the text so the 27x
-     explode ships each text once) ->
-     ``dropDuplicates`` on the (band_idx, bh) claim key packed
-     EXACTLY into one long (bh's top 59 bits << 5 | band_idx — see
-     :meth:`attach_fuzzy` for the injectivity argument; the lossy
-     4-bit pack of the first cut was rejected in r13) = BUCKET CLAIMS:
+     explode ships each text once) -> ``dropDuplicates`` on the
+     two-column (band_idx, bh) claim key (a single-long bit-pack was
+     measured WORSE on live SST bytes and reverted — see
+     :meth:`attach_fuzzy`) = BUCKET CLAIMS:
      a row survives iff its bucket was never claimed in any earlier
      batch. foreachBatch assembles: a doc survives iff ALL its band
      rows survived (any lost claim = near-dup of the existing corpus),
@@ -480,31 +479,25 @@ class StateStoreDocDedup:
         # expires with the watermark, so a near-dup of content older
         # than the horizon is re-admitted (matching the fp stage).
         #
-        # State KEY (r14 verdict #3): the (band_idx, bh) pair packed
-        # into ONE long — the top 59 bits of the 60-bit band hash
-        # shifted left 5, OR'd with the band index (27 < 32 fits 5
-        # bits). Injective in (bh>>1, band_idx), so the only semantic
-        # change vs the two-column key is dropping the hash's lowest
-        # bit: within-band spurious-collision rate moves from ~2^-60 to
-        # ~2^-59 per pair — both astronomically below the MinHash
-        # band-collision rate that IS the operator's signal. A 4-bit
-        # pack was rejected in r13 (aliased bands 16-26 onto 0-10);
-        # 5 bits is exact. Bitwise ops, no ANSI overflow. Two UnsafeRow
-        # key fields -> one: measured live-SST B/row drop recorded in
-        # scripts/probe_dedup_state_size.json. (New-checkpoint change:
-        # an existing pre-r15 checkpoint's claim-state schema differs —
-        # restart streams from a fresh checkpoint or keep the old build
-        # for them.)
-        unexpired = bands.filter(F.col("bh").isNotNull()).withColumn(
-            "_claim", F.expr("shiftleft(shiftright(bh, 1), 5) | band_idx")
-        )
+        # State KEY: the two-column (band_idx, bh) form — MEASURED
+        # better than the r15-opening single-long pack
+        # (shiftleft(shiftright(bh,1),5)|band_idx), which was reverted
+        # on instruments: the pack shrinks the raw UnsafeRow key 24->16
+        # bytes but randomizes the RocksDB sort order (bh-major), while
+        # the two-column key is band_idx-major — ~960k-key sorted runs
+        # share a 12-byte block prefix, and live SST converged to
+        # 14.5 B/row at 26M keys vs the pack's 18.1 (both probed on the
+        # 1.1M-doc workload, scripts/probe_dedup_state_size.json:
+        # prefix locality beats raw key width ~25% at scale). The fp
+        # stage keeps its unhex key — there the 16-byte digest IS the
+        # entropy and measured 39.1 -> 28.2 B/row.
+        unexpired = bands.filter(F.col("bh").isNotNull())
         if self.horizon:
             claims = unexpired.withWatermark(
                 self.ts_col, self.horizon
-            ).dropDuplicatesWithinWatermark(["_claim"])
+            ).dropDuplicatesWithinWatermark(["band_idx", "bh"])
         else:
-            claims = unexpired.dropDuplicates(["_claim"])
-        claims = claims.drop("_claim")
+            claims = unexpired.dropDuplicates(["band_idx", "bh"])
         # UNKNOWN-content rows bypass the claim state: NULL text (no
         # content to be near) and shingle-less docs (NULL band keys —
         # one shared NULL "claim" would collapse every short doc, the
