@@ -197,3 +197,39 @@ def test_state_engine_bounded_horizon_expires_and_readmits(spark, tmp_path):
     assert got == [1, 2, 5, 6, 7], got
     # the corpus carries the event-time column in horizon mode
     assert "ts" in dd.corpus().columns
+
+
+def test_arrival_ordered_keepers_on_merged_batches(spark, tmp_path):
+    """Lagged-start catch-up law (found by the backpressure probe): when
+    one Q1 trigger merges many upstream batches, the keeper must order
+    by (upstream arrival, doc_id), not bare min doc_id — doc_ids are
+    content-derived, not arrival-ordered, so bare min-id picks a
+    DIFFERENT near-dup survivor than the lockstep run would. Crafted
+    merged batch: original A (doc_id 10, arrived batch 0) and its
+    near-dup B (doc_id 5, arrived batch 1, smaller id). Lockstep keeps
+    A (first arrival); arrival-ordered catch-up must too; bare min-id
+    keeps B — the divergence the probe measured on 2,380/100k pages."""
+    base = _varied("alpha")
+    near = " ".join(base.split()[:-1])  # strictly shorter near-dup
+
+    rows = [(10, base, 0), (5, near, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, arr long")
+
+    def survivors(arrival_col):
+        out = str(tmp_path / f"dd_{arrival_col}")
+        dd = StateStoreDocDedup(spark, out)
+        dd.local_batch(df, 0, output_files_per_batch=1,
+                       arrival_col=arrival_col)
+        got = spark.read.parquet(
+            os.path.join(dd.local_dir, "batch_id=0")
+        )
+        assert "arr" not in got.columns  # ordering key is not shipped
+        assert "bands" in got.columns
+        return sorted(r.doc_id for r in got.select("doc_id").collect())
+
+    # arrival-ordered: the original (arrived first) wins despite the
+    # larger doc_id
+    assert survivors("arr") == [10]
+    # bare min-id (the pre-fix law, still the contract for single-batch
+    # triggers where arrival is constant): the near-dup's smaller id wins
+    assert survivors(None) == [5]

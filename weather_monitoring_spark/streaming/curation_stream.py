@@ -482,14 +482,21 @@ class StreamingCuration:
                 gated = gated.option(
                     "maxFilesPerTrigger", max_files_per_trigger
                 )
+            # batch_id rides along as the ARRIVAL key: on a lagged
+            # start Q1 merges many gate batches into one trigger, and
+            # the keeper law must order by upstream arrival first so
+            # catch-up picks the same near-dup survivors as lockstep
+            # (local_batch arrival_col docstring; found by the
+            # backpressure probe).
             gated_stream = gated.parquet(
                 os.path.join(self.gated_dir, "batch_id=*")
-            ).select("doc_id", "text", *ts_sel)
+            ).select("doc_id", "text", "batch_id", *ts_sel)
             q1 = self.dedup.attach_local(
                 gated_stream,
                 os.path.join(dedup_ckpt, "local"),
                 trigger,
                 output_files_per_batch,
+                arrival_col="batch_id",
             )
             qs_head = (q1,)
         q2 = self.dedup.attach_exact(
