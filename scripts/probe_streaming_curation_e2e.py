@@ -21,8 +21,13 @@ keeper laws legitimately pick different members). Chains are never
 generated — that one documented divergence class is pinned separately
 by tests/test_dedup_engines_differential.py.
 
-Run: python scripts/probe_streaming_curation_e2e.py [N_SEGMENTS] [PAGES_PER_SEG]
-Writes scripts/probe_streaming_curation_e2e.json.
+Run: python scripts/probe_streaming_curation_e2e.py [N_SEGMENTS] [PAGES_PER_SEG] [bench]
+Writes scripts/probe_streaming_curation_e2e.json (or ..._bench.json with
+the third arg, which enables the streaming DECONTAMINATION gate: a
+200-doc evaluation set drawn from real original pages is passed as
+``bench=`` to both paths, and the packed shard content set must equal
+the batch path's ``clean`` stage — the r15 streaming-decontam law at
+probe scale, not just the unit-test corpus).
 """
 
 from __future__ import annotations
@@ -45,6 +50,7 @@ from weather_monitoring_spark.session import get_spark
 
 N_SEGMENTS = int(sys.argv[1]) if len(sys.argv) > 1 else 12
 PAGES_PER_SEG = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+BENCH_MODE = len(sys.argv) > 3 and sys.argv[3] == "bench"
 WORDS = 40
 
 
@@ -142,8 +148,28 @@ def main() -> None:
     warc_dir = os.path.join(work, "crawl")
     os.makedirs(warc_dir)
 
+    bench_df = None
+    if BENCH_MODE:
+        # 200 evaluation docs = verbatim copies of real ORIGINAL pages
+        # spread across segments (max shingle overlap -> every one that
+        # survives dedup must be dropped by the decontamination gate)
+        n_exact = int(PAGES_PER_SEG * 0.10)
+        n_near = int(PAGES_PER_SEG * 0.05)
+        n_short = int(PAGES_PER_SEG * 0.02)
+        orig_lo = n_exact + n_near + n_short
+        rows = []
+        for j in range(200):
+            seg = j % N_SEGMENTS
+            i = orig_lo + (j * 7) % (PAGES_PER_SEG - orig_lo)
+            rows.append((10_000_000 + j, " ".join(_body_words(seg, i))))
+        bench_df = spark.createDataFrame(rows, "doc_id long, text string")
+
     cur = StreamingCuration(
-        spark, os.path.join(work, "out"), min_tokens=5, shard_budget=5000
+        spark,
+        os.path.join(work, "out"),
+        min_tokens=5,
+        shard_budget=5000,
+        bench=bench_df,
     )
     docs = warc_responses_to_documents(
         # intra-file parallel parse (r15): one file per trigger would
@@ -251,7 +277,7 @@ def main() -> None:
     stream_hashes = {
         r.h for r in cur.corpus().select(F.md5("text").alias("h")).collect()
     }
-    shard_rows = cur.shards().select("doc_id").collect()
+    shard_rows = cur.shards().select("doc_id", F.md5("text").alias("h")).collect()
 
     # ---- batch path on the same bytes
     tb = time.time()
@@ -263,11 +289,20 @@ def main() -> None:
             warc_responses_to_documents(read_warc(spark, warc_dir)),
             min_tokens=5,
             checkpoint=True,
+            bench=bench_df,
         )
         batch_hashes = {
             r.h
             for r in stages.survivors.select(F.md5("text").alias("h")).collect()
         }
+        clean_hashes = None
+        if BENCH_MODE:
+            clean_hashes = {
+                r.h
+                for r in stages.clean.select(
+                    F.md5("text").alias("h")
+                ).collect()
+            }
     batch_wall = time.time() - tb
 
     result = {
@@ -291,9 +326,21 @@ def main() -> None:
         "stream_minus_batch": len(stream_hashes - batch_hashes),
         "batch_minus_stream": len(batch_hashes - stream_hashes),
     }
+    if BENCH_MODE:
+        shard_hashes = {r.h for r in shard_rows}
+        result["bench_mode"] = {
+            "bench_docs": 200,
+            "contaminated_stream": len(stream_hashes) - len(shard_hashes),
+            "contaminated_batch": len(batch_hashes) - len(clean_hashes),
+            "shard_set_equals_batch_clean": shard_hashes == clean_hashes,
+            "shard_minus_clean": len(shard_hashes - clean_hashes),
+            "clean_minus_shard": len(clean_hashes - shard_hashes),
+        }
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        "probe_streaming_curation_e2e.json",
+        "probe_streaming_curation_e2e_bench.json"
+        if BENCH_MODE
+        else "probe_streaming_curation_e2e.json",
     )
     with open(path, "w") as f:
         json.dump(result, f, indent=1)

@@ -268,7 +268,17 @@ class StreamingCuration:
         Output rows are identical batch for batch (Q1 is a pure
         function of the batch), so this is a topology knob, not a
         semantics knob — the e2e test pins fused == unfused survivor
-        sets."""
+        sets.
+
+        Lagged-start caveat: in UNFUSED mode a downstream catch-up
+        merge is arrival-ordered (the gate batch_id rides the handoff;
+        ``StateStoreDocDedup.local_batch`` ``arrival_col``). A FUSED
+        gate stage that itself starts lagged with an uncapped source
+        merges raw files into one trigger with no arrival key, so
+        near-dup keeper arbitration inside that merged batch falls back
+        to min-doc_id — bound the gate source
+        (``maxFilesPerTrigger``) or use the unfused topology when
+        lockstep-equal catch-up survivors matter."""
         from weather_monitoring_spark.pipelines import curate_crawl
 
         trig = trigger or {"processingTime": "10 seconds"}
