@@ -425,11 +425,18 @@ def test_streaming_decontamination_matches_batch_clean_stage(
     assert any("decontamination" in str(w.message) for w in caught)
 
 
-def test_composed_pipeline_threads_the_dedup_horizon(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("fuse", [False, True])
+def test_composed_pipeline_threads_the_dedup_horizon(spark, tmp_path, fuse):
     """dedup_horizon on StreamingCuration: the event time rides from
     the source through the gate stage into the TTL'd dedup state — a
     re-crawl of identical content WITHIN the horizon is dropped, one
-    past it is re-admitted, and the re-admitted copy is packed again."""
+    past it is re-admitted, and the re-admitted copy is packed again.
+    Parametrized over ``fuse_local`` (r15): the fused gate stage must
+    thread the event time into local_batch's band derivation and out to
+    Q2 identically."""
     import json
 
     def html(tag):
@@ -476,6 +483,7 @@ def test_composed_pipeline_threads_the_dedup_horizon(spark, tmp_path):
             trigger={"availableNow": True},
             output_files_per_batch=1,
             max_files_per_trigger=1,
+            fuse_local=fuse,
         )
         for q in queries:
             q.awaitTermination()

@@ -95,6 +95,23 @@ from weather_monitoring_spark.streaming.shard_stream import attach_shard_stream
 _GATED_SCHEMA = "doc_id long, text string"
 
 
+def _parquet_footer_rows(local_dir: str) -> int:
+    """Row count of a local parquet directory from file footers only —
+    no Spark job. Used by the per-batch audit sidecar (the count is an
+    audit property of files just written by this process, so the local
+    filesystem is the common case; callers fall back to a Spark read
+    for non-local paths)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in os.listdir(local_dir):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(
+                os.path.join(local_dir, name)
+            ).metadata.num_rows
+    return total
+
+
 class StreamingCuration:
     """Composed streaming curation (see module docstring)."""
 
@@ -366,11 +383,17 @@ class StreamingCuration:
                 # its presence implies the batch is fully published
                 # (monitors can tail it), and idempotently overwritten
                 # on replay.
-                spark = batch_df.sparkSession
                 # in fused mode the published artifact is the local-
                 # keeper batch, so `gated` counts post-local-dedup rows
-                # (documented in audit_report)
-                gated_n = spark.read.parquet(published).count()
+                # (documented in audit_report). Footer-only count: on a
+                # local filesystem the parquet metadata is read driver-
+                # side (~ms) instead of scheduling a Spark job per batch
+                # (~0.3-0.4 s of the gate trigger, measured in the
+                # decomposition probe); non-local paths keep the Spark
+                # read.
+                gated_n = _parquet_footer_rows(
+                    published
+                ) if os.path.isdir(published) else batch_df.sparkSession.read.parquet(published).count()
                 rec = {
                     "batch_id": batch_id,
                     "offered": pinned.count(),
