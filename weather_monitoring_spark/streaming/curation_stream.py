@@ -68,7 +68,16 @@ e2e test and the committed probe.
 Scale shape: every stage is per-batch bounded (gates are projections;
 the packer's cumsum is within-batch) except the dedup state, which is
 point-lookup keyed (flat per-batch, growth probe committed). Nothing
-scans history.
+scans history. Two long-horizon housekeeping terms, both standard
+Spark knobs rather than engine code: (1) the file-stream SOURCES list
+their directories every trigger, and the published ``batch_id=N``
+directories accumulate — on a months-long stream bound the listing with
+the file-source's ``maxFileAge`` (default 7d already ages out old
+entries from the tracking map) and compact/archive old batch dirs the
+same way ``streaming/archive.py`` compacts its partitions; (2) the
+checkpoint's source/offset logs self-compact
+(``spark.sql.streaming.fileSource.log.compactInterval``). Neither term
+touches per-trigger compute — they bound metadata, not data.
 
 Reference parity: the reference's streaming chain ends at an index
 (SparkParquetStreamingToElasticsearch.java); this is the brief's
