@@ -54,6 +54,35 @@ BENCH_MODE = len(sys.argv) > 3 and sys.argv[3] == "bench"
 WORDS = 40
 
 
+def _par32() -> float | None:
+    """One host-anchor par32 sample (scripts/host_anchor.py) — the
+    probe BRACKETS each leg so the stream/batch ratio self-attributes
+    its windows: the r15 re-run measured the stream leg throttled and
+    the batch leg quiet (5.75x) hours after the symmetric-window run
+    measured 3.65x; without embedded anchors the JSON cannot tell those
+    apart (the bench.py bracket discipline, applied here)."""
+    import json as _json
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "host_anchor.py"),
+                "--par32-only",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        return _json.loads(out.stdout.strip().splitlines()[-1])["anchor"][
+            "par32_s"
+        ]
+    except Exception:
+        return None
+
+
 def _h(*parts) -> int:
     return int.from_bytes(
         hashlib.md5(":".join(map(str, parts)).encode()).digest()[:8], "big"
@@ -178,6 +207,7 @@ def main() -> None:
             spark, warc_dir, max_files_per_trigger=1, chunk_bytes=1 << 20
         )
     )
+    par32_pre = _par32()
     t0 = time.time()
     # fuse_local (r15): Q1's batch-local keepers run inside the gate
     # trigger — 4 chained queries instead of 5, one fewer file-handoff
@@ -280,6 +310,7 @@ def main() -> None:
     shard_rows = cur.shards().select("doc_id", F.md5("text").alias("h")).collect()
 
     # ---- batch path on the same bytes
+    par32_mid = _par32()
     tb = time.time()
     with warnings.catch_warnings():
         warnings.filterwarnings("ignore", message=".*decontamination.*")
@@ -304,8 +335,14 @@ def main() -> None:
                 ).collect()
             }
     batch_wall = time.time() - tb
+    par32_post = _par32()
 
     result = {
+        "anchor_par32": {
+            "pre_stream": par32_pre,
+            "between_legs": par32_mid,
+            "post_batch": par32_post,
+        },
         "segments": N_SEGMENTS,
         "pages_per_segment": PAGES_PER_SEG,
         "pages_offered": N_SEGMENTS * PAGES_PER_SEG,
