@@ -51,6 +51,7 @@ def main() -> None:
         StreamingCuration,
     )
 
+    gen.reset_generator_state()
     spark = get_spark(
         master="local[8]",
         shuffle_partitions=8,

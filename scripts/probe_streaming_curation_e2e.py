@@ -110,6 +110,16 @@ def _record(url: str, body: bytes) -> bytes:
     return hdr + http + b"\r\n\r\n"
 
 
+# near-target reuse tracker (write_segment near-dup branch): maps
+# (source_seg, slot) -> times targeted so far, so repeated targets get
+# strictly increasing mutation depth. Reset per corpus.
+_NEAR_SEEN: dict = {}
+
+
+def reset_generator_state() -> None:
+    _NEAR_SEEN.clear()
+
+
 def write_segment(path: str, seg: int, pages: int | None = None) -> None:
     pages = PAGES_PER_SEG if pages is None else pages
     n_exact = int(pages * 0.10)
@@ -128,15 +138,28 @@ def write_segment(path: str, seg: int, pages: int | None = None) -> None:
             sb = _h(seg, i) % seg
             words = _body_words(sb, orig_lo + _h(seg, i, 9) % half)
         elif seg > 0 and i < n_exact + n_near:
-            # near-dup of a REAL original (second half), target (sb,si)
-            # INJECTIVE in the global near index -> no tie pairs (two
-            # same-length mutants of one original are a quality tie the
-            # two keeper laws may break differently)
+            # near-dup of a REAL original (second half). The target map
+            # (near_idx // pool) % seg is injective at the validated
+            # shapes but CAN collide at others (measured: exactly one
+            # collision at 12x8000 -> two same-length mutants of one
+            # original = the quality-TIE class the two keeper laws may
+            # legitimately break differently -> 1/1 divergence). Repeat
+            # targets therefore get strictly INCREASING mutation depth:
+            # mutants of one original always differ in length (no tie),
+            # and deeper mutants form the documented CHAIN class, which
+            # BOTH paths drop entirely (batch: quality-argmax per
+            # connected component; streaming: first-presenter claims).
+            # Depth 0 everywhere targets never repeat -> previously
+            # validated corpora are byte-identical.
             near_idx = (seg - 1) * n_near + (i - n_exact)
             pool = orig_count - half
             sb = (near_idx // pool) % seg
-            words = _body_words(sb, orig_lo + half + near_idx % pool)
-            del words[_h(seg, i, 7) % len(words)]  # strictly shorter
+            slot = orig_lo + half + near_idx % pool
+            words = _body_words(sb, slot)
+            depth = _NEAR_SEEN.get((sb, slot), 0)
+            _NEAR_SEEN[(sb, slot)] = depth + 1
+            for k in range(depth + 1):
+                del words[_h(seg, i, 7, k) % len(words)]
         elif i < n_exact + n_near + n_short:
             words = ["too", "short"]
         else:
@@ -156,6 +179,8 @@ def main() -> None:
     from weather_monitoring_spark.streaming.curation_stream import (
         StreamingCuration,
     )
+
+    reset_generator_state()
 
     spark = get_spark(
         master="local[8]",
