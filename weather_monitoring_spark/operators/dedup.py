@@ -161,12 +161,19 @@ def _filtered_shingles(
     id_col: str,
     text_col: str,
     max_shingle_df: int | str | None,
+    restrict_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Exploded (id, shingle) rows with the hot-shingle df cutoff applied.
 
     ``max_shingle_df``: ``"auto"`` derives the cutoff from the corpus size
     (shingle_df_cutoff), an int pins it, ``None`` disables the guard
-    (oracle cross-checks only — never at scale)."""
+    (oracle cross-checks only — never at scale).
+
+    ``restrict_ids`` (one ``id`` column): semi-join the output down to
+    these documents BEFORE the pin below — the df cutoff is still derived
+    from (and hot shingles counted over) the FULL corpus, so filtered-
+    universe Jaccard values are unchanged; only the materialized set
+    shrinks to the docs a verification stage will actually touch."""
     sh = (
         docs.withColumn("_tk", tokens_expr(text_col))
         .select(F.col(id_col).alias("id"), F.explode(shingles_expr("_tk")).alias("s"))
@@ -195,6 +202,8 @@ def _filtered_shingles(
             F.col("df") > max_shingle_df
         )
         sh = sh.join(F.broadcast(hot.select("s")), "s", "left_anti")
+    if restrict_ids is not None:
+        sh = sh.join(restrict_ids, "id", "left_semi")
     # Pin the exploded+filtered shingle table: every consumer joins it
     # against itself (or uses it twice — sizes + pairs), and recomputing
     # tokenize/shingle/explode per branch costs more than materializing
@@ -262,15 +271,25 @@ def ngram_jaccard_verify(
     pair-first (candidates ⨝ shingles(a) ⨝ shingles(b)), so the expensive
     stage costs O(|candidates| * avg_shingles), NOT the full
     inverted-index co-occurrence — the property that makes LSH worth
-    running at 100 TB."""
-    cand = candidates.select("id_a", "id_b")
+    running at 100 TB.
+
+    The candidate set is pinned (localCheckpoint) on entry: it is
+    referenced three times below (both id legs + the pair join), and
+    when the caller hands over a full LSH plan (q50), re-deriving it per
+    reference tripled the candidate pipeline — the r15 plan audit
+    measured the composed q50 plan at 859 physical operators before /
+    ~a third of that after pinning here."""
+    cand = candidates.select("id_a", "id_b").localCheckpoint(eager=False)
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = _filtered_shingles(docs, id_col, text_col, max_shingle_df).join(
-        cand_ids, "id", "left_semi"
+    # Restriction happens INSIDE _filtered_shingles, upstream of its pin:
+    # only candidate docs' shingles are materialized (cutoff still
+    # corpus-derived, so Jaccard values are identical).
+    sh = _filtered_shingles(
+        docs, id_col, text_col, max_shingle_df, restrict_ids=cand_ids
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     sha = sh.select(F.col("id").alias("id_a"), F.col("s").alias("s"))
@@ -381,17 +400,10 @@ def minhash_signatures(
         .withColumn("_sh", shingles_expr("_tk"))
     )
     if method == "arrow":
-        sigs = (
-            with_sh.select(
-                F.col(id_col),
-                F.expr(shingle_hashes_sql("_sh")).alias("_hs"),
-            )
-            .select(F.col(id_col), _minhash_arrow_expr("_hs", k).alias("_mh"))
-            .select(
-                F.col(id_col),
-                *[F.col("_mh")[i].alias(f"mh_{i}") for i in range(k)],
-            )
-        )
+        sigs = with_sh.select(
+            F.col(id_col),
+            F.expr(shingle_hashes_sql("_sh")).alias("_hs"),
+        ).select(F.col(id_col), _minhash_arrow_expr("_hs", k).alias("_mh"))
     else:
         hashed = with_sh.select(
             F.col(id_col),
@@ -403,12 +415,21 @@ def minhash_signatures(
             aggs.append(
                 F.min(F.expr(f"(_h * {a} + {b}) % {MINHASH_P}")).alias(f"mh_{i}")
             )
-        sigs = hashed.groupBy(id_col).agg(*aggs)
-    band_cols = []
-    for b in range(LSH_BANDS):
-        parts = ", ".join(
-            f"CAST(mh_{b * LSH_ROWS + r} AS STRING)" for r in range(LSH_ROWS)
+        sigs = hashed.groupBy(id_col).agg(*aggs).select(
+            F.col(id_col),
+            F.expr(f"array({', '.join(f'mh_{i}' for i in range(k))})").alias("_mh"),
         )
+    # The sig + band projection is assembled as SQL TEXT over the _mh
+    # array and applied in ONE selectExpr: the previous column-object
+    # form (k per-column F.col/.alias/getItem calls plus k casts) cost
+    # ~5,500 py4j round-trips ≈ 1.3 s of driver-side socket chatter PER
+    # PLAN BUILD (cProfile, r15) — the JVM now parses the same
+    # expressions from a single call, and the k-column-wide intermediate
+    # Project disappears from the physical plan.
+    mh = [f"CAST(_mh[{i}] AS STRING)" for i in range(k)]
+    band_exprs = []
+    for b in range(LSH_BANDS):
+        parts = ", ".join(mh[b * LSH_ROWS : (b + 1) * LSH_ROWS])
         # A shingle-less doc (< 3 tokens) has all-NULL minhashes; its
         # band key must be NULL, not h60(md5('')): a shared sentinel
         # bucket made every short doc an LSH candidate of every other
@@ -417,14 +438,12 @@ def minhash_signatures(
         # equality/semi/anti join downstream — no pairing, by type
         # system rather than by special case. Oracle mirrors the CASE.
         h60 = h60_from_md5_sql(f"md5(concat_ws('-', {parts}))")
-        band_cols.append(
-            F.expr(
-                f"CASE WHEN mh_0 IS NULL THEN CAST(NULL AS BIGINT) "
-                f"ELSE {h60} END"
-            ).alias(f"band_{b}")
+        band_exprs.append(
+            f"CASE WHEN _mh[0] IS NULL THEN CAST(NULL AS BIGINT) "
+            f"ELSE {h60} END AS band_{b}"
         )
-    sig_str = F.concat_ws("-", *[F.col(f"mh_{i}").cast("string") for i in range(k)])
-    return sigs.select(F.col(id_col), sig_str.alias("sig"), *band_cols)
+    sig_sql = f"concat_ws('-', {', '.join(mh)}) AS sig"
+    return sigs.selectExpr(id_col, sig_sql, *band_exprs)
 
 
 def minhash_lsh_pairs(
@@ -454,16 +473,16 @@ def minhash_lsh_pairs(
     (plans/llm_queries.o_band_candidates) mirror the guard from the same
     constants."""
     sigs = minhash_signatures(docs, id_col, text_col)
-    bands = sigs.select(
-        F.col(id_col).alias("id"),
+    bands = sigs.selectExpr(
+        f"{id_col} AS id",
         # 60-bit digest of the full signature: the exact-dedup key for
         # hot-bucket star routing (identical docs <=> identical sigs),
         # packed to a BIGINT so the pinned band table carries an 8-byte
         # key instead of a 32-char hex string (oracle mirrors the pack).
-        F.expr(h60_from_md5_sql("md5(sig)")).alias("fp"),
-        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(LSH_BANDS)])).alias(
-            "band_idx", "bh"
-        ),
+        f"{h60_from_md5_sql('md5(sig)')} AS fp",
+        "posexplode(array("
+        + ", ".join(f"band_{b}" for b in range(LSH_BANDS))
+        + ")) AS (band_idx, bh)",
     # Pin: both sides of the self-join derive from bands, and the MinHash
     # signature expressions are the expensive part — evaluate them once.
     ).localCheckpoint(eager=False)
@@ -486,6 +505,12 @@ def minhash_lsh_pairs(
             )
         else:
             hot = bdf.filter(F.col("df") > max_band_df).select("band_idx", "bh")
+        # Pin the (tiny, >cap-membership) hot-bucket set: it is referenced
+        # four times below (cold feeds both sides of the self-join,
+        # members feeds keepers and the star join), and un-pinned each
+        # reference re-derived the full bucket-count aggregate + corpus
+        # count (4x the guard's cost in the r15 plan audit).
+        hot = hot.localCheckpoint(eager=False)
         # Hot buckets are few by construction (each holds >cap docs).
         cold = bands.join(F.broadcast(hot), ["band_idx", "bh"], "left_anti")
         members = (

@@ -52,7 +52,7 @@ from weather_monitoring_spark.sources.tables import load_table
 )
 def q13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load_table(spark, sf_dir, "lineitem")
+        load_table(spark, sf_dir, "lineitem", spread=True)
         .cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("cnt"),

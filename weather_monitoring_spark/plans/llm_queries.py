@@ -144,7 +144,7 @@ def _o_lang_case() -> str:
     tags=("llm", "text", "fingerprint"),
 )
 def q26_doc_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return doc_annotations(load_table(spark, sf_dir, "documents"))
+    return doc_annotations(load_table(spark, sf_dir, "documents", spread=True))
 
 
 #: Deterministic synthetic PII suffix for q27 — built from doc_id with
@@ -210,7 +210,9 @@ def _o_pii_quality() -> str:
     tags=("llm", "text", "quality", "pii"),
 )
 def q27_pii_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quality_annotations(_plant_pii(load_table(spark, sf_dir, "documents")))
+    return quality_annotations(
+        _plant_pii(load_table(spark, sf_dir, "documents", spread=True))
+    )
 
 
 O_DOC_SHINGLE_HASHES = (
@@ -257,7 +259,9 @@ def _o_minhash_sig() -> str:
     tags=("llm", "dedup", "minhash"),
 )
 def q30_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_signatures(load_table(spark, sf_dir, "documents")).select(
+    return minhash_signatures(
+        load_table(spark, sf_dir, "documents", spread=True)
+    ).select(
         "doc_id", "sig"
     )
 
@@ -311,7 +315,7 @@ def o_band_candidates(docs_table: str = "documents") -> str:
     tags=("llm", "dedup", "minhash", "join"),
 )
 def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents", spread=True))
 
 
 # Shared oracle CTE chain: exploded shingles with the hot-shingle df
@@ -350,7 +354,7 @@ O_FILTERED_SH = f"""
     tags=("llm", "dedup", "join"),
 )
 def q32_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def _o_simhash() -> str:
@@ -405,7 +409,7 @@ def _o_simhash() -> str:
     tags=("llm", "dedup", "simhash", "join"),
 )
 def q34_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_neardup_pairs(load_table(spark, sf_dir, "documents"))
+    return simhash_neardup_pairs(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def _o_cosine(a: str, b: str) -> str:
@@ -437,7 +441,9 @@ def _o_cosine(a: str, b: str) -> str:
     tags=("llm", "similarity", "topk"),
 )
 def q35_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_topk(load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS)
+    return cosine_topk(
+        load_table(spark, sf_dir, "embeddings", spread=True), QUERY_VEC_IDS
+    )
 
 
 @query(
@@ -560,7 +566,7 @@ def q37_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "pipeline"),
 )
 def q50_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     # LSH candidates first (cheap); exact Jaccard ONLY on candidates.
     candidates = minhash_lsh_pairs(docs)
     verified = ngram_jaccard_verify(docs, candidates)
@@ -594,7 +600,7 @@ def q50_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q51_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_monitoring_spark.operators.textops import text_stats, token_counts
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     stats = text_stats(docs).select("doc_id", "n_chars", "alpha_ratio", "stopword_ratio")
     tokens = token_counts(docs).select("doc_id", "bpe_tokens")
     return (
@@ -628,7 +634,7 @@ def q51_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "json"),
 )
 def q52_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", spread=True)
     k = F.get_json_object("props", "$.k").cast("int")
     return ev.select(
         "event_id",

@@ -30,8 +30,67 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: File count above which a scan is assumed splittable enough without
+#: reading footers (each file is at least one independent map unit).
+_SPREAD_FILE_CAP = 256
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def _scan_units(path: str) -> int:
+    """Effective map-side parallelism cap of a parquet scan: Spark splits
+    parquet by ROW GROUP, so a table of few files with one row group each
+    runs its whole scan stage (and everything fused into it — filters,
+    projections, explodes, partial aggregates, Python evaluation) on that
+    many cores regardless of split math. Counts files, and only reads
+    footers (driver-side, metadata-only) when the file count alone cannot
+    prove the scan splittable — bounded work at any scale."""
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        try:
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+        except OSError:
+            return _SPREAD_FILE_CAP
+    if len(files) >= _SPREAD_FILE_CAP:
+        return len(files)
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(f).metadata.num_row_groups for f in files) or 1
+    except Exception:
+        return max(len(files), 1)
+
+
+def spread_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Round-robin repartition a parquet-backed frame when (and only when)
+    its file layout cannot feed the available cores — the guide's fix for
+    the 'one huge unsplittable file' input-skew class (§2.5): the scan
+    task then only reads + shuffle-writes, and the heavy per-row work
+    downstream (expand/aggregate/explode/shingle/Arrow UDF) runs on every
+    core instead of one per row group.
+
+    Scale-adaptive by construction: a production table ships hundreds of
+    files / row groups, so the condition is false and NO exchange is
+    added — this is a guard against degenerate layouts, not a local[32]
+    tuning constant. Column pruning pushes through the repartition, so
+    the exchange carries only the columns the query reads. Safe for every
+    registry query: results are order-insensitive by the determinism
+    rules (exact decimal sums, unique tiebreakers, sorted arrays).
+    Disable with SPARK_GRAFT_SPREAD=0."""
+    if os.environ.get("SPARK_GRAFT_SPREAD", "1") == "0":
+        return df
+    n = spark.sparkContext.defaultParallelism
+    if _scan_units(path) < n:
+        return df.repartition(n)
+    return df
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Vectorized parquet scan of one testdata table.
 
     ``events.parquet`` carries a parquet TIMESTAMP(NANOS) column, which
@@ -66,7 +125,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return _normalize_ntz(df)
+    df = _normalize_ntz(df)
+    # SPARK_GRAFT_SPREAD_FORCE=1 is the measurement knob: spread EVERY
+    # load, so the per-query win/loss of the exchange can be measured
+    # without editing call sites (scripts/probe_r15_spread.py).
+    if spread or os.environ.get("SPARK_GRAFT_SPREAD_FORCE") == "1":
+        df = spread_scan(spark, df, path)
+    return df
 
 
 def _normalize_ntz(df: DataFrame) -> DataFrame:
