@@ -51,14 +51,27 @@ from weather_monitoring_spark.sources.tables import load_table
     tags=("analytics", "aggregate", "rollup", "cube"),
 )
 def q13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    # Pre-aggregate to the detail groups BEFORE the CUBE: Spark's Expand
+    # multiplies every input row by the number of grouping sets (4x here)
+    # ahead of the partial aggregate, so cubing the raw table cost ~4x
+    # the row volume in decimal-sum work (measured 9-14 s of executor CPU
+    # at sf0.1). count/decimal-sum are associative and data-NULL group
+    # values flow through the base unchanged, so CUBE over the tiny
+    # pre-aggregate is exactly equivalent (same rows, same exact sums) —
+    # the oracle is unchanged and still hash-matches.
+    base = (
         load_table(spark, sf_dir, "lineitem", spread=True)
-        .cube("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            dsum(F.col("l_quantity")).alias("sum_qty"),
-            dsum(F.col("l_extendedprice")).alias("sum_price"),
+            F.count(F.lit(1)).alias("_c"),
+            F.sum(F.col("l_quantity").cast(MEASURE)).alias("_q"),
+            F.sum(F.col("l_extendedprice").cast(MEASURE)).alias("_p"),
         )
+    )
+    return base.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("_c").alias("cnt"),
+        dec_to_double(F.sum("_q")).alias("sum_qty"),
+        dec_to_double(F.sum("_p")).alias("sum_price"),
     )
 
 
@@ -104,13 +117,19 @@ def q14_distinct_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "aggregate", "rollup"),
 )
 def q15_rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
+    # Same pre-aggregate-before-Expand shape as q13 (3x expansion for
+    # ROLLUP's grouping sets) — exactly equivalent by associativity.
+    base = (
+        load_table(spark, sf_dir, "lineitem", spread=True)
+        .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("_c"),
+            F.sum(F.col("l_quantity").cast(MEASURE)).alias("_q"),
         )
+    )
+    return base.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("_c").alias("cnt"),
+        dec_to_double(F.sum("_q")).alias("sum_qty"),
     )
 
 

@@ -44,6 +44,20 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst=true (the default) is supposed to prefer core
+        # count over advisory partition size when coalescing, but its
+        # floor is minPartitionSize (default 1 MB) — so ANY post-shuffle
+        # stage under ~cores MB collapses to a handful of tasks and the
+        # downstream work (windows, sorts, final aggregates) serializes.
+        # The engine's analytic operators run ~0.1-1 s of CPU per MB, so
+        # a 64 KB floor keeps tasks well above scheduling overhead
+        # (~5 ms) while restoring parallelism for small intermediates; at
+        # production shuffle sizes partitions sit far above either floor
+        # and this setting is inert. Env-tunable for cluster profiles.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
