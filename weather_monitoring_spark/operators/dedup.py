@@ -492,10 +492,17 @@ def minhash_lsh_pairs(
     if max_band_df is not None:
         bdf = bands.groupBy("band_idx", "bh").agg(F.count(F.lit(1)).alias("df"))
         if max_band_df == "auto":
-            cut = docs.agg(
+            # Corpus size from the PINNED band table, not a fresh pass
+            # over docs: every document contributes exactly LSH_BANDS
+            # rows to bands (posexplode of a fixed-length array — short
+            # docs carry NULL band hashes but still all B positions), so
+            # count(bands)/LSH_BANDS == count(docs) exactly, and the
+            # aggregate reads the checkpointed RDD instead of re-scanning
+            # the source table. Same cutoff value, one fewer scan.
+            cut = bands.agg(
                 F.greatest(
                     F.lit(BAND_DF_MIN).cast("long"),
-                    F.ceil(F.sqrt(F.count(F.lit(1)))),
+                    F.ceil(F.sqrt(F.count(F.lit(1)) / F.lit(LSH_BANDS))),
                 ).alias("_cut")
             )
             hot = (

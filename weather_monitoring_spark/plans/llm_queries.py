@@ -566,7 +566,14 @@ def q37_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "pipeline"),
 )
 def q50_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    # Pinned two-column load: this query walks the table three times
+    # (LSH signatures, shingle verify, final survivor join), and on a
+    # degenerate single-row-group layout each walk re-paid the
+    # single-threaded text decode (~0.7 s of the r15 build profile) —
+    # the pin shares one decode across all three branches.
+    docs = load_table(
+        spark, sf_dir, "documents", spread=True, pin=("doc_id", "text")
+    )
     # LSH candidates first (cheap); exact Jaccard ONLY on candidates.
     candidates = minhash_lsh_pairs(docs)
     verified = ngram_jaccard_verify(docs, candidates)

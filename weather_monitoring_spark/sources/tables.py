@@ -89,7 +89,11 @@ def spread_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
 
 
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    spread: bool = False,
+    pin: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Vectorized parquet scan of one testdata table.
 
@@ -131,6 +135,23 @@ def load_table(
     # without editing call sites (scripts/probe_r15_spread.py).
     if spread or os.environ.get("SPARK_GRAFT_SPREAD_FORCE") == "1":
         df = spread_scan(spark, df, path)
+    if pin is not None:
+        # ``pin``: project to these columns and, when the file layout is
+        # degenerate (fewer row groups than cores — the same condition
+        # that gates spread_scan), localCheckpoint the projected scan so
+        # a query that references the table from several branches decodes
+        # it ONCE instead of once per branch. On a production layout the
+        # scan is parallel and each branch's re-scan prunes its own
+        # columns, so no pin is added — this, like spread_scan, guards a
+        # degenerate layout rather than tuning for local mode. Explicit
+        # column list (not '*') so the pinned blocks carry only what the
+        # query reads; disable with SPARK_GRAFT_PIN=0.
+        df = df.select(*pin)
+        if (
+            os.environ.get("SPARK_GRAFT_PIN", "1") != "0"
+            and _scan_units(path) < spark.sparkContext.defaultParallelism
+        ):
+            df = df.localCheckpoint(eager=False)
     return df
 
 
