@@ -212,9 +212,10 @@ def cosine_neardup_pairs(
 
     ``method="blocked"`` (default): **distributed blocked-GEMM prefilter +
     exact re-score**, with no driver-side staging at all. Each vector is
-    assigned a block by id; the B(B+1)/2 block pairs are formed by joining
-    a tiny block-pair grid against the corpus twice (shuffle = N*(B+1)/2
-    rows), and each block pair is scored as one NumPy float64 matmul
+    assigned a block by id; the B(B+1)/2 block pairs are formed by one
+    broadcast equi-join of the corpus against a per-block entries table
+    (shuffle = N*(B+1)/2 rows), and each block pair is scored as one
+    NumPy float64 matmul
     inside ``applyInPandas`` — the quadratic part runs as dense linear
     algebra on executors, never on the driver. Candidates at
     ``threshold - PREFILTER_MARGIN`` are then re-scored by the exact
@@ -236,6 +237,7 @@ def cosine_neardup_pairs(
     cross-checks. For corpora where even distributed n^2 is infeasible,
     use cosine_neardup_lsh (approximate recall, bucket-bounded cost).
     """
+    raw_emb = emb
     emb = scoreable_vectors(emb, vec_col)
     if method == "naive":
         base = emb.select(
@@ -260,7 +262,14 @@ def cosine_neardup_pairs(
     if n_blocks is None:
         import math
 
-        n_blocks = max(8, math.ceil(emb.count() / GEMM_BLOCK_ROWS))
+        # Counted over the RAW frame, before the scoreable-vector gate:
+        # the gate references the vector column, so counting below it
+        # decodes every vector once just to size the blocking; the raw
+        # count is an empty-projection scan (row-group metadata only).
+        # n_blocks shapes only the block decomposition — the pair set is
+        # identical for any block count — so the (>=) raw count is as
+        # good as the filtered one.
+        n_blocks = max(8, math.ceil(raw_emb.count() / GEMM_BLOCK_ROWS))
     grid = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
     )
@@ -277,14 +286,19 @@ def cosine_neardup_pairs(
         F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("bid"),
         F.size(F.col(vec_col)).alias("dim"),
     )
-    lhs = grid.join(e, e.bid == grid.bi).select(
-        "bi", "bj", "dim", "id", "v", F.lit(0).alias("role")
+    # Fan-out by ONE broadcast equi-join of the corpus against a tiny
+    # per-block entries table (block id -> every (bi,bj,role) slot that
+    # block fills), instead of two joins that each broadcast the CORPUS
+    # and stream the grid: that shape made every near-empty grid task
+    # deserialize the full vector broadcast (2 x ~15 s of executor CPU
+    # for a 2 MB corpus at sf0.1 — r15 stage probe), and at scale it
+    # either broadcasts or shuffles the vectors twice. Here the vectors
+    # stay on the stream side untouched and only B^2 ints are broadcast.
+    ent0 = grid.select(F.col("bi").alias("bid"), "bi", "bj", F.lit(0).alias("role"))
+    ent1 = grid.filter(F.col("bi") != F.col("bj")).select(
+        F.col("bj").alias("bid"), "bi", "bj", F.lit(1).alias("role")
     )
-    rhs = (
-        grid.filter(F.col("bi") != F.col("bj"))
-        .join(e, e.bid == grid.bj)
-        .select("bi", "bj", "dim", "id", "v", F.lit(1).alias("role"))
-    )
+    entries = ent0.unionByName(ent1)
     cutoff = threshold - PREFILTER_MARGIN
 
     def score_block_pair(pdf):
@@ -328,10 +342,18 @@ def cosine_neardup_pairs(
         ).drop_duplicates()
 
     cand = (
-        lhs.unionByName(rhs)
+        e.join(F.broadcast(entries), "bid")
+        .select("bi", "bj", "dim", "id", "v", "role")
         .groupBy("bi", "bj", "dim")
         .applyInPandas(score_block_pair, "id_a long, id_b long")
     )
+    # Stage break before the exact re-score: applyInPandas output fuses
+    # into the same stage as the re-score's two broadcast hash joins, so
+    # every matmul task re-deserialized both vector broadcast relations
+    # (~9 s of executor CPU at sf0.1). The candidate set is tiny relative
+    # to the matmul, so one AQE-coalescible exchange isolates the
+    # re-score into its own (few-task) stage.
+    cand = cand.repartition("id_a")
     return _exact_rescore(cand, emb, threshold, id_col, vec_col)
 
 

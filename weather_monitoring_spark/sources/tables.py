@@ -110,6 +110,7 @@ def load_table(
     # TZ-naive DuckDB oracle, so pin it at the loader boundary too.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = _cached_schema(spark, path, name)
     if name == "events":
         # Scope the legacy conf to this one read: it is consumed when the
         # relation is planned (verified: collects after restore still
@@ -119,14 +120,23 @@ def load_table(
         prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try:
-            df = spark.read.parquet(path)
+            reader = spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            df = reader.parquet(path)
         finally:
             if prior is None:
                 spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
             else:
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
     else:
-        df = spark.read.parquet(path)
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(path)
+    # Capture the RAW read schema (pre ts-conversion / NTZ-normalize) so
+    # the next load of the same file skips the inference job.
+    _remember_schema(spark, path, df)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     df = _normalize_ntz(df)
@@ -194,7 +204,51 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+#: Inferred read schema per ((applicationId, path, mtime)) — METADATA
+#: memo only (column names/types from the parquet footer), never data.
+#: Schema inference is one driver-side job per read; with ~60 load_table
+#: calls per bench pass those footer jobs alone cost ~2 s (r15 profile).
+#: The mtime key drops the entry if the file is replaced; keyed per
+#: application so a new session (possibly different legacy-nanos conf)
+#: re-infers.
+_SCHEMA_MEMO: dict[tuple[str, str, float], object] = {}
+
+
+def _cached_schema(spark: SparkSession, path: str, name: str):
+    """Schema for ``path`` from the first inference in this application.
+
+    Returns None on the first call (letting the reader infer and the
+    memo capture it from the resulting frame via _remember_schema) or
+    when the file's mtime changed."""
+    try:
+        key = (spark.sparkContext.applicationId, path, os.path.getmtime(path))
+    except OSError:
+        return None
+    return _SCHEMA_MEMO.get(key)
+
+
+def _remember_schema(spark: SparkSession, path: str, df: DataFrame) -> None:
+    try:
+        key = (spark.sparkContext.applicationId, path, os.path.getmtime(path))
+    except OSError:
+        return
+    _SCHEMA_MEMO.setdefault(key, df.schema)
+
+
+#: (applicationId, sf_dir) of the last register_views call, so repeated
+#: plan builds in one session skip re-registration. This memoizes CATALOG
+#: METADATA only (view name -> parquet path), never data or results —
+#: each re-read of a view still scans the parquet files. Without it,
+#: every SQL-surface plan build re-ran one schema-inference job per
+#: table (~0.9 s of driver-side footer reads per build, r15 profile).
+_VIEWS_REGISTERED: dict[str, str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (for the SQL surface)."""
+    app = spark.sparkContext.applicationId
+    if _VIEWS_REGISTERED.get(app) == sf_dir:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _VIEWS_REGISTERED[app] = sf_dir
