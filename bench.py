@@ -177,21 +177,25 @@ def main() -> None:
     if par32:
         result["norm_suite_over_par32"] = round(result["value"] / par32, 1)
     line = json.dumps(result)
-    # Compact headline line (total + sf + runs, ~100 bytes). The full
-    # per-query line is ~4.6 KB; the driver keeps the TAIL of stdout, so
-    # when capture truncates from the head, whatever is printed LAST is
-    # what survives. r5 printed the headline first — truncation ate it
-    # and left the unparseable tail of the full line (r6 verdict #1).
-    # Order therefore: full line FIRST, headline LAST — a tail-truncated
-    # capture always ends in parseable JSON, and a consumer that reads
-    # the first JSON line still gets the complete object. The headline
-    # is tagged "partial": true so nobody mistakes it for the full
-    # result; per-query detail also persists in bench_result.json.
+    # Headline line. The full result line is ~6 KB; the driver keeps the
+    # TAIL of stdout and r15 showed its capture retains only ~3 KB, so
+    # whatever is printed LAST must be small enough to survive whole.
+    # r5 printed the headline first — truncation ate it and left the
+    # unparseable tail of the full line (r6 verdict #1). Order therefore:
+    # full line FIRST, headline LAST. r15's verdict #1: the headline
+    # carried no "queries" key, so the driver's per-query comparison was
+    # blind (PERF_r15 n_common=0). The headline now carries the per-query
+    # MEDIANS (~1.9 KB incl. base keys — fits the capture with margin);
+    # min/max spread + host anchors remain in the full line and in
+    # bench_result.json. Additions-only: every pre-r16 headline key is
+    # kept; "partial" stays true because spread/anchor detail is still
+    # elsewhere.
     headline = json.dumps(
         {
             "metric": result["metric"],
             "value": result["value"],
             "unit": "sec",
+            "queries": timings,
             "runs": n_runs,
             "sf": result["sf"],
             # the parallel-throttle anchor leg (bracket median), inline

@@ -1172,6 +1172,43 @@ def test_minhash_hot_bucket_cap_preserves_survivors(spark):
     assert {b for _, b in capped} == {b for _, b in uncapped}  # same dropped set
 
 
+def test_minhash_hot_bucket_cutoff_counts_full_corpus(spark):
+    """r15 ADVICE (medium): the auto band-df cutoff must be derived from
+    the FULL corpus (count(*) over docs — what the DuckDB oracle's bcut
+    does), not from the banded rows, which exclude null-text docs. With
+    500 null-text docs in a 10,000-doc corpus, a 99-doc identical group
+    sits exactly in the discriminating window: full-corpus cutoff
+    ceil(sqrt(10000)) = 100 keeps its buckets COLD (full 99*98/2 clique
+    from the self-join), while the buggy non-null count gives
+    ceil(sqrt(9500)) = 98 and mis-routes it through star pairs (98)."""
+    from pyspark.sql import functions as F
+
+    dup_text = " ".join(_det_words("nullcut", 60))
+    dup = spark.range(99).select(
+        F.col("id").alias("doc_id"), F.lit(dup_text).alias("text")
+    )
+    nulls = spark.range(99, 599).select(
+        F.col("id").alias("doc_id"), F.lit(None).cast("string").alias("text")
+    )
+    bg = spark.range(599, 10_000).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 60), i -> "
+            "substring(md5(concat('bgn', id, ':', i)), 1, 8)))"
+        ).alias("text"),
+    )
+    docs = dup.unionByName(nulls).unionByName(bg)
+    clique = [
+        r
+        for r in minhash_lsh_pairs(docs).collect()
+        if r.id_a < 99 and r.id_b < 99
+    ]
+    assert len(clique) == 99 * 98 // 2, (
+        f"expected the full 4,851-pair clique (cold buckets under the "
+        f"full-corpus cutoff), got {len(clique)}"
+    )
+
+
 def test_cosine_lsh_threshold_matched_params_and_hot_bucket_cap(spark):
     """Round-4 hardening of the embedding near-dup self-join: (p, L)
     derive from the threshold (sharp thresholds get sharp buckets —

@@ -492,17 +492,19 @@ def minhash_lsh_pairs(
     if max_band_df is not None:
         bdf = bands.groupBy("band_idx", "bh").agg(F.count(F.lit(1)).alias("df"))
         if max_band_df == "auto":
-            # Corpus size from the PINNED band table, not a fresh pass
-            # over docs: every document contributes exactly LSH_BANDS
-            # rows to bands (posexplode of a fixed-length array — short
-            # docs carry NULL band hashes but still all B positions), so
-            # count(bands)/LSH_BANDS == count(docs) exactly, and the
-            # aggregate reads the checkpointed RDD instead of re-scanning
-            # the source table. Same cutoff value, one fewer scan.
-            cut = bands.agg(
+            # Corpus size from the FULL docs frame, matching the oracle's
+            # bcut (count(*) FROM documents). r15 derived it from the
+            # pinned band table as count(bands)/LSH_BANDS, but
+            # minhash_signatures drops NULL-text docs BEFORE banding, so
+            # that count is the non-null-text doc count — diverging from
+            # the oracle whenever null-text docs exist (r15 ADVICE,
+            # medium). The aggregate is lazy and rides as a broadcast
+            # 1-row frame; the count projects zero columns, so the extra
+            # pass is a parquet-metadata count, not a decode.
+            cut = docs.agg(
                 F.greatest(
                     F.lit(BAND_DF_MIN).cast("long"),
-                    F.ceil(F.sqrt(F.count(F.lit(1)) / F.lit(LSH_BANDS))),
+                    F.ceil(F.sqrt(F.count(F.lit(1)))),
                 ).alias("_cut")
             )
             hot = (

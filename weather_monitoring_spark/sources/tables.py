@@ -35,6 +35,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _SPREAD_FILE_CAP = 256
 
 
+#: (path, mtime signature) -> row-group count. Footer reads are driver-
+#: side metadata-only but not free; un-memoized they ran on EVERY
+#: load_table call — twice per call when both spread and pin are set
+#: (q50) — r15 ADVICE. The mtime signature invalidates on replacement.
+_SCAN_UNITS_MEMO: dict[tuple[str, float], int] = {}
+
+
 def _scan_units(path: str) -> int:
     """Effective map-side parallelism cap of a parquet scan: Spark splits
     parquet by ROW GROUP, so a table of few files with one row group each
@@ -42,26 +49,71 @@ def _scan_units(path: str) -> int:
     projections, explodes, partial aggregates, Python evaluation) on that
     many cores regardless of split math. Counts files, and only reads
     footers (driver-side, metadata-only) when the file count alone cannot
-    prove the scan splittable — bounded work at any scale."""
+    prove the scan splittable — bounded work at any scale.
+
+    Any layout this function cannot positively prove degenerate — a
+    Hive-partitioned directory tree (``date=…/`` subdirectories), an
+    empty or unreadable listing — reports _SPREAD_FILE_CAP ("assume
+    splittable"), so spread_scan never injects a full-table exchange on
+    a production partitioned table (r15 verdict #2 / ADVICE)."""
+    try:
+        sig = _mtime_sig(path)
+    except OSError:
+        return _SPREAD_FILE_CAP
+    memo_key = (path, sig)
+    hit = _SCAN_UNITS_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     if os.path.isfile(path):
         files = [path]
     else:
         try:
-            files = [
-                os.path.join(path, f)
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
-            ]
+            entries = [os.path.join(path, f) for f in os.listdir(path)]
         except OSError:
             return _SPREAD_FILE_CAP
+        if any(os.path.isdir(e) for e in entries):
+            # Partitioned/nested layout: file count unknowable from one
+            # level; a real partitioned table is massively splittable,
+            # so never mark it degenerate.
+            _SCAN_UNITS_MEMO[memo_key] = _SPREAD_FILE_CAP
+            return _SPREAD_FILE_CAP
+        files = [e for e in entries if e.endswith(".parquet")]
+        if not files:
+            # Empty/unrecognized listing: unknown, assume splittable.
+            _SCAN_UNITS_MEMO[memo_key] = _SPREAD_FILE_CAP
+            return _SPREAD_FILE_CAP
     if len(files) >= _SPREAD_FILE_CAP:
-        return len(files)
-    try:
-        import pyarrow.parquet as pq
+        units = len(files)
+    else:
+        try:
+            import pyarrow.parquet as pq
 
-        return sum(pq.ParquetFile(f).metadata.num_row_groups for f in files) or 1
-    except Exception:
-        return max(len(files), 1)
+            units = (
+                sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+                or 1
+            )
+        except Exception:
+            units = max(len(files), 1)
+    _SCAN_UNITS_MEMO[memo_key] = units
+    return units
+
+
+def _mtime_sig(path: str) -> float:
+    """Invalidation signature for memo entries keyed on ``path``. For a
+    plain file this is its mtime. For a directory-style table the
+    directory mtime alone misses an in-place part-file overwrite (r15
+    ADVICE), so fold in the max mtime of the direct children (one level
+    — matches the flat layouts load_table reads; deeper trees are
+    handled by _scan_units' assume-splittable branch before any memo
+    consumer can go stale)."""
+    mt = os.path.getmtime(path)
+    if os.path.isdir(path):
+        try:
+            children = [os.path.join(path, f) for f in os.listdir(path)]
+            mt = max([mt] + [os.path.getmtime(c) for c in children])
+        except OSError:
+            pass
+    return mt
 
 
 def spread_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
@@ -221,7 +273,7 @@ def _cached_schema(spark: SparkSession, path: str, name: str):
     memo capture it from the resulting frame via _remember_schema) or
     when the file's mtime changed."""
     try:
-        key = (spark.sparkContext.applicationId, path, os.path.getmtime(path))
+        key = (spark.sparkContext.applicationId, path, _mtime_sig(path))
     except OSError:
         return None
     return _SCHEMA_MEMO.get(key)
@@ -229,7 +281,7 @@ def _cached_schema(spark: SparkSession, path: str, name: str):
 
 def _remember_schema(spark: SparkSession, path: str, df: DataFrame) -> None:
     try:
-        key = (spark.sparkContext.applicationId, path, os.path.getmtime(path))
+        key = (spark.sparkContext.applicationId, path, _mtime_sig(path))
     except OSError:
         return
     _SCHEMA_MEMO.setdefault(key, df.schema)
@@ -247,7 +299,14 @@ _VIEWS_REGISTERED: dict[str, str] = {}
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (for the SQL surface)."""
     app = spark.sparkContext.applicationId
-    if _VIEWS_REGISTERED.get(app) == sf_dir:
+    # Temp views are scoped per SparkSession, not per SparkContext: a
+    # sibling session (spark.newSession()) shares the applicationId but
+    # has an empty view catalog (r15 ADVICE). The sentinel tableExists
+    # check (one catalog metadata call, no job) catches that without
+    # keying the memo on a recyclable id(spark).
+    if _VIEWS_REGISTERED.get(app) == sf_dir and spark.catalog.tableExists(
+        TABLES[0]
+    ):
         return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
