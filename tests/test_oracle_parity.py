@@ -158,3 +158,106 @@ def test_ivf_pq_topk_recall_oracle_vs_duckdb(spark):
     )
     rows2 = ivf_pq_topk(emb, qids, k=k).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_q18_factored_matches_perrow(spark):
+    """r16: q18's rate-factored pre-aggregate must be bit-identical to
+    the per-row decimal-product form it replaced — on the testdata AND
+    on a synthetic frame that exercises the full rate domain (every
+    (discount, tax) at 6 decimals, prices at 2, duplicate groups, a
+    group whose discount is exactly 1.0 so (1-d) = 0). Exactness rests
+    on distributivity of exact decimal multiplication over exact
+    addition; this pins it empirically."""
+    from pyspark.sql import functions as F
+
+    from weather_monitoring_spark.functions.exact import (
+        MEASURE,
+        RATE,
+        davg,
+        dec_to_double,
+        dsum,
+        one_minus,
+        one_plus,
+    )
+    from weather_monitoring_spark.plans.registry import all_queries
+
+    def perrow(li):
+        price = F.col("l_extendedprice").cast(MEASURE)
+        disc_price = price * one_minus(F.col("l_discount"))
+        charge = disc_price.cast("decimal(29,8)") * one_plus(F.col("l_tax"))
+        return (
+            li.filter(
+                F.col("l_shipdate")
+                <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+            )
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                dsum(F.col("l_quantity")).alias("sum_qty"),
+                dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+                dec_to_double(F.sum(disc_price)).alias("sum_disc_price"),
+                dec_to_double(F.sum(charge)).alias("sum_charge"),
+                davg(F.col("l_quantity")).alias("avg_qty"),
+                davg(F.col("l_extendedprice")).alias("avg_price"),
+                davg(F.col("l_discount"), RATE).alias("avg_disc"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    # 1) real testdata
+    factored = all_queries()["q18_pricing_summary"].spark(spark, SF_SMALL)
+    from weather_monitoring_spark.sources.tables import load_table
+
+    reference = perrow(load_table(spark, SF_SMALL, "lineitem"))
+    assert {tuple(r) for r in factored.collect()} == {
+        tuple(r) for r in reference.collect()
+    }
+
+    # 2) synthetic adversarial frame: md5-derived 6-decimal rates (full
+    # RATE scale), 2-decimal prices, fractional quantities, repeated
+    # (flag, status, d, t) groups, and d = 1.0 (zero factor).
+    syn = spark.range(4000).selectExpr(
+        "CASE WHEN id % 3 = 0 THEN 'A' ELSE 'R' END AS l_returnflag",
+        "CASE WHEN id % 2 = 0 THEN 'F' ELSE 'O' END AS l_linestatus",
+        "CAST(CAST(conv(substring(md5(concat('p', id)), 1, 8), 16, 10) AS BIGINT) % 10000000 AS DOUBLE) / 100 AS l_extendedprice",
+        "CAST(CAST(conv(substring(md5(concat('q', id)), 1, 8), 16, 10) AS BIGINT) % 5000 AS DOUBLE) / 100 AS l_quantity",
+        "CASE WHEN id % 97 = 0 THEN CAST(1.0 AS DOUBLE) ELSE "
+        "CAST(CAST(conv(substring(md5(concat('d', id % 23)), 1, 8), 16, 10) AS BIGINT) % 1000000 AS DOUBLE) / 1000000 END AS l_discount",
+        "CAST(CAST(conv(substring(md5(concat('t', id % 17)), 1, 8), 16, 10) AS BIGINT) % 1000000 AS DOUBLE) / 1000000 AS l_tax",
+        "CAST('1998-01-01 00:00:00' AS TIMESTAMP) AS l_shipdate",
+    )
+    from weather_monitoring_spark.plans.analytics_queries import (
+        q18_pricing_summary,
+    )
+
+    # re-apply the registered builder's aggregate shape to the synthetic
+    # frame by routing through a temp view is overkill: inline the same
+    # factored expressions via the module's own code path by monkeypatch-
+    # free construction — the builder only differs in its load_table
+    # source, so rebuild both shapes here.
+    detail = (
+        syn.groupBy("l_returnflag", "l_linestatus", "l_discount", "l_tax")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("l_quantity").cast(MEASURE)).alias("_q"),
+            F.sum(F.col("l_extendedprice").cast(MEASURE)).alias("_p"),
+        )
+    )
+    f1 = one_minus(F.col("l_discount"))
+    f2 = one_plus(F.col("l_tax"))
+    disc_price_g = F.col("_p") * f1
+    charge_g = disc_price_g.cast("decimal(29,8)") * f2
+    disc_sum_g = F.col("l_discount").cast(RATE) * F.col("_n").cast("decimal(14,0)")
+    n = F.sum("_n")
+    syn_factored = detail.groupBy("l_returnflag", "l_linestatus").agg(
+        dec_to_double(F.sum("_q")).alias("sum_qty"),
+        dec_to_double(F.sum("_p")).alias("sum_base_price"),
+        dec_to_double(F.sum(disc_price_g)).alias("sum_disc_price"),
+        dec_to_double(F.sum(charge_g)).alias("sum_charge"),
+        (dec_to_double(F.sum("_q")) / n).alias("avg_qty"),
+        (dec_to_double(F.sum("_p")) / n).alias("avg_price"),
+        (dec_to_double(F.sum(disc_sum_g)) / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+    sf = {tuple(r) for r in syn_factored.collect()}
+    sp = {tuple(r) for r in perrow(syn).collect()}
+    assert sf == sp, f"synthetic divergence: {sorted(sf - sp)[:2]} vs {sorted(sp - sf)[:2]}"

@@ -303,6 +303,16 @@ def ngram_jaccard_verify(
     return _jaccard_from_shared(shared, sizes, threshold)
 
 
+#: (applicationId, k) -> the wrapped pandas UDF of _minhash_arrow_expr.
+#: Creating a pandas_udf is driver-side work repeated on EVERY plan
+#: build (cloudpickle of the closure + py4j registration, and PySpark
+#: caches the JVM-side UDF handle per wrapper object) — the streaming
+#: chain builds this expression once per TRIGGER and q30/q31/q50 once
+#: per bench pass. The memo holds a FUNCTION OBJECT, never data; keyed
+#: per application so a restarted context re-registers.
+_MINHASH_UDF_MEMO: dict = {}
+
+
 def _minhash_arrow_expr(hashes_col: str, k: int):
     """Arrow-batched Column: array of shingle base hashes -> array of the
     K minhashes, computed ROW-LOCALLY in vectorized numpy.
@@ -323,7 +333,16 @@ def _minhash_arrow_expr(hashes_col: str, k: int):
     pinned by tests/test_llm_ops.py::test_minhash_methods_agree and the
     unchanged q30 oracle."""
     import pandas as pd
+    from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
+
+    active = SparkSession.getActiveSession()
+    memo_key = None
+    if active is not None:
+        memo_key = (active.sparkContext.applicationId, k)
+        hit = _MINHASH_UDF_MEMO.get(memo_key)
+        if hit is not None:
+            return hit(F.col(hashes_col))
 
     params = [minhash_params(i) for i in range(k)]
 
@@ -359,7 +378,10 @@ def _minhash_arrow_expr(hashes_col: str, k: int):
         return pd.Series(out, dtype=object)
 
     _mh.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    return pandas_udf(_mh, "array<long>")(F.col(hashes_col))
+    wrapped = pandas_udf(_mh, "array<long>")
+    if memo_key is not None:
+        _MINHASH_UDF_MEMO[memo_key] = wrapped
+    return wrapped(F.col(hashes_col))
 
 
 def minhash_signatures(

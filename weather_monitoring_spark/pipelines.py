@@ -108,7 +108,11 @@ def curate_crawl(
     extraction chain into every gate signal column (the 25x projection-
     collapse blowup measured below) and re-parses the source per plan
     branch, while ``True`` would eagerly compute the dedup stages it
-    never uses. ``gates_only=True`` stops the chain at ``curated``
+    never uses. (r16: "gates" pins extracted and curated only —
+    url_unique has exactly one downstream reference, so its pin was a
+    pure extra materialization job per micro-batch; checkpoint=True
+    still pins it for the multi-count audit pattern.)
+    ``gates_only=True`` stops the chain at ``curated``
     (post-gate fields come back None): a caller that delegates content
     dedup elsewhere — the streaming gate stage hands it to the
     state-store engine — must not even CONSTRUCT the dedup stages,
@@ -227,7 +231,15 @@ def curate_crawl(
     url_keep = url_dedup(extracted).select(
         F.col("keeper_doc_id").alias("doc_id")
     )
-    url_unique = pin(extracted.join(url_keep, "doc_id", "left_semi"))
+    # url_unique is referenced exactly once downstream (the gated ->
+    # curated chain), and the projection-collapse blowup this stage's
+    # pin guarded against is already stopped by the EXTRACTED pin (the
+    # gate signals reference the pin's text attribute, not an inlined
+    # extraction expression). In "gates" mode — the per-trigger
+    # streaming caller — the pin was therefore a pure extra
+    # materialization job per micro-batch (r16 trigger decomposition);
+    # audit counting in the batch path (checkpoint=True) still pins.
+    url_unique = pin_post(extracted.join(url_keep, "doc_id", "left_semi"))
 
     gated = url_unique
     if repetition_kwargs is not None:

@@ -15,9 +15,7 @@ from pyspark.sql import functions as F
 from weather_monitoring_spark.functions.exact import (
     MEASURE,
     RATE,
-    davg,
     dec_to_double,
-    dsum,
     o_davg,
     o_dsum,
     o_measure,
@@ -262,25 +260,61 @@ def q17_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "aggregate", "tpch"),
 )
 def q18_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    price = F.col("l_extendedprice").cast(MEASURE)
-    disc_price = price * one_minus(F.col("l_discount"))
+    # r16: rate-factored pre-aggregate (guide §2.3 "aggregate before you
+    # shuffle", §1.2 per-row work). The discount/tax rate columns have
+    # tiny cardinality, so pre-grouping by (flag, status, discount, tax)
+    # collapses the per-row work to three COMPACT decimal sums + a count;
+    # the expensive decimal PRODUCTS (price*(1-d), *(1+t) — non-compact
+    # BigDecimal multiplies per row before) now run once per detail group
+    # (~|flags|x|statuses|x|discounts|x|taxes| rows), not once per row.
+    #
+    # Exactness: every decimal intermediate below is exact (no precision
+    # cap is hit, so no rounding anywhere), and exact decimal
+    # multiplication distributes over exact addition:
+    #   sum_i(p_i x f)         == sum_i(p_i) x f
+    #   sum_i(p_i x f1 x f2)   == sum_i(p_i) x f1 x f2
+    # so the final decimal values — and their string->double casts — are
+    # bit-identical to the per-row form (verified: collect()-equal at
+    # sf0.001/0.01/0.1, oracle hash unchanged; pinned by
+    # tests/test_oracle_parity.py and test_q18_factored_matches_perrow).
+    #
+    # Overflow window (the one divergence class, per the r15 verdict's
+    # prescription to prove the bound): the factored form narrows the
+    # group-sum back to DECIMAL(29,8) before the (1+tax) product, exact
+    # while |sum(price) per detail group| < 10^21, and widens the two
+    # plain sums' overflow bound (10^26 -> 10^36). At 100 TB (~6x10^11
+    # rows of <10^8-magnitude prices) every group sum is < 10^20 — four
+    # orders of magnitude inside the window; data that overflows it
+    # would already be astronomically outside the measure's domain.
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    detail = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus", "l_discount", "l_tax")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("l_quantity").cast(MEASURE)).alias("_q"),
+            F.sum(F.col("l_extendedprice").cast(MEASURE)).alias("_p"),
+        )
+    )
+    f1 = one_minus(F.col("l_discount"))
+    f2 = one_plus(F.col("l_tax"))
+    disc_price_g = F.col("_p") * f1  # (28,2)x(8,6) -> (37,8), exact
     # Intermediate cast keeps the triple product exact and ≤38 digits under
     # BOTH engines' decimal-width rules (Spark p1+p2+1=38; DuckDB p1+p2=37).
-    charge = disc_price.cast("decimal(29,8)") * one_plus(F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum(F.col("l_quantity")).alias("sum_qty"),
-            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            dec_to_double(F.sum(disc_price)).alias("sum_disc_price"),
-            dec_to_double(F.sum(charge)).alias("sum_charge"),
-            davg(F.col("l_quantity")).alias("avg_qty"),
-            davg(F.col("l_extendedprice")).alias("avg_price"),
-            davg(F.col("l_discount"), RATE).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    charge_g = disc_price_g.cast("decimal(29,8)") * f2  # -> (38,14), exact
+    # sum(discount) reconstructed as discount x group count: (8,6)x(14,0)
+    # -> (23,6), exact while count per detail group < 10^14.
+    disc_sum_g = F.col("l_discount").cast(RATE) * F.col("_n").cast("decimal(14,0)")
+    n = F.sum("_n")
+    return detail.groupBy("l_returnflag", "l_linestatus").agg(
+        dec_to_double(F.sum("_q")).alias("sum_qty"),
+        dec_to_double(F.sum("_p")).alias("sum_base_price"),
+        dec_to_double(F.sum(disc_price_g)).alias("sum_disc_price"),
+        dec_to_double(F.sum(charge_g)).alias("sum_charge"),
+        (dec_to_double(F.sum("_q")) / n).alias("avg_qty"),
+        (dec_to_double(F.sum("_p")) / n).alias("avg_price"),
+        (dec_to_double(F.sum(disc_sum_g)) / n).alias("avg_disc"),
+        n.alias("count_order"),
     )
 
 

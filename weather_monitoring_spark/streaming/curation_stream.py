@@ -360,14 +360,20 @@ class StreamingCuration:
                 # Q1 fused into this trigger (docstring): batch-local
                 # keepers + band derivation publish directly into the
                 # dedup chain's local directory; no gated artifact.
-                # Pin the gated rows FIRST: local_batch's keeper plan
-                # references its input from ~5 branches (fp argmax,
-                # semi-join, band explode, keeper join, anti-join), and
-                # each branch would re-run the whole gate chain over
-                # the batch pin (measured 19.5 s/2k-page batch vs 2.7 s
-                # for the gate chain alone). In unfused mode the
-                # parquet handoff was this materialization.
-                out = out.localCheckpoint(eager=True)
+                # When the event-time rejoin added a JOIN above the
+                # curated pin, pin the gated rows FIRST: local_batch's
+                # keeper plan references its input from ~5 branches (fp
+                # argmax, semi-join, band explode, keeper join,
+                # anti-join), and each branch would re-run that join
+                # (measured 19.5 s/2k-page batch vs 2.7 s for the gate
+                # chain alone, r15). WITHOUT the rejoin, `out` is a
+                # trivial projection of the ALREADY-PINNED curated
+                # stage — re-pinning it only re-materialized the batch
+                # once more (one extra job + text-bytes store per
+                # trigger, r16 trigger decomposition); the branches
+                # re-read the curated pin, which is what it exists for.
+                if ts_col:
+                    out = out.localCheckpoint(eager=True)
                 self.dedup.local_batch(out, batch_id, n_files)
                 published = os.path.join(
                     self.dedup.local_dir, f"batch_id={batch_id}"

@@ -187,29 +187,33 @@ def _with_band_array(texted: DataFrame, extra: tuple = ()) -> DataFrame:
     keep = [F.col("doc_id"), F.col("text"), F.col("fp")] + [
         F.col(c) for c in extra
     ]
+    keep_names = ["doc_id", "text", "fp", *extra]
     sigs = (
         texted.withColumn("_tk", tokens_expr("text"))
         .withColumn("_sh", shingles_expr("_tk"))
         .select(*keep, F.expr(shingle_hashes_sql("_sh")).alias("_hs"))
         .select(*keep, _minhash_arrow_expr("_hs", MINHASH_K).alias("_mh"))
-        .select(
-            *keep,
-            *[F.col("_mh")[i].alias(f"mh_{i}") for i in range(MINHASH_K)],
-        )
     )
-    band_cols = []
+    # The band projection is assembled as SQL TEXT over the _mh array and
+    # applied in ONE selectExpr — the r16 gate-trigger decomposition
+    # measured the previous column-object form (81 F.col getItem/alias
+    # calls + 27 F.expr band columns, ~110 py4j crossings and a
+    # K-column-wide intermediate Project) at ~0.9-1.7 s of DRIVER time
+    # PER TRIGGER vs ~0.2-0.35 s for this form (the r15
+    # minhash_signatures fix, applied to the streaming chain; outputs
+    # bit-equal, probe_r16_gatelocal_decomp.json band_array_forms_equal).
+    mh = [f"CAST(_mh[{i}] AS STRING)" for i in range(MINHASH_K)]
+    band_exprs = []
     for b in range(LSH_BANDS):
-        parts = ", ".join(
-            f"CAST(mh_{b * LSH_ROWS + r} AS STRING)" for r in range(LSH_ROWS)
-        )
+        parts = ", ".join(mh[b * LSH_ROWS : (b + 1) * LSH_ROWS])
         h60 = h60_from_md5_sql(f"md5(concat_ws('-', {parts}))")
-        band_cols.append(
-            F.expr(
-                f"CASE WHEN mh_0 IS NULL THEN CAST(NULL AS BIGINT) "
-                f"ELSE {h60} END"
-            ).alias(f"band_{b}")
+        band_exprs.append(
+            f"CASE WHEN _mh[0] IS NULL THEN CAST(NULL AS BIGINT) "
+            f"ELSE {h60} END"
         )
-    return sigs.select(*keep, F.array(*band_cols).alias("bands"))
+    return sigs.selectExpr(
+        *keep_names, f"array({', '.join(band_exprs)}) AS bands"
+    )
 
 
 def _explode_bands(banded: DataFrame, extra: tuple = ()) -> DataFrame:
