@@ -21,7 +21,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame
+# Patch the RUNTIME class: in Spark 4 `pyspark.sql.DataFrame` is the
+# abstract base — instances are classic.dataframe.DataFrame, which
+# defines localCheckpoint itself, so patching the base is a no-op.
+from pyspark.sql.classic.dataframe import DataFrame
 
 from weather_monitoring_spark.plans.registry import all_queries
 from weather_monitoring_spark.session import get_spark
