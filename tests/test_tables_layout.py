@@ -112,3 +112,38 @@ def test_register_views_covers_sibling_session(spark):
         # Restore the memo for the primary session's sf_dir so later
         # tests in the session see a consistent catalog.
         tables.register_views(spark, SF_SMALL)
+
+
+def test_table_rows_footer_count_matches_engine(spark):
+    """r16: table_rows (driver-side footer metadata) must equal the
+    engine's count for the flat testdata layout, memoize, and return
+    None for layouts it cannot cheaply count (partitioned tree)."""
+    import os
+    import shutil
+    import tempfile
+
+    from weather_monitoring_spark.sources.tables import (
+        _FOOTER_ROWS_MEMO,
+        load_table,
+        table_rows,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n = table_rows(sf, "region")
+    assert n == load_table(spark, sf, "region").count()
+    # memo hit: same object back without re-reading footers
+    assert table_rows(sf, "region") == n
+    assert any(k[0].endswith("region.parquet") for k in _FOOTER_ROWS_MEMO)
+
+    # partitioned layout -> None (fall back to a distributed count)
+    work = tempfile.mkdtemp(prefix="trows_")
+    try:
+        part_dir = os.path.join(work, "t.parquet", "date=2026-01-01")
+        os.makedirs(part_dir)
+        shutil.copy(
+            os.path.join(sf, "region.parquet"),
+            os.path.join(part_dir, "part-0.parquet"),
+        )
+        assert table_rows(work, "t") is None
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -460,7 +460,23 @@ def q35_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity", "join"),
 )
 def q36_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+    # Block count from parquet-footer metadata (driver-side, memoized)
+    # instead of the operator's eager df.count() — one whole Spark job
+    # per plan build (r16 decomposition: ~0.3-2 s of q36's build phase).
+    # Same formula, still corpus-size-derived; n_blocks shapes only the
+    # block decomposition (the pair set is identical for any count), and
+    # a layout that defeats footer counting falls back to the operator's
+    # distributed count.
+    import math
+
+    from weather_monitoring_spark.operators.similarity import GEMM_BLOCK_ROWS
+    from weather_monitoring_spark.sources.tables import table_rows
+
+    rows = table_rows(sf_dir, "embeddings")
+    n_blocks = None if rows is None else max(8, math.ceil(rows / GEMM_BLOCK_ROWS))
+    return cosine_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), n_blocks=n_blocks
+    )
 
 
 def _o_lsh_bucket(table: int, vec: str = "embedding", dim: int = 64) -> str:

@@ -98,6 +98,56 @@ def _scan_units(path: str) -> int:
     return units
 
 
+#: (path, mtime signature) -> total row count from parquet footers.
+#: Metadata only (the same class as _SCAN_UNITS_MEMO): never rows.
+_FOOTER_ROWS_MEMO: dict[tuple[str, float], int | None] = {}
+
+#: Above this many files, footer row-counting is left to the engine
+#: (a distributed count) instead of a driver-side footer loop.
+_FOOTER_ROWS_FILE_CAP = 4096
+
+
+def table_rows(sf_dir: str, name: str) -> int | None:
+    """Row count of one testdata table from parquet FOOTERS only —
+    driver-side metadata, no Spark job, memoized per (path, mtime
+    signature). Returns None when the layout defeats cheap counting
+    (partitioned tree, too many files, unreadable footer) — callers
+    fall back to a distributed count. Exists for operators that need a
+    corpus-size-derived SHAPE parameter (e.g. the blocked-GEMM block
+    count, where any count yields the identical pair set): an eager
+    df.count() per plan build was one whole Spark job per bench pass."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        sig = _mtime_sig(path)
+    except OSError:
+        return None
+    key = (path, sig)
+    if key in _FOOTER_ROWS_MEMO:
+        return _FOOTER_ROWS_MEMO[key]
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        try:
+            entries = [os.path.join(path, f) for f in os.listdir(path)]
+        except OSError:
+            return None
+        if any(os.path.isdir(e) for e in entries):
+            _FOOTER_ROWS_MEMO[key] = None
+            return None
+        files = [e for e in entries if e.endswith(".parquet")]
+        if not files or len(files) > _FOOTER_ROWS_FILE_CAP:
+            _FOOTER_ROWS_MEMO[key] = None
+            return None
+    try:
+        import pyarrow.parquet as pq
+
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        rows = None
+    _FOOTER_ROWS_MEMO[key] = rows
+    return rows
+
+
 def _mtime_sig(path: str) -> float:
     """Invalidation signature for memo entries keyed on ``path``. For a
     plain file this is its mtime. For a directory-style table the
