@@ -151,6 +151,102 @@ def q32_sizes_pin(spark, sf_dir):
     )
 
 
+def q32_df2(spark, sf_dir):
+    """ngram_jaccard_pairs with the self-join input pre-filtered to
+    shingles of document frequency >= 2: a df=1 shingle can never
+    produce a pair (the join needs two docs), so dropping those rows
+    from BOTH join legs leaves `shared` — and sizes, computed from the
+    full filtered universe — bit-identical while shrinking the join
+    input to the duplicate-shingle minority."""
+    from weather_monitoring_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _filtered_shingles,
+        _jaccard_from_shared,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sh = _filtered_shingles(docs, "doc_id", "text", "auto")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    multi = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= 2)
+        .select("s")
+    )
+    shj = sh.join(F.broadcast(multi), "s", "left_semi")
+    a, b = shj.alias("a"), shj.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return _jaccard_from_shared(shared, sizes, JACCARD_THRESHOLD)
+
+
+def q31_df2(spark, sf_dir):
+    """minhash_lsh_pairs with the cold-bucket self-join input restricted
+    to buckets of occupancy in [2, cut] via ONE semi-join against the
+    already-computed bucket-df aggregate (replacing the anti-join vs
+    hot): single-occupancy buckets produce no pairs, so the pair set is
+    identical."""
+    from weather_monitoring_spark.functions.text import h60_from_md5_sql
+    from weather_monitoring_spark.operators.dedup import (
+        BAND_DF_MIN,
+        LSH_BANDS,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sigs = minhash_signatures(docs)
+    bands = sigs.selectExpr(
+        "doc_id AS id",
+        f"{h60_from_md5_sql('md5(sig)')} AS fp",
+        "posexplode(array("
+        + ", ".join(f"band_{b}" for b in range(LSH_BANDS))
+        + ")) AS (band_idx, bh)",
+    ).localCheckpoint(eager=False)
+
+    bdf = bands.groupBy("band_idx", "bh").agg(F.count(F.lit(1)).alias("df"))
+    cut = docs.agg(
+        F.greatest(
+            F.lit(BAND_DF_MIN).cast("long"),
+            F.ceil(F.sqrt(F.count(F.lit(1)))),
+        ).alias("_cut")
+    )
+    bdfc = bdf.crossJoin(F.broadcast(cut)).localCheckpoint(eager=False)
+    hot = bdfc.filter(F.col("df") > F.col("_cut")).select("band_idx", "bh")
+    multi_cold = bdfc.filter(
+        (F.col("df") >= 2) & (F.col("df") <= F.col("_cut"))
+    ).select("band_idx", "bh")
+    hot = hot.localCheckpoint(eager=False)
+    cold = bands.join(F.broadcast(multi_cold), ["band_idx", "bh"], "left_semi")
+    members = (
+        bands.join(F.broadcast(hot), ["band_idx", "bh"], "left_semi")
+        .select("id", "fp")
+        .distinct()
+    )
+    keepers = members.groupBy("fp").agg(F.min("id").alias("_keeper"))
+    hot_pairs = (
+        members.join(keepers, "fp")
+        .filter(F.col("id") > F.col("_keeper"))
+        .select(F.col("_keeper").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    a, b = cold.alias("a"), cold.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    return pairs.unionByName(hot_pairs).distinct()
+
+
+def q31_current(spark, sf_dir):
+    from weather_monitoring_spark.plans.registry import all_queries
+
+    return all_queries()["q31_minhash_lsh_pairs"].spark(spark, sf_dir)
+
+
 # --------------------------- q43 variants ---------------------------
 
 def q43_current(spark, sf_dir):
@@ -192,6 +288,9 @@ VARIANTS = {
     "q18_factored_spread": q18_factored_spread,
     "q32_current": q32_current,
     "q32_sizes_pin": q32_sizes_pin,
+    "q32_df2": q32_df2,
+    "q31_current": q31_current,
+    "q31_df2": q31_df2,
     "q43_current": q43_current,
     "q43_unsalted": q43_unsalted,
     "q37_current": q37_current,

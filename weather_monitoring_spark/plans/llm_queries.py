@@ -301,6 +301,28 @@ def o_band_candidates(docs_table: str = "documents") -> str:
         )"""
 
 
+def _doc_guard_cutoffs(sf_dir: str) -> tuple[int | str, int | str]:
+    """(max_band_df, max_shingle_df) for queries whose input IS the full
+    documents table: the exact corpus count comes from parquet footer
+    metadata (tables.table_rows, driver-side, memoized) and feeds the
+    operators' existing pinned-int cutoff paths — the 'auto' mode's
+    lazy count(*) aggregate was an extra full-corpus subtree per plan
+    (r16, the q36 footer-count pattern). Falls back to 'auto' when the
+    layout defeats cheap counting. The cutoff VALUES are identical by
+    construction (footer num_rows == count(*)); the oracles' bcut/cut
+    CTEs compute the same numbers from count(*)."""
+    from weather_monitoring_spark.operators.dedup import (
+        band_df_cutoff,
+        shingle_df_cutoff,
+    )
+    from weather_monitoring_spark.sources.tables import table_rows
+
+    rows = table_rows(sf_dir, "documents")
+    if rows is None:
+        return "auto", "auto"
+    return band_df_cutoff(rows), shingle_df_cutoff(rows)
+
+
 @query(
     "q31_minhash_lsh_pairs",
     f"MinHash-LSH candidate pairs: documents sharing >=1 of {LSH_BANDS} "
@@ -315,7 +337,11 @@ def o_band_candidates(docs_table: str = "documents") -> str:
     tags=("llm", "dedup", "minhash", "join"),
 )
 def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents", spread=True))
+    band_cut, _ = _doc_guard_cutoffs(sf_dir)
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents", spread=True),
+        max_band_df=band_cut,
+    )
 
 
 # Shared oracle CTE chain: exploded shingles with the hot-shingle df
@@ -354,7 +380,11 @@ O_FILTERED_SH = f"""
     tags=("llm", "dedup", "join"),
 )
 def q32_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents", spread=True))
+    _, shingle_cut = _doc_guard_cutoffs(sf_dir)
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents", spread=True),
+        max_shingle_df=shingle_cut,
+    )
 
 
 def _o_simhash() -> str:
@@ -590,9 +620,14 @@ def q50_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(
         spark, sf_dir, "documents", spread=True, pin=("doc_id", "text")
     )
+    # Guard cutoffs from footer metadata (exact count(*), no in-plan
+    # count aggregates — see _doc_guard_cutoffs).
+    band_cut, shingle_cut = _doc_guard_cutoffs(sf_dir)
     # LSH candidates first (cheap); exact Jaccard ONLY on candidates.
-    candidates = minhash_lsh_pairs(docs)
-    verified = ngram_jaccard_verify(docs, candidates)
+    candidates = minhash_lsh_pairs(docs, max_band_df=band_cut)
+    verified = ngram_jaccard_verify(
+        docs, candidates, max_shingle_df=shingle_cut
+    )
     dropped = verified.select(F.col("id_b").alias("doc_id")).distinct()
     return docs.select("doc_id").join(
         dropped.withColumn("_d", F.lit(True)), "doc_id", "left"
