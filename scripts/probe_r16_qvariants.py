@@ -66,6 +66,11 @@ def _q18_body(li):
     )
 
 
+def q18_perrow(spark, sf_dir):
+    """The r15 registry shape: per-row decimal products, no spread."""
+    return _q18_body(load_table(spark, sf_dir, "lineitem"))
+
+
 def q18_spread(spark, sf_dir):
     return _q18_body(load_table(spark, sf_dir, "lineitem", spread=True))
 
@@ -283,6 +288,7 @@ def q37_pinned(spark, sf_dir):
 
 VARIANTS = {
     "q18_current": q18_current,
+    "q18_perrow": q18_perrow,
     "q18_spread": q18_spread,
     "q18_factored": q18_factored,
     "q18_factored_spread": q18_factored_spread,

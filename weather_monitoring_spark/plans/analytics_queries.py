@@ -57,8 +57,14 @@ def q13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # values flow through the base unchanged, so CUBE over the tiny
     # pre-aggregate is exactly equivalent (same rows, same exact sums) —
     # the oracle is unchanged and still hash-matches.
+    #
+    # No spread (r16 quiet-window correction, same finding as q18): with
+    # the pre-aggregate the scan stage's per-row work is 2 compact
+    # decimal sum-adds, and an alternating-order interleaved A/B read
+    # the spread exchange as a 1.55x net loss (1/8 passes won;
+    # scripts/probe_r16_spread_ab.json).
     base = (
-        load_table(spark, sf_dir, "lineitem", spread=True)
+        load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("_c"),
@@ -117,8 +123,10 @@ def q14_distinct_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same pre-aggregate-before-Expand shape as q13 (3x expansion for
     # ROLLUP's grouping sets) — exactly equivalent by associativity.
+    # No spread, same A/B finding as q13 (2.01x net loss, 0/8 passes;
+    # scripts/probe_r16_spread_ab.json).
     base = (
-        load_table(spark, sf_dir, "lineitem", spread=True)
+        load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("_c"),
@@ -286,7 +294,14 @@ def q18_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows of <10^8-magnitude prices) every group sum is < 10^20 — four
     # orders of magnitude inside the window; data that overflows it
     # would already be astronomically outside the measure's domain.
-    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    # No spread here (r16 quiet-window correction): after the factoring,
+    # the scan stage's per-row work is just 3 compact decimal sum-adds,
+    # and a 9-pass interleaved A/B in a quiet window measured the spread
+    # exchange as a net loss on this shape (factored 0.80 s vs
+    # factored+spread 1.15 s; the dirty-window probe that shipped
+    # spread=True had read the opposite). Per-row products were the
+    # cost spread used to parallelize; they are gone.
+    li = load_table(spark, sf_dir, "lineitem")
     detail = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus", "l_discount", "l_tax")

@@ -439,7 +439,13 @@ def _o_simhash() -> str:
     tags=("llm", "dedup", "simhash", "join"),
 )
 def q34_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_neardup_pairs(load_table(spark, sf_dir, "documents", spread=True))
+    # No spread (r16 quiet-window correction): the simhash projection is
+    # cheap JVM hashing per row, while the spread exchange ships the full
+    # text payload — shuffling heavy bytes to parallelize cheap work is a
+    # net loss (guide §2.3; alternating-order A/B read 1.31x, 1/8 passes
+    # won — scripts/probe_r16_spread_ab.json). Contrast q26/q27, whose
+    # per-row regex/annotation work is heavy enough that spread wins 2x.
+    return simhash_neardup_pairs(load_table(spark, sf_dir, "documents"))
 
 
 def _o_cosine(a: str, b: str) -> str:
